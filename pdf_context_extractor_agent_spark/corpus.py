@@ -1,0 +1,375 @@
+"""Deterministic synthetic corpus generator.
+
+Produces the BASELINE.json input table
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+at any scale, seeded purely by document index — no RNG state, so any row
+can be regenerated independently on any executor (the generator itself
+runs distributed via ``spark.range(n).mapInPandas``).
+
+Documents embed the reference's golden fixtures (FIXTURES.md §3-§6;
+reference: src/parsers/balance_sheet.py:832-856 for fixture A) rendered
+into simple HTML wrapped in boilerplate (nav/header/footer/script), so
+the expected extracted main-content ``text`` is known a priori and byte
+identity can be asserted per url.
+
+Document type by ``i % 10``:
+  0-4  full statement doc (balance + income + cash-flow + notes), zh
+  5    statement doc with thousands-separator number formatting
+  6-7  plain webtext doc (boilerplate-strip path only), en/es
+  8    fixture-A verbatim balance sheet (structure-invalid fallback path:
+       no 非流动负债 anchor → SI2 confidence 4/5)
+  9    statement doc whose final balance table also contains the
+       parent-company marker (exercises P4 table split)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import html as _html
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# block model: ("p", text) | ("table", rows: list[list[str]])
+Block = tuple
+Page = list
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_EPOCH = dt.datetime(2024, 4, 1, 0, 0, 0)
+
+_WORDS = (
+    "data table query scan join filter group window sort merge batch stream "
+    "vector column row key value hash part order line fast slow big small"
+).split()
+
+
+def _num(v: float, comma: bool) -> str:
+    return f"{v:,.2f}" if comma else f"{v:.2f}"
+
+
+def _fixture_a_rows() -> list[list[str]]:
+    """Golden fixture A verbatim (reference balance_sheet.py:835-856)."""
+    return [
+        ["项目", "本期末", "上期末", "附注"],
+        ["流动资产：", "", "", ""],
+        ["货币资金", "1000000.00", "900000.00", "六、1"],
+        ["应收账款", "500000.00", "450000.00", "六、2"],
+        ["存货", "300000.00", "280000.00", "六、3"],
+        ["流动资产合计", "1800000.00", "1630000.00", ""],
+        ["非流动资产：", "", "", ""],
+        ["固定资产", "2000000.00", "1900000.00", "六、4"],
+        ["无形资产", "100000.00", "95000.00", "六、5"],
+        ["非流动资产合计", "2100000.00", "1995000.00", ""],
+        ["资产总计", "3900000.00", "3625000.00", ""],
+        ["流动负债：", "", "", ""],
+        ["短期借款", "200000.00", "180000.00", "六、6"],
+        ["应付账款", "300000.00", "250000.00", "六、7"],
+        ["流动负债合计", "500000.00", "430000.00", ""],
+        ["所有者权益：", "", "", ""],
+        ["实收资本", "2000000.00", "2000000.00", "六、8"],
+        ["未分配利润", "1400000.00", "1195000.00", "六、9"],
+        ["所有者权益合计", "3400000.00", "3195000.00", ""],
+        ["负债和所有者权益总计", "3900000.00", "3625000.00", ""],
+    ]
+
+
+def _balance_rows(m: int, comma: bool, header: list[str]) -> tuple[list[list[str]], list[list[str]]]:
+    """Self-consistent full balance sheet split across two page-tables.
+
+    All three validation levels pass at 0.1% tolerance:
+    CA 1.8M·m + NCA 2.1M·m = assets 3.9M·m;
+    CL 0.5M·m + NCL 0.4M·m = liab 0.9M·m;
+    equity = 2.0M + 1.1M − 0.1M(减：库存股) = 3.0M·m; L&E = 3.9M·m.
+    """
+    def n(base: float) -> str:
+        return _num(base * m, comma)
+
+    def p(base: float) -> str:  # previous period: 90% of current
+        return _num(base * m * 0.9, comma)
+
+    part1 = [
+        header,
+        ["流动资产：", "", "", ""],
+        ["货币资金", n(1_000_000), p(1_000_000), "六、1"],
+        ["应收账款", n(500_000), p(500_000), "六、2"],
+        ["存货", n(300_000), p(300_000), "六、3"],
+        ["流动资产合计", n(1_800_000), p(1_800_000), ""],
+        ["非流动资产：", "", "", ""],
+        ["固定资产", n(2_000_000), p(2_000_000), "六、4"],
+        ["无形资产", n(100_000), p(100_000), "六、5"],
+        ["非流动资产合计", n(2_100_000), p(2_100_000), ""],
+        ["资产总计", n(3_900_000), p(3_900_000), ""],
+    ]
+    part2 = [
+        header,  # repeated page-break header → dropped by M2
+        ["流动负债：", "", "", ""],
+        ["短期借款", n(200_000), p(200_000), "六、6"],
+        ["应付账款", n(300_000), p(300_000), "六、7"],
+        ["流动负债合计", n(500_000), p(500_000), ""],
+        ["非流动负债：", "", "", ""],
+        ["长期借款", n(400_000), p(400_000), "六、8"],
+        ["非流动负债合计", n(400_000), p(400_000), ""],
+        ["负债合计", n(900_000), p(900_000), ""],
+        ["所有者权益：", "", "", ""],
+        ["实收资本", n(2_000_000), p(2_000_000), "六、9"],
+        ["未分配利润", n(1_100_000), p(1_100_000), "六、10"],
+        ["减：库存股", n(100_000), p(100_000), "六、11"],
+        ["所有者权益合计", n(3_000_000), p(3_000_000), ""],
+        ["负债和所有者权益总计", n(3_900_000), p(3_900_000), ""],
+    ]
+    return part1, part2
+
+
+def _income_rows(m: int, comma: bool) -> list[list[str]]:
+    def n(base: float) -> str:
+        return _num(base * m, comma)
+
+    def p(base: float) -> str:
+        return _num(base * m * 0.9, comma)
+
+    return [
+        ["项目", "本期发生额", "上期发生额", "附注"],
+        ["一、营业总收入", n(10_000_000), p(10_000_000), "七、1"],
+        ["其中：营业收入", n(10_000_000), p(10_000_000), ""],
+        ["二、营业总成本", n(7_500_000), p(7_500_000), ""],
+        ["营业成本", n(6_000_000), p(6_000_000), "七、2"],
+        ["税金及附加", n(100_000), p(100_000), ""],
+        ["销售费用", n(400_000), p(400_000), ""],
+        ["管理费用", n(300_000), p(300_000), ""],
+        ["研发费用", n(500_000), p(500_000), ""],
+        ["财务费用", n(200_000), p(200_000), ""],
+        ["三、营业利润", n(2_500_000), p(2_500_000), ""],
+        ["四、利润总额", n(2_500_000), p(2_500_000), ""],
+        ["减：所得税费用", n(500_000), p(500_000), ""],
+        ["五、净利润", n(2_000_000), p(2_000_000), ""],
+        ["归属于母公司股东的净利润", n(1_900_000), p(1_900_000), ""],
+        ["少数股东损益", n(100_000), p(100_000), ""],
+        ["六、其他综合收益的税后净额", n(50_000), p(50_000), ""],
+        ["七、综合收益总额", n(2_050_000), p(2_050_000), ""],
+        ["八、每股收益", "", "", ""],
+        ["基本每股收益", "1.23", "1.11", ""],
+        ["稀释每股收益", "1.20", "1.08", ""],
+    ]
+
+
+def _cash_flow_rows(m: int, comma: bool) -> list[list[str]]:
+    def n(base: float) -> str:
+        return _num(base * m, comma)
+
+    def p(base: float) -> str:
+        return _num(base * m * 0.9, comma)
+
+    return [
+        ["项目", "本期金额", "上期金额", "附注"],
+        ["一、经营活动产生的现金流量：", "", "", ""],
+        ["销售商品、提供劳务收到的现金", n(8_000_000), p(8_000_000), ""],
+        ["收到的税费返还", n(100_000), p(100_000), ""],
+        ["收到其他与经营活动有关的现金", n(200_000), p(200_000), ""],
+        ["经营活动现金流入小计", n(8_300_000), p(8_300_000), ""],
+        ["购买商品、接受劳务支付的现金", n(5_000_000), p(5_000_000), ""],
+        ["支付给职工以及为职工支付的现金", n(1_000_000), p(1_000_000), ""],
+        ["支付的各项税费", n(600_000), p(600_000), ""],
+        ["支付其他与经营活动有关的现金", n(200_000), p(200_000), ""],
+        ["经营活动现金流出小计", n(6_800_000), p(6_800_000), ""],
+        ["经营活动产生的现金流量净额", n(1_500_000), p(1_500_000), ""],
+        ["二、投资活动产生的现金流量：", "", "", ""],
+        ["收回投资收到的现金", n(500_000), p(500_000), ""],
+        ["投资活动现金流入小计", n(500_000), p(500_000), ""],
+        ["购建固定资产、无形资产和其他长期资产支付的现金", n(1_200_000), p(1_200_000), ""],
+        ["投资活动现金流出小计", n(1_200_000), p(1_200_000), ""],
+        ["投资活动产生的现金流量净额", _num(-700_000 * m, comma), _num(-700_000 * m * 0.9, comma), ""],
+        ["三、筹资活动产生的现金流量：", "", "", ""],
+        ["取得借款收到的现金", n(1_000_000), p(1_000_000), ""],
+        ["筹资活动现金流入小计", n(1_000_000), p(1_000_000), ""],
+        ["偿还债务支付的现金", n(800_000), p(800_000), ""],
+        ["分配股利、利润或偿付利息支付的现金", n(300_000), p(300_000), ""],
+        ["筹资活动现金流出小计", n(1_100_000), p(1_100_000), ""],
+        ["筹资活动产生的现金流量净额", _num(-100_000 * m, comma), _num(-100_000 * m * 0.9, comma), ""],
+        ["四、汇率变动对现金及现金等价物的影响", _num(-50_000 * m, comma), _num(-50_000 * m * 0.9, comma), ""],
+        ["五、现金及现金等价物净增加额", n(650_000), p(650_000), ""],
+        ["加：期初现金及现金等价物余额", n(1_000_000), p(1_000_000), ""],
+        ["六、期末现金及现金等价物余额", n(1_650_000), p(1_650_000), ""],
+    ]
+
+
+def _notes_pages(m: int, comma: bool) -> list[Page]:
+    """Two footnote pages per FIXTURES.md §6: L1/L2 grammar, tables
+    positioned between titles, numbering continuity across the break."""
+    def n(base: float) -> str:
+        return _num(base * m, comma)
+
+    t_cash = [["项目", "期末余额", "期初余额"],
+              ["库存现金", n(10_000), n(9_000)],
+              ["银行存款", n(990_000), n(891_000)]]
+    t_ar_class = [["类别", "账面余额"], ["单项计提", n(100_000)], ["组合计提", n(400_000)]]
+    t_ar_age = [["账龄", "金额"], ["1年以内", n(450_000)], ["1至2年", n(50_000)]]
+    t_inv = [["项目", "期末余额"], ["原材料", n(120_000)], ["库存商品", n(180_000)]]
+    page_a: Page = [
+        ("p", "七、合并财务报表项目注释"),
+        ("p", "1、 货币资金"),
+        ("p", "货币资金明细情况如下。"),
+        ("table", t_cash),
+        ("p", "2、 应收账款"),
+        ("p", "（1） 应收账款分类列示"),
+        ("table", t_ar_class),
+        ("p", "（2） 账龄分析"),
+        ("table", t_ar_age),
+    ]
+    page_b: Page = [
+        ("p", "3、 存货"),
+        ("p", "存货按类别列示如下。"),
+        ("table", t_inv),
+        ("p", "4、 其他说明"),
+        ("p", "无其他需要说明的重大事项。"),
+    ]
+    return [page_a, page_b]
+
+
+def _webtext_pages(i: int) -> list[Page]:
+    """Plain word-soup webtext (deterministic, no RNG state)."""
+    pages = []
+    for p in range(2):
+        lines = []
+        for ln in range(8):
+            k = (i * 31 + p * 7 + ln) % len(_WORDS)
+            words = [_WORDS[(k + j * 3) % len(_WORDS)] for j in range(12)]
+            lines.append(("p", " ".join(words)))
+        pages.append(lines)
+    return pages
+
+
+def doc_content(i: int) -> tuple[list[Page], str]:
+    """Logical content of document ``i`` → (pages, lang)."""
+    kind = i % 10
+    m = 1 + (i % 997)
+    comma = kind == 5
+    if kind in (6, 7):
+        return _webtext_pages(i), ("en" if kind == 6 else "es")
+    if kind == 8:
+        pages: list[Page] = [
+            [("p", f"示例公司{i:06d} 2024年年度报告")],
+            [("p", "合并资产负债表"), ("p", "编制单位：示例公司 单位：元"),
+             ("table", _fixture_a_rows())],
+            [("p", "母公司资产负债表"), ("table", _fixture_a_rows()[:6])],
+        ]
+        return pages, "zh"
+
+    header = [
+        ["项目", "本期末", "上期末", "附注"],
+        ["项目", "附注", "2024年12月31日", "2023年12月31日"],
+        ["项目", "期末余额", "年初余额", "附注"],
+        ["会计科目", "本期末", "上期末", "附注"],
+    ][i % 4]
+    part1, part2 = _balance_rows(m, comma, header)
+
+    pages = [
+        [("p", f"示例公司{i:06d} 2024年年度报告"), ("p", "第三节 财务报告")],
+        [("p", "合并资产负债表"), ("p", "编制单位：示例公司 单位：元"), ("table", part1)],
+    ]
+    if kind == 9:
+        # end marker and the parent-company marker inside ONE table → P4
+        # must split the table and cut rows at the marker.
+        merged = part2 + [["母公司资产负债表", "", "", ""], ["货币资金", "999999.00", "888888.00", ""]]
+        pages.append([("table", merged)])
+    else:
+        pages.append([("table", part2)])
+        pages.append([("p", "母公司资产负债表"), ("table", part1[:5])])
+    pages.append([("p", "合并利润表"), ("table", _income_rows(m, comma))])
+    pages.append([("p", "合并现金流量表"), ("table", _cash_flow_rows(m, comma))])
+    pages.extend(_notes_pages(m, comma))
+    return pages, "zh"
+
+
+# ---------------------------------------------------------------------------
+# Rendering: blocks → extracted-text oracle, and blocks → HTML.
+# The TEXT SPEC (the per-row byte-identity invariant): per page, each
+# paragraph is one line; each table row is one line of cells joined by
+# tabs; lines joined by '\n'; pages joined by '\n'.
+# ---------------------------------------------------------------------------
+
+def render_text(pages: list[Page]) -> str:
+    lines: list[str] = []
+    for page in pages:
+        for kind, payload in page:
+            if kind == "p":
+                lines.append(payload)
+            else:
+                for row in payload:
+                    lines.append("\t".join(row))
+    return "\n".join(lines)
+
+
+_BOILER_HEAD = (
+    "<html><head><title>annual report</title>"
+    "<style>body{font:12px serif}</style>"
+    "<script>var tracker=1;</script></head><body>"
+    "<nav><ul><li>首页</li><li>公告</li><li>关于</li></ul></nav>"
+    "<header><h1>SiteBanner 年报披露平台</h1></header><main>"
+)
+_BOILER_TAIL = (
+    "</main><aside>广告位 advertisement</aside>"
+    "<footer>© 2024 annual-report-mirror — legal — privacy</footer>"
+    "<script>console.log('x')</script></body></html>"
+)
+
+
+def render_html(pages: list[Page]) -> str:
+    parts = [_BOILER_HEAD]
+    for page in pages:
+        parts.append('<div class="page">')
+        for kind, payload in page:
+            if kind == "p":
+                parts.append(f"<p>{_html.escape(payload)}</p>")
+            else:
+                parts.append("<table>")
+                for row in payload:
+                    parts.append(
+                        "<tr>" + "".join(f"<td>{_html.escape(c)}</td>" for c in row) + "</tr>"
+                    )
+                parts.append("</table>")
+        parts.append("</div>")
+    parts.append(_BOILER_TAIL)
+    return "".join(parts)
+
+
+def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
+    pages, lang = doc_content(i)
+    url = f"https://reports.example.com/{i % 97:02d}/doc{i:08d}.html"
+    warc_ts = _EPOCH + dt.timedelta(seconds=i % 86_400)
+    html_s = render_html(pages)
+    return url, warc_ts, html_s.encode("utf-8"), render_text(pages), lang
+
+
+def pages_df(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Distributed corpus build: spark.range → mapInPandas (no driver loop).
+
+    At real scale this is the Iceberg ``pages`` table scan; here the
+    generator plays the table. Partition count controls source
+    parallelism the same way input splits would.
+    """
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [make_doc(int(i)) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def write_corpus(spark: SparkSession, n_docs: int, path: str) -> None:
+    pages_df(spark, n_docs).write.mode("overwrite").parquet(path)

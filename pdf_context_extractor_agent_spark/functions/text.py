@@ -1,0 +1,64 @@
+"""Text/number column expressions shared by the operators.
+
+Everything here compiles to Catalyst expressions (whole-stage codegen);
+no Python runs per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..patterns import HEADER_KEYWORD_PAIRS
+
+
+def rlike_any(col: Column, patterns: list[str]) -> Column:
+    """OR-fold of rlike over a literal pattern bank (constant-folded)."""
+    out = F.lit(False)
+    for p in patterns:
+        out = out | col.rlike(p)
+    return out
+
+
+def clean_cells(cells: Column) -> Column:
+    """M3 cell cleaning (reference table_extractor.py:336-347):
+    null→'', strip, collapse internal whitespace runs to one space."""
+    return F.transform(
+        cells, lambda c: F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
+    )
+
+
+def joined_row_text(cells: Column) -> Column:
+    """All cells (null→'') joined by spaces — the reference's row/table
+    text used for boundary and header checks (table_extractor.py:216,242,303)."""
+    return F.array_join(F.transform(cells, lambda c: F.coalesce(c, F.lit(""))), " ")
+
+
+def nonempty_row_text(cells: Column) -> Column:
+    """Only truthy cells joined by spaces (identifier.py:293)."""
+    return F.array_join(F.filter(cells, lambda c: F.coalesce(c, F.lit("")) != ""), " ")
+
+
+def is_header_row(cells: Column) -> Column:
+    """M2 duplicate-header predicate: any keyword *pair* both contained
+    in the joined row text (table_extractor.py:306-310)."""
+    txt = joined_row_text(cells)
+    out = F.lit(False)
+    for a, b in HEADER_KEYWORD_PAIRS:
+        out = out | (txt.contains(a) & txt.contains(b))
+    return out
+
+
+def name_from_cell(cell: Column) -> Column:
+    """Item-name cleanup: drop CR/LF then strip (identifier.py:195-196,
+    base_statement_parser.py:189-190)."""
+    return F.trim(F.regexp_replace(F.coalesce(cell, F.lit("")), r"[\n\r]", ""))
+
+
+def to_num(value: Column) -> Column:
+    """V14 numeric coercion (balance_sheet.py:808-829): keep only
+    ``[0-9.\\-]``, cast to double, '-'/'--' and empties → null."""
+    cleaned = F.regexp_replace(F.coalesce(value, F.lit("")), r"[^0-9.\-]", "")
+    return F.when(
+        (cleaned == "") | cleaned.isin("-", "--"), F.lit(None).cast("double")
+    ).otherwise(cleaned.try_cast("double"))

@@ -1,0 +1,245 @@
+"""HTML → page layout kernel.
+
+Plays the role of the reference's PDF layer: where the reference calls
+``page.extract_text() / extract_tables() / find_tables() / extract_words()``
+(reference: src/pdf_reader.py:61-100; src/parsers/batch_notes_extractor.py:
+454-517), this kernel parses the ``html binary`` column and emits, per
+page: the main-content text, text lines with layout Y positions, and
+tables with Y extents — everything downstream needs, produced once.
+
+Determinism: boilerplate subtrees (nav/header/footer/aside/script/style
+and class-hinted wrappers) are dropped; each block-level element yields
+one line; table rows yield one line of tab-joined cells; Y advances a
+fixed 12.0 per line (a layout engine resolving reading order — no float
+nondeterminism). The extracted doc text (pages joined by '\n') is the
+byte-identity invariant against the corpus ``text`` column.
+
+Runs as ``mapInPandas`` (Arrow batches, zero per-row Python outside the
+kernel); the binary column is pruned away immediately after.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINE_HEIGHT = 12.0
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("page_text", T.StringType(), True),
+        T.StructField(
+            "lines",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("y", T.DoubleType()), T.StructField("text", T.StringType())]
+                )
+            ),
+        ),
+        T.StructField(
+            "tables",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("table_idx", T.IntegerType()),
+                        T.StructField("y_top", T.DoubleType()),
+                        T.StructField("y_bottom", T.DoubleType()),
+                        T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_SKIP_TAGS = {"script", "style", "nav", "footer", "aside", "header", "noscript", "iframe", "head"}
+_SKIP_CLASS_HINTS = ("nav", "footer", "menu", "sidebar", "banner", "advert", "cookie")
+_TEXT_TAGS = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre", "span", "a", "b", "i", "em", "strong"}
+_VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"}
+
+
+def _norm(s: str) -> str:
+    """Collapse whitespace runs to single spaces and strip."""
+    return " ".join(s.split())
+
+
+class _LayoutParser(HTMLParser):
+    """Single-pass DOM-less layout walk (stdlib only, fully deterministic)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_stack: list[str] = []
+        self.pages: list[list[tuple]] = []          # list of block lists
+        self._blocks: list[tuple] | None = None     # current page blocks
+        self._pre_page: list[tuple] = []            # content before any page div
+        self._saw_page_div = False
+        self._buf: list[str] | None = None          # paragraph text buffer
+        self._table: list[list[str]] | None = None
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+
+    # -- helpers ---------------------------------------------------------
+    def _target(self) -> list[tuple]:
+        return self._blocks if self._blocks is not None else self._pre_page
+
+    def _flush_buf(self) -> None:
+        if self._buf is not None:
+            text = _norm("".join(self._buf))
+            if text:
+                self._target().append(("p", text))
+            self._buf = None
+
+    # -- HTMLParser hooks --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if self._skip_stack:
+            if tag not in _VOID_TAGS:
+                self._skip_stack.append(tag)
+            return
+        cls = next((v or "" for k, v in attrs if k == "class"), "")
+        if tag in _SKIP_TAGS or any(h in cls.lower() for h in _SKIP_CLASS_HINTS if h != "page"):
+            self._skip_stack.append(tag)
+            return
+        if tag == "div" and "page" in cls.split():
+            self._flush_buf()
+            if self._blocks is not None:
+                self.pages.append(self._blocks)
+            self._blocks = []
+            self._saw_page_div = True
+            return
+        if tag == "table":
+            self._flush_buf()
+            self._table = []
+        elif tag == "tr" and self._table is not None:
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+        elif tag in _TEXT_TAGS and self._table is None:
+            if tag in ("p", "li", "blockquote", "pre") or tag.startswith("h"):
+                self._flush_buf()
+                self._buf = []
+        elif tag == "br" and self._buf is not None:
+            self._buf.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._skip_stack:
+            if tag == self._skip_stack[-1]:
+                self._skip_stack.pop()
+            return
+        if tag in ("td", "th") and self._cell is not None:
+            self._row.append(_norm("".join(self._cell)))
+            self._cell = None
+        elif tag == "tr" and self._row is not None:
+            self._table.append(self._row)
+            self._row = None
+        elif tag == "table" and self._table is not None:
+            self._target().append(("table", self._table))
+            self._table = None
+        elif tag in ("p", "li", "blockquote", "pre") or (len(tag) == 2 and tag[0] == "h"):
+            self._flush_buf()
+        elif tag == "div" and self._blocks is not None and self._saw_page_div:
+            # a page div may close; further content goes to pre_page of next
+            pass
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_stack:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+        elif self._buf is not None:
+            self._buf.append(data)
+        elif data.strip() and self._table is None:
+            # bare text outside any paragraph → its own line
+            self._target().append(("p", _norm(data)))
+
+    def result(self) -> list[list[tuple]]:
+        self._flush_buf()
+        if self._blocks is not None:
+            self.pages.append(self._blocks)
+        if self._pre_page:
+            # content outside page divs becomes a leading page (or the
+            # only page for documents without explicit page structure)
+            self.pages.insert(0, self._pre_page)
+        return self.pages
+
+
+def parse_html_doc(html_bytes: bytes) -> list[dict]:
+    """binary → per-page structs (pure function; unit-testable off-Spark)."""
+    parser = _LayoutParser()
+    parser.feed(html_bytes.decode("utf-8", errors="replace"))
+    out = []
+    for page_no, blocks in enumerate(parser.result(), start=1):
+        lines: list[tuple[float, str]] = []
+        tables: list[tuple[int, float, float, list[list[str]]]] = []
+        y = 0.0
+        for kind, payload in blocks:
+            if kind == "p":
+                lines.append((y, payload))
+                y += LINE_HEIGHT
+            else:
+                y_top = y
+                for row in payload:
+                    lines.append((y, "\t".join(row)))
+                    y += LINE_HEIGHT
+                tables.append((len(tables), y_top, y, payload))
+        out.append(
+            {
+                "page": page_no,
+                "page_text": "\n".join(t for _, t in lines),
+                "lines": lines,
+                "tables": tables,
+            }
+        )
+    return out
+
+
+def extract_pages(pages_tbl: DataFrame) -> DataFrame:
+    """(url, …, html, …) → one row per page with text/lines/tables.
+
+    Only (url, html) are shipped into Python — Catalyst prunes the rest
+    at the scan. Repartition/salting happens upstream (sources.pages).
+    """
+    src = pages_tbl.select("url", "html")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for url, blob in zip(b["url"], b["html"]):
+                for p in parse_html_doc(bytes(blob)):
+                    rows.append(
+                        (url, p["page"], p["page_text"], p["lines"], p["tables"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "page", "page_text", "lines", "tables"]
+            )
+
+    return src.mapInPandas(kernel, schema=PAGE_SCHEMA)
+
+
+def extracted_text(page_df: DataFrame) -> DataFrame:
+    """Reassemble per-url main-content text (the byte-identity surface).
+
+    Pure relational: ordered collect over the page window, no shuffle
+    beyond the one groupBy — and that aggregation is partial-aggregated
+    map-side by Catalyst.
+    """
+    return (
+        page_df.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("page"), F.col("page_text")))
+                    ),
+                    lambda s: s["page_text"],
+                ),
+                "\n",
+            ).alias("extracted_text")
+        )
+    )

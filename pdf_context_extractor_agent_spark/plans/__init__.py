@@ -1,0 +1,8 @@
+"""Assembled end-to-end plans (the reference's entry points, SURVEY §3)."""
+
+from .extract import (  # noqa: F401
+    extraction_result,
+    parse_balance_via_boundary,
+    parse_statements,
+    statement_rows,
+)

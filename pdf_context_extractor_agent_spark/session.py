@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local mode stands in for a multi-executor cluster; every knob here is
+chosen so the same plan shape survives a 1000-executor deployment:
+AQE for runtime skew handling, Arrow for the kernel boundary, shuffle
+partition count sized to the parallelism level rather than the default
+200 (which would produce tiny partitions at test scale and would be
+retuned upward — not off — on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pdf_context_extractor_agent_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session with scale-aware defaults.
+
+    ``cores=None`` uses ``$SPARK_GRAFT_CPUS`` (default 32). On a real
+    cluster the master/deploy settings come from spark-submit and the
+    builder silently inherits them; everything set here is
+    cluster-size-independent except ``shuffle.partitions`` which should
+    be ~2-3x total cores in production.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # broadcast threshold: the pattern/anchor dimension tables are
+        # a few KB; the default 10MB is fine, stated here for intent.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the two-parallelism bench)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,39 @@
+"""Pages-table source: Iceberg-or-parquet scan + skew-salted repartition.
+
+The production table is Iceberg (north_rule); this sandbox has no
+Iceberg catalog jar, so the reader falls back to parquet transparently —
+the DataFrame shape and every downstream plan are identical. Column
+pruning at this scan is the single most important scale property: a
+stage that needs only ``text`` must never read the ``html`` binary
+(SURVEY.md §4), which both formats guarantee for columnar reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Read the (url, warc_ts, html, text, lang) table."""
+    if "/" not in path_or_table:
+        return spark.read.table(path_or_table)
+    try:
+        return spark.read.format("iceberg").load(path_or_table)
+    except Exception:
+        return spark.read.parquet(path_or_table)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Skew guard for the layout kernel (SURVEY.md §4 item 1).
+
+    Documents are uneven (a 500-page annual report vs a 1-page note);
+    hashing on raw url would put hot keys wherever the table's file
+    layout left them. ``xxhash64(url)`` gives a uniform shuffle key; at
+    10^12 rows you'd add a per-doc page-split before the kernel and
+    reassemble with a window — page-level decomposition is semantics
+    preserving (the reference loops per page: table_extractor.py:46-63).
+    """
+    if num_partitions:
+        return df.repartition(num_partitions, F.xxhash64("url"))
+    return df.repartition(F.xxhash64("url"))
