@@ -94,12 +94,21 @@ def extract_notes(page_df: DataFrame) -> DataFrame:
     )
 
     def _assign(notes: DataFrame, lo: str, hi: str) -> DataFrame:
-        """N6 interval join: table belongs to note iff lo ≤ y_top < hi."""
-        j = notes.join(tables, ["url", "page"], "left").filter(
-            F.col("y_top").isNull()
-            | ((F.col("y_top") >= F.col(lo)) & (F.col(hi).isNull() | (F.col("y_top") < F.col(hi))))
+        """N6 interval join: table belongs to note iff lo ≤ y_top < hi.
+
+        LEFT join with the interval predicate IN the join condition so a
+        note whose interval holds no tables still survives (empty list).
+        """
+        t = tables.select(
+            F.col("url").alias("t_url"), F.col("page").alias("t_page"), "y_top", "rows"
         )
-        return j.groupBy(*[c for c in notes.columns]).agg(
+        cond = (
+            (notes["url"] == t["t_url"]) & (notes["page"] == t["t_page"])
+            & (t["y_top"] >= notes[lo])
+            & (notes[hi].isNull() | (t["y_top"] < notes[hi]))
+        )
+        j = notes.join(t, cond, "left")
+        return j.groupBy(*[notes[c] for c in notes.columns]).agg(
             F.array_sort(
                 F.collect_list(F.when(F.col("y_top").isNotNull(), F.struct("y_top", "rows")))
             ).alias("_ts"),

@@ -1,0 +1,60 @@
+"""N2-N8 notes pipeline tests against the FIXTURES.md §6 golden pages."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_context_extractor_agent_spark.operators.notes import extract_notes, notes_continuity
+
+
+@pytest.fixture(scope="module")
+def doc0_notes(spark, page_df):
+    notes = extract_notes(page_df).filter(F.col("url").contains("doc00000000"))
+    return notes.orderBy("page", "y").collect()
+
+
+def test_title_grammar_and_hierarchy(doc0_notes):
+    got = [(n.page, n.number, n.level, n.title) for n in doc0_notes]
+    assert got == [
+        (7, "1", 1, "货币资金"),
+        (7, "2", 1, "应收账款"),
+        (7, "1", 2, "应收账款分类列示"),
+        (7, "2", 2, "账龄分析"),
+        (8, "3", 1, "存货"),
+        (8, "4", 1, "其他说明"),
+    ]
+
+
+def test_positional_table_assignment(doc0_notes):
+    """N6: parent with children gets NO tables; children and childless
+    L1 notes each own the tables inside their Y interval
+    (batch_notes_extractor.py:324-343, 519-556)."""
+    by_key = {(n.number, n.level): n for n in doc0_notes}
+    assert by_key[("1", 1)].table_count == 1      # childless L1
+    assert by_key[("2", 1)].table_count == 0      # parent of two L2
+    assert not by_key[("2", 1)].has_table
+    assert by_key[("1", 2)].table_count == 1
+    assert by_key[("2", 2)].table_count == 1
+    assert by_key[("3", 1)].table_count == 1
+    # table contents flow through as rows×cells
+    t = by_key[("1", 2)].tables[0]
+    assert t[0] == ["类别", "账面余额"]
+
+
+def test_note_text_slice(doc0_notes):
+    """N7: next ≤10 lines after the title (the reference ignores the
+    next-title bound — reproduced faithfully)."""
+    n1 = next(n for n in doc0_notes if (n.number, n.level) == ("1", 1))
+    lines = n1.text.split("\n")
+    assert lines[0] == "货币资金明细情况如下。"
+    assert len(lines) <= 10
+
+
+def test_continuity_across_pages(spark, page_df):
+    """N8: first L1 number on page p+1 == last on page p + 1."""
+    cont = notes_continuity(extract_notes(page_df))
+    rows = cont.filter(F.col("url").contains("doc00000000")).orderBy("page").collect()
+    assert [(r.first_num, r.last_num, r.continuity_ok) for r in rows] == [
+        (1, 2, True),
+        (3, 4, True),
+    ]
+    assert cont.filter(~F.col("continuity_ok")).count() == 0
