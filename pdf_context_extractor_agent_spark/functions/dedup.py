@@ -1,0 +1,220 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, each with a distinct scale profile:
+
+* exact        — hash-groupBy; one shuffle on the digest, first-wins.
+* MinHash+LSH  — shingle→minhash→band→bucket-join; candidate pairs are
+                 verified with exact Jaccard. The only all-pairs work
+                 happens INSIDE buckets (the LSH contract).
+* SimHash      — 64-bit sign-aggregated word hashes; near-dups share
+                 bands of the fingerprint.
+* embedding    — cosine near-dup over `array<float>` (see similarity.py
+                 for the ANN path).
+
+Everything is built-in column algebra: shingling is `split`+`transform`+
+`sequence`, hashing is `xxhash64`/`md5`, signatures are `groupBy(min)`,
+banding is `substring`/bit-slicing, bucket joins are plain equi-joins
+(AQE handles bucket skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per normalized-text digest.
+
+    One shuffle on the 128-bit digest; at 10^12 rows this is the
+    canonical first pass (the digest column is 16 bytes vs KBs of text,
+    so the shuffle moves ~1% of the corpus volume).
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("_rn") > 1)
+        .withColumn("keep_id", F.first(id_col).over(w))
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (posexplode over a
+    sliding window expressed with `sequence` + `slice`)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc: for k seeds, min over shingles of
+    ``xxhash64(shingle, seed_k)``. One groupBy, k partial-aggregated
+    mins — no per-row Python, no all-pairs anything."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + k))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band.
+
+    rows = bands × docs; the self-join is an equi-join on
+    (band_idx, band_hash) so only same-bucket docs ever meet. Output is
+    distinct unordered candidate pairs (a < b).
+    """
+    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    band_structs = []
+    for b in range(bands):
+        members = [F.col(c) for c in mh_cols[b * rows_per_band:(b + 1) * rows_per_band]]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.xxhash64(*members).alias("band_hash"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs (the verify step
+    after LSH): |A∩B| / |A∪B| via two semi-joins on the shingle table."""
+    a = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_a"))
+    b = a.select(F.col("doc_id").alias("doc_id_b"), F.col("sh_a").alias("sh_b"))
+    j = (
+        pairs.join(a, pairs["doc_a"] == a["doc_id"])
+        .join(b, pairs["doc_b"] == b["doc_id_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.withColumn("is_near_dup", F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full shingle→minhash→band→bucket-join→verify pipeline → verified
+    near-duplicate pairs."""
+    sh = shingles(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return jaccard_verify(cands, sh, threshold).filter(F.col("is_near_dup"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per word-hash bit, sum ±1 across the doc's words;
+    fingerprint bit b is 1 iff the sum is positive.
+
+    Expressed as one explode + 64 conditional sums (partial-aggregated
+    map-side; the shuffle carries 64 longs per doc).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
+    ).withColumn("wh", F.xxhash64("word"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = words.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))).otherwise(0)
+    return sums.select("doc_id", fp.alias("simhash64"))
+
+
+def simhash_near_dups(fps: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Candidate pairs sharing any 16-bit band of the fingerprint, with
+    exact Hamming distance via bit_count(xor)."""
+    bands = []
+    for b in range(64 // band_bits):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash64"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
+            )
+        )
+    banded = fps.select(
+        "doc_id", "simhash64", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "simhash64", "band.band_idx", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash64").bitwiseXOR(F.col("r.simhash64"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard without LSH (small-scope exact variant)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit pair list (doc_a, doc_b)."""
+    sh = shingles(docs, id_col, text_col, n)
+    return jaccard_verify(pairs, sh, threshold=0.0).drop("is_near_dup")

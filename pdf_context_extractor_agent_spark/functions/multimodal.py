@@ -1,0 +1,137 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` + typed
+metadata, processed by Arrow-batched kernels.
+
+The container has no image/audio codecs, so the DECODE step is stubbed:
+real codec libraries are probed with an import-try and, when absent, a
+clearly-marked deterministic fake decoder handles the self-describing
+FAKE container format produced by :func:`make_fake_image`. Everything
+AROUND the decode — schemas, mapInPandas batch shapes, partitioning,
+feature extraction on the decoded buffer — is real and tested, so
+swapping in Pillow/ffmpeg on a production image is a one-function
+change inside the kernel.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frames", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.DoubleType())),  # 8 bins
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def make_fake_image(media_id: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic FAKE image container: magic + dims + row-major
+    uint8 pixels derived from (id, x, y)."""
+    px = bytes(((media_id * 31 + x * 7 + y * 13) % 256) for y in range(height) for x in range(width))
+    return _MAGIC + struct.pack("<II", width, height) + px
+
+
+def _decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode step. Real codecs would branch on mime here."""
+    if payload[:8] == _MAGIC:
+        w, h = struct.unpack("<II", payload[8:16])
+        arr = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8).reshape(h, w)
+        return w, h, arr
+    if _HAS_PIL:  # pragma: no cover
+        raise NotImplementedError("real-codec path: wire PIL.Image.open here")
+    raise NotImplementedError(
+        "no codec available for this payload (container lacks image libs; "
+        "only the FAKEIMG1 self-describing format is decodable)"
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """binary → (dims, mean intensity, 8-bin histogram) via mapInPandas.
+
+    The kernel is pure numpy over the Arrow batch; the histogram is the
+    stand-in for any per-image feature extractor (embedding model,
+    perceptual hash, …).
+    """
+    src = media.select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, arr = _decode(bytes(payload))
+                hist = np.histogram(arr, bins=8, range=(0, 256))[0]
+                rows.append(
+                    (int(mid), w, h, float(arr.mean()), (hist / hist.sum()).tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_intensity", "histogram"]
+            )
+
+    return src.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize inside the kernel, re-encoded to the same
+    container (the shuffle-free map shape of any batch transcode)."""
+    src = media.select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, arr = _decode(bytes(payload))
+                ys = (np.arange(out_h) * h // out_h)
+                xs = (np.arange(out_w) * w // out_w)
+                small = arr[np.ix_(ys, xs)]
+                blob = _MAGIC + struct.pack("<II", out_w, out_h) + small.tobytes()
+                rows.append((int(mid), blob))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return src.mapInPandas(kernel, schema="media_id long, payload binary")
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-style frame sampling: treat payload rows as frames, keep
+    every Nth — the explode/filter shape of real frame extraction."""
+    src = media.select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, arr = _decode(bytes(payload))
+                for f in range(0, h, every_n):
+                    rows.append((int(mid), f, bytes(arr[f].tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return src.mapInPandas(kernel, schema="media_id long, frame_idx int, frame binary")

@@ -1,0 +1,97 @@
+"""Text analysis for training-data pipelines over the ``documents``
+table: language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure `pyspark.sql.functions` — every expression has
+an exact ANSI-SQL twin used as the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker-word banks for the n-gram language heuristic (tiny, broadcast
+# as literals inside the expression; counts are whole-word regex hits)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+EN_STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "that", "it", "on"]
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """Whole-word occurrence count of any marker word."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text, F.lit(pat))
+
+
+def cjk_char_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[一-鿿]"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker density (hits per token)."""
+    tokens = F.greatest(F.size(F.split(F.trim(text), r"\s+")), F.lit(1))
+    out = {lang: _marker_hits(text, ws) / tokens for lang, ws in LANG_MARKERS.items()}
+    out["zh"] = cjk_char_count(text) / F.greatest(F.length(text), F.lit(1))
+    return out
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax marker density (deterministic
+    tie-break by language name)."""
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    best = F.array_max(pairs)
+    return docs.withColumn("lang_pred", best["lang"]).withColumn("lang_score", best["score"])
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio / word-length features and
+    a composite quality score (heuristics in the spirit of C4/Gopher
+    text-quality rules, computed fully JVM-side)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_stop = _marker_hits(t, EN_STOPWORDS)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.when(n_words >= 50, F.lit(0.4)).otherwise(n_words / F.lit(125.0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 2, F.lit(0.3))
+    )
+    return (
+        docs.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    return docs.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(t), r"\s+"))
+    ).withColumn("re_tokens", F.regexp_count(t, F.lit(TOKEN_REGEX)))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase
+    text (the exact-dedup key), plus a 64-bit prefix for compact joins."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm)
+    return docs.withColumn("fp_md5", fp).withColumn(
+        "fp64", F.conv(F.substring(fp, 1, 16), 16, 10).cast("decimal(20,0)")
+    )

