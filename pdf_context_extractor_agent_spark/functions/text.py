@@ -55,6 +55,22 @@ def name_from_cell(cell: Column) -> Column:
     return F.trim(F.regexp_replace(F.coalesce(cell, F.lit("")), r"[\n\r]", ""))
 
 
+def matched_pattern_ids(col: Column, patterns: list[tuple[int, str]]) -> Column:
+    """Array of pattern ids whose LITERAL regex matches ``col``.
+
+    The scale-critical trick behind every pattern-bank join: joining on
+    ``rlike(pattern_column)`` forces a broadcast nested-loop join that
+    recompiles each regex per row-pair. Because the banks are constants
+    known at plan time, we instead emit one codegen'd ``rlike`` per
+    literal pattern (compiled once per task), collect the matching ids,
+    explode, and equi-join the tiny id→metadata dimension — same
+    result, hash join instead of nested loop.
+    """
+    return F.array_compact(
+        F.array(*[F.when(col.rlike(p), F.lit(i)) for i, p in patterns])
+    )
+
+
 def to_num(value: Column) -> Column:
     """V14 numeric coercion (balance_sheet.py:808-829): keep only
     ``[0-9.\\-]``, cast to double, '-'/'--' and empties → null."""

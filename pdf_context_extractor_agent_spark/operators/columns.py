@@ -222,23 +222,42 @@ def header_maps(header_rows: DataFrame) -> DataFrame:
 
 
 def extract_items(ranged_rows: DataFrame) -> DataFrame:
-    """Per-row extraction over rows already joined with their header map.
+    """Per-row extraction over rows carrying their header row's cells.
 
-    Input: (url, statement_type, row_idx, cells, item_col, cur_col,
-    prev_col, note_col). Output drops rows with empty item names — the
-    reference ``continue``s on them (balance_sheet.py:207-208).
+    Input: (url, statement_type, row_idx, cells, header_cells) where
+    ``header_cells`` is null when no valid header exists → the reference
+    default header map (item col 0, everything else dynamic —
+    base_statement_parser.py:81-93). Header analysis (C1-C3) runs once
+    per distinct header inside the kernel (memoized per batch), so the
+    standalone header stage disappears from the plan.
+
+    Output drops rows with empty item names — the reference
+    ``continue``s on them (balance_sheet.py:207-208).
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[tuple, tuple] = {}
+
+        def header_map(hdr) -> tuple:
+            if hdr is None:
+                return (0, None, None, None)
+            key = tuple(hdr)
+            if key not in memo:
+                m = analyze_columns(list(hdr))
+                memo[key] = (
+                    m.get("item_name", 0),
+                    m.get("current_period"),
+                    m.get("previous_period"),
+                    m.get("note"),
+                )
+            return memo[key]
+
         for b in batches:
             recs = []
-            for url, stmt, ridx, cells, ic, cc, pc, nc in zip(
-                b["url"], b["statement_type"], b["row_idx"], b["cells"],
-                b["item_col"], b["cur_col"], b["prev_col"], b["note_col"],
+            for url, stmt, ridx, cells, hdr in zip(
+                b["url"], b["statement_type"], b["row_idx"], b["cells"], b["header_cells"]
             ):
-                def _i(v):
-                    return None if pd.isna(v) else int(v)
-
-                name, cur, prev, note = extract_row(list(cells), _i(ic), _i(cc), _i(pc), _i(nc))
+                ic, cc, pc, nc = header_map(hdr)
+                name, cur, prev, note = extract_row(list(cells), ic, cc, pc, nc)
                 if name:
                     recs.append((url, stmt, int(ridx), name, cur, prev, note))
             yield pd.DataFrame(

@@ -3,10 +3,10 @@
 Reference: the per-row pattern-dictionary walk in
 src/parsers/balance_sheet.py:217-318 (+ totals :320-427) and the clones
 in income_statement.py:235-271 / cash_flow.py:202-238. There the winner
-is determined by dict iteration order; here it is an explicit
-``row_number()`` over ``(cat_ord, std_ord, pat_ord)`` after a broadcast
-join of item rows against the unified pattern bank — the load-bearing
-ordering (SURVEY.md §7 risk 2: 其中：优先股 lives in both non-current
+is determined by dict iteration order; here the ordering is encoded in
+the pattern ids themselves (patterns.item_pid_ranges) so the winner is
+an ``array_min`` over literal-regex matches — the load-bearing ordering
+(SURVEY.md §7 risk 2: 其中：优先股 lives in both non-current
 liabilities and equity) is data, not code.
 """
 
@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..patterns import item_pattern_df
+from ..functions.text import matched_pattern_ids
+from ..patterns import item_pattern_df, item_pattern_list, item_pid_ranges
 
 
 def match_items(items: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
@@ -32,27 +33,37 @@ def match_items(items: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
     * ``unmatched`` — anti-join remainder with row indices
       (balance_sheet.py:268-272).
     """
-    pat = F.broadcast(item_pattern_df(spark)).withColumnRenamed(
-        "statement_type", "p_stmt"
-    )
+    pat = F.broadcast(item_pattern_df(spark).drop("statement_type"))
 
-    j = items.join(
-        pat,
-        (items["statement_type"] == pat["p_stmt"]) & F.expr("item_name rlike pattern"),
-        "inner",
-    ).drop("p_stmt")
-
-    # J1 winner: first (category, standard, pattern) in reference order
-    w_row = Window.partitionBy("url", "statement_type", "row_idx").orderBy(
-        "cat_ord", "std_ord", "pat_ord"
+    # J1 winner with ZERO shuffle: every bank regex is evaluated as a
+    # literal (compiled once per task by codegen); pids are assigned in
+    # (statement, cat_ord, std_ord, pat_ord) order, so the minimum
+    # matching pid inside the row's statement range IS the reference's
+    # first-match winner. One narrow projection + one broadcast
+    # equi-join on pid — no explode, no window, no anti-join.
+    ranges = item_pid_ranges()
+    lo = F.lit(None).cast("int")
+    hi = F.lit(None).cast("int")
+    for stmt, (a, b) in ranges.items():
+        lo = F.when(F.col("statement_type") == stmt, F.lit(a)).otherwise(lo)
+        hi = F.when(F.col("statement_type") == stmt, F.lit(b)).otherwise(hi)
+    arr = matched_pattern_ids(F.col("item_name"), item_pattern_list())
+    with_pid = items.withColumn(
+        "pid", F.array_min(F.filter(arr, lambda p: (p >= lo) & (p <= hi)))
     )
-    winners = j.withColumn("_rn", F.row_number().over(w_row)).filter(F.col("_rn") == 1).drop("_rn")
+    winners = with_pid.filter(F.col("pid").isNotNull()).join(pat, "pid")
+    unmatched_rows = with_pid.filter(F.col("pid").isNull()).select(
+        "url", "statement_type", "row_idx", "item_name",
+        "current_period", "previous_period", "note",
+    )
 
     # J2 first-occurrence dedup per storage slot (totals overwrite instead)
     w_slot = Window.partitionBy("url", "statement_type", "section_path", "standard_name").orderBy(
         "row_idx"
     )
-    winners = winners.withColumn("_occ", F.row_number().over(w_slot))
+    # four consumers (parsed/slots/matched/unmatched) read the winner
+    # set; persist so the broadcast join + windows run once
+    winners = winners.withColumn("_occ", F.row_number().over(w_slot)).persist()
 
     parsed = (
         winners.filter(F.col("is_total") | (F.col("_occ") == 1))
@@ -90,9 +101,5 @@ def match_items(items: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
     )
 
     matched = winners.select("url", "statement_type", "row_idx")
-    unmatched = items.join(
-        matched, ["url", "statement_type", "row_idx"], "left_anti"
-    ).select("url", "statement_type", "row_idx", "item_name",
-             "current_period", "previous_period", "note")
 
-    return {"parsed": parsed, "slots": slots, "matched": matched, "unmatched": unmatched}
+    return {"parsed": parsed, "slots": slots, "matched": matched, "unmatched": unmatched_rows}

@@ -1,25 +1,30 @@
 """SI1-SI4: statement structure identification.
 
 Reference: src/parsers/statement_structure_identifier.py:103-372.
-Anchors become a broadcast dimension table; "find the first row matching
-each anchor" is a groupBy-min; header/end location are windowed range
-scans. All three statement types resolve in ONE pass over the rows —
-the reference runs three parser objects, we run one plan keyed by
-``statement_type``.
+
+Single-pass design: one projection evaluates every anchor/end regex as
+a LITERAL (codegen compiles each once per task) and emits per-row hit
+structs; ONE groupBy(url, statement_type) collects them; a second tiny
+groupBy(url) carries max-row + header-candidate rows. Everything else —
+completeness, canonical-order check, header/end location with their
+lookback/lookahead windows and fallbacks — is pure array-expression
+arithmetic on the collected hit lists (≤ a few dozen entries per doc).
+Two shuffles total for all three statement types; compare the
+reference's three parser objects × per-row Python scans.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import name_from_cell, nonempty_row_text, rlike_any
+from ..functions import name_from_cell, nonempty_row_text
 from ..patterns import (
     HEADER_ALSO_MATCH,
     HEADER_MUST_MATCH,
+    _ANCHOR_SPEC,
     STATEMENT_END_PATTERNS,
     anchor_counts,
-    anchor_df,
 )
 
 HEADER_LOOKBACK = 20   # identifier.py:282
@@ -27,18 +32,44 @@ END_LOOKAHEAD = 50     # identifier.py:347
 END_FALLBACK = 30      # identifier.py:370
 
 
-def _row_names(clean_rows: DataFrame) -> DataFrame:
-    """Candidate item names from columns 0 and 1 (identifier.py:191-199)."""
-    return clean_rows.select(
-        "url",
-        "row_idx",
-        F.explode(
-            F.array(
-                name_from_cell(F.element_at(F.col("cells"), 1)),
-                name_from_cell(F.element_at(F.col("cells"), 2)),
+def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...]) -> Column:
+    """Per-row array of anchor/end hits, all regexes literal.
+
+    Anchors match either of columns 0/1 (identifier.py:191-208); end
+    markers match column 0 only (:357-366).
+    """
+    entries = []
+    for stmt in statement_types:
+        for anchor_ord, (_name, required, pats) in enumerate(_ANCHOR_SPEC[stmt]):
+            cond = F.lit(False)
+            for p in pats:
+                cond = cond | name0.rlike(p) | name1.rlike(p)
+            entries.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(stmt).alias("stmt"),
+                        F.lit("a").alias("kind"),
+                        F.lit(anchor_ord).alias("ord"),
+                        F.lit(required).alias("req"),
+                    ),
+                )
             )
-        ).alias("name"),
-    ).filter(F.col("name") != "")
+        cond_e = F.lit(False)
+        for p in STATEMENT_END_PATTERNS[stmt]:
+            cond_e = cond_e | name0.rlike(p)
+        entries.append(
+            F.when(
+                cond_e,
+                F.struct(
+                    F.lit(stmt).alias("stmt"),
+                    F.lit("e").alias("kind"),
+                    F.lit(-1).alias("ord"),
+                    F.lit(False).alias("req"),
+                ),
+            )
+        )
+    return F.array_compact(F.array(*entries))
 
 
 def identify_structures(
@@ -47,113 +78,131 @@ def identify_structures(
     statement_types: tuple[str, ...] = ("balance_sheet", "income_statement", "cash_flow"),
 ) -> DataFrame:
     """→ (url, statement_type, is_valid, confidence, header_row,
-    parse_start, parse_end, first_anchor, last_anchor).
+    parse_start, parse_end, first_anchor, last_anchor, max_row).
 
     A url appears for a statement type iff ≥1 anchor of that type was
-    found (a document without any trace of the statement contributes no
-    rows downstream). Invalid structures fall back to full-table parse
-    with a null header row, exactly like the reference
-    (balance_sheet.py:187-196 → get_header_info default).
+    found. Invalid structures fall back to full-table parse with a null
+    header row, exactly like the reference (balance_sheet.py:187-196 →
+    get_header_info default).
     """
-    anchors = F.broadcast(
-        anchor_df(spark).filter(F.col("statement_type").isin(*statement_types))
-    )
-    names = _row_names(clean_rows)
+    name0 = name_from_cell(F.element_at(F.col("cells"), 1))
+    name1 = name_from_cell(F.element_at(F.col("cells"), 2))
+    row_text = nonempty_row_text(F.col("cells"))
+    hdr_flag = row_text.rlike(HEADER_MUST_MATCH) & row_text.rlike(HEADER_ALSO_MATCH)
 
-    # SI1: first row matching each anchor (any pattern, any of cols 0/1)
-    hits = names.join(anchors, F.expr("name rlike pattern"), "inner")
-    key_pos = hits.groupBy("url", "statement_type", "anchor_name", "anchor_ord", "required").agg(
-        F.min("row_idx").alias("anchor_row")
+    hits = clean_rows.select(
+        "url",
+        "row_idx",
+        F.explode(_hit_structs(name0, name1, statement_types)).alias("h"),
+    ).select("url", "row_idx", "h.stmt", "h.kind", "h.ord", "h.req")
+
+    per_stmt = hits.groupBy("url", "stmt").agg(
+        F.collect_list(F.struct("kind", "ord", "req", "row_idx")).alias("hs")
     )
 
-    # SI2: completeness + canonical-order check
-    w = Window.partitionBy("url", "statement_type").orderBy("anchor_row", "anchor_ord")
-    kp = key_pos.withColumn("prev_ord", F.lag("anchor_ord").over(w))
-    per_stmt = kp.groupBy("url", "statement_type").agg(
-        F.count("*").alias("found_total"),
-        F.sum(F.when(F.col("required"), 1).otherwise(0)).alias("found_required"),
-        F.min("anchor_row").alias("first_anchor"),
-        F.max("anchor_row").alias("last_anchor"),
-        F.min(
-            F.when(F.col("prev_ord").isNull(), True).otherwise(F.col("prev_ord") < F.col("anchor_ord"))
-        ).alias("order_ok"),
+    per_url = clean_rows.groupBy("url").agg(
+        F.max("row_idx").alias("max_row"),
+        F.sort_array(F.collect_list(F.when(hdr_flag, F.col("row_idx")))).alias("hdr_rows"),
     )
-    counts = spark.createDataFrame(
-        [(s, *anchor_counts(s)) for s in statement_types],
-        "statement_type string, total_anchors int, required_anchors int",
+
+    # both sides are one-or-few rows per url; broadcasting the per-url
+    # side keeps the join narrow on the per-statement partitioning
+    df = per_stmt.join(F.broadcast(per_url), "url")
+
+    # ---- expression-level SI2-SI4 over the collected hit lists ----
+    anchors = F.filter(F.col("hs"), lambda h: h["kind"] == F.lit("a"))
+    # per-anchor first row: sort by (ord, row), keep first per ord
+    sorted_by_ord = F.array_sort(
+        F.transform(anchors, lambda h: F.struct(h["ord"].alias("o"), h["row_idx"].alias("r"), h["req"].alias("q")))
     )
-    per_stmt = per_stmt.join(F.broadcast(counts), "statement_type")
-    per_stmt = per_stmt.withColumn(
-        "is_valid",
-        (F.col("found_required") == F.col("required_anchors")) & F.col("order_ok"),
+    amins = F.aggregate(
+        sorted_by_ord,
+        F.array().cast("array<struct<o:int,r:int,q:boolean>>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["o"] == x["o"]), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    df = df.withColumn("amins", amins)
+
+    found_total = F.size(F.col("amins"))
+    found_required = F.size(F.filter(F.col("amins"), lambda a: a["q"]))
+    first_anchor = F.array_min(F.transform(F.col("amins"), lambda a: a["r"]))
+    last_anchor = F.array_max(F.transform(F.col("amins"), lambda a: a["r"]))
+    # canonical order (SI2): anchors sorted by first row must have
+    # strictly increasing anchor_ord (identifier.py:236-255)
+    by_row = F.array_sort(
+        F.transform(F.col("amins"), lambda a: F.struct(a["r"].alias("r"), a["o"].alias("o")))
+    )
+    order_ok = F.aggregate(
+        by_row,
+        F.struct(F.lit(True).alias("ok"), F.lit(-1).alias("prev")),
+        lambda acc, x: F.struct((acc["ok"] & (x["o"] > acc["prev"])).alias("ok"), x["o"].alias("prev")),
+        lambda acc: acc["ok"],
+    )
+
+    counts_total = F.lit(None).cast("int")
+    counts_required = F.lit(None).cast("int")
+    for s in statement_types:
+        tot, req = anchor_counts(s)
+        counts_total = F.when(F.col("stmt") == s, F.lit(tot)).otherwise(counts_total)
+        counts_required = F.when(F.col("stmt") == s, F.lit(req)).otherwise(counts_required)
+
+    df = (
+        df.withColumn("found_total", found_total)
+        .withColumn("found_required", found_required)
+        .withColumn("first_anchor", first_anchor)
+        .withColumn("last_anchor", last_anchor)
+        .withColumn("order_ok", order_ok)
+        .withColumn("req_anchors", counts_required)
+        .withColumn("tot_anchors", counts_total)
+    )
+    df = df.withColumn(
+        "is_valid", (F.col("found_required") == F.col("req_anchors")) & F.col("order_ok")
     ).withColumn(
         "confidence",
         F.when(
-            F.col("found_required") < F.col("required_anchors"),
-            F.col("found_total") / F.col("required_anchors"),
+            F.col("found_required") < F.col("req_anchors"),
+            F.col("found_total") / F.col("req_anchors"),
         )
         .when(~F.col("order_ok"), F.lit(0.5))
-        .otherwise(F.col("found_total") / F.col("total_anchors")),
+        .otherwise(F.col("found_total") / F.col("tot_anchors")),
     )
 
-    # SI3: header row — nearest row above first anchor (≤20 back) whose
-    # non-empty-cell text contains 项目 AND a period keyword.
-    hdr_cand = clean_rows.select(
-        "url", "row_idx", nonempty_row_text(F.col("cells")).alias("row_text")
-    ).filter(
-        F.col("row_text").rlike(HEADER_MUST_MATCH) & F.col("row_text").rlike(HEADER_ALSO_MATCH)
-    )
-    hdr = per_stmt.join(hdr_cand, "url", "left").filter(
-        F.col("row_text").isNull()
-        | (
-            (F.col("row_idx") < F.col("first_anchor"))
-            & (F.col("row_idx") >= F.greatest(F.lit(0), F.col("first_anchor") - HEADER_LOOKBACK))
-        )
-    ).groupBy("url", "statement_type").agg(F.max("row_idx").alias("header_found"))
-    per_stmt = per_stmt.join(hdr, ["url", "statement_type"], "left").withColumn(
-        "header_row",
-        F.coalesce(
-            "header_found",
-            F.when(F.col("first_anchor") - 1 >= 0, F.col("first_anchor") - 1),
-        ),
-    )
-
-    # SI4: end row — first row in [last_anchor, last_anchor+50) whose
-    # COLUMN-0 name matches the statement's end pattern.
-    end_pats = spark.createDataFrame(
-        [(s, p) for s in statement_types for p in STATEMENT_END_PATTERNS[s]],
-        "statement_type string, end_pattern string",
-    )
-    name0 = clean_rows.select(
-        "url", "row_idx", name_from_cell(F.element_at(F.col("cells"), 1)).alias("name0")
-    ).filter(F.col("name0") != "")
-    end_hits = name0.join(F.broadcast(end_pats), F.expr("name0 rlike end_pattern"), "inner")
-    ends = per_stmt.join(end_hits, ["url", "statement_type"], "left").filter(
-        F.col("row_idx").isNull()
-        | (
-            (F.col("row_idx") >= F.col("last_anchor"))
-            & (F.col("row_idx") < F.col("last_anchor") + END_LOOKAHEAD)
-        )
-    ).groupBy("url", "statement_type").agg(F.min("row_idx").alias("end_found"))
-
-    max_rows = clean_rows.groupBy("url").agg(F.max("row_idx").alias("max_row"))
-    per_stmt = (
-        per_stmt.join(ends, ["url", "statement_type"], "left")
-        .join(max_rows, "url")
-        .withColumn(
-            "end_row",
-            F.coalesce("end_found", F.least(F.col("max_row"), F.col("last_anchor") + END_FALLBACK)),
+    # SI3 header: nearest candidate ≤20 rows above the first anchor;
+    # fallback = first_anchor-1 (identifier.py:278-308)
+    hdr_found = F.array_max(
+        F.filter(
+            F.col("hdr_rows"),
+            lambda r: (r < F.col("first_anchor"))
+            & (r >= F.greatest(F.lit(0), F.col("first_anchor") - HEADER_LOOKBACK)),
         )
     )
+    header_row = F.coalesce(
+        hdr_found, F.when(F.col("first_anchor") - 1 >= 0, F.col("first_anchor") - 1)
+    )
 
-    return per_stmt.select(
+    # SI4 end: first end-marker hit in [last_anchor, last_anchor+50);
+    # fallback min(max_row, last_anchor+30) (identifier.py:327-372)
+    end_hits = F.transform(
+        F.filter(F.col("hs"), lambda h: h["kind"] == F.lit("e")), lambda h: h["row_idx"]
+    )
+    end_found = F.array_min(
+        F.filter(
+            end_hits,
+            lambda r: (r >= F.col("last_anchor"))
+            & (r < F.col("last_anchor") + END_LOOKAHEAD),
+        )
+    )
+    end_row = F.coalesce(end_found, F.least(F.col("max_row"), F.col("last_anchor") + END_FALLBACK))
+
+    return df.select(
         "url",
-        "statement_type",
+        F.col("stmt").alias("statement_type"),
         "is_valid",
         "confidence",
-        F.when(F.col("is_valid"), F.col("header_row")).alias("header_row"),
+        F.when(F.col("is_valid"), header_row).alias("header_row"),
         F.when(F.col("is_valid"), F.col("first_anchor")).otherwise(F.lit(0)).alias("parse_start"),
-        F.when(F.col("is_valid"), F.col("end_row")).otherwise(F.col("max_row")).alias("parse_end"),
+        F.when(F.col("is_valid"), end_row).otherwise(F.col("max_row")).alias("parse_end"),
         "first_anchor",
         "last_anchor",
         "max_row",

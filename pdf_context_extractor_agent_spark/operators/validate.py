@@ -114,56 +114,7 @@ def _section_sum(section: str) -> list[Column]:
     ]
 
 
-def _explode_checks(wide: DataFrame, stmt: str, checks: list[Column]) -> DataFrame:
-    return (
-        wide.select("url", F.explode(F.array(*checks)).alias("c"))
-        .select("url", "c.*")
-        .filter(F.col("applicable"))
-        .select(
-            "url",
-            F.lit(stmt).alias("statement_type"),
-            "check_level",
-            "check_name",
-            "severity",
-            "calculated",
-            "reported",
-            "difference",
-            "tolerance",
-            "passed",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# balance sheet
-# ---------------------------------------------------------------------------
-
-def _balance_checks(slots: DataFrame) -> DataFrame:
-    s = slots.filter(F.col("statement_type") == "balance_sheet")
-    aggs: list[Column] = []
-    for sec in (
-        "assets.current_assets",
-        "assets.non_current_assets",
-        "liabilities.current_liabilities",
-        "liabilities.non_current_liabilities",
-        "equity.items",
-    ):
-        aggs += _section_sum(sec)
-    for std in (
-        "current_assets_total",
-        "non_current_assets_total",
-        "assets_total",
-        "current_liabilities_total",
-        "non_current_liabilities_total",
-        "liabilities_total",
-        "parent_equity_total",
-        "equity_total",
-        "liabilities_and_equity_total",
-    ):
-        aggs.append(_slot_val(std).alias(f"t_{std}"))
-        aggs.append(_slot_present(std).alias(f"p_{std}"))
-    wide = s.groupBy("url").agg(*aggs)
-
+def _balance_check_cols() -> list[Column]:
     c = F.col
     rate = TOLERANCE["balance_sheet"]
     # equity reported: equity_total slot, else parent_equity_total (:513)
@@ -202,22 +153,10 @@ def _balance_checks(slots: DataFrame) -> DataFrame:
              c("t_assets_total").isNotNull() & c("t_liabilities_and_equity_total").isNotNull(),
              c("t_assets_total"), c("t_liabilities_and_equity_total"), rate, abs_tolerance=False),
     ]
-    return _explode_checks(wide, "balance_sheet", checks)
+    return checks
 
 
-# ---------------------------------------------------------------------------
-# income statement
-# ---------------------------------------------------------------------------
-
-def _income_checks(slots: DataFrame) -> DataFrame:
-    s = slots.filter(F.col("statement_type") == "income_statement")
-    names = [
-        "operating_cost", "taxes_and_surcharges", "selling_expenses",
-        "administrative_expenses", "rd_expenses", "financial_expenses",
-        "operating_total_cost", "total_profit", "income_tax", "net_profit",
-        "parent_net_profit", "minority_profit",
-    ]
-    wide = s.groupBy("url").agg(*[_slot_val(n).alias(n) for n in names])
+def _income_check_cols() -> list[Column]:
     c = F.col
     rate = TOLERANCE["income_statement"]
     cost_calc = (
@@ -242,22 +181,10 @@ def _income_checks(slots: DataFrame) -> DataFrame:
              c("net_profit").isNotNull() & c("parent_net_profit").isNotNull() & c("minority_profit").isNotNull(),
              c("parent_net_profit") + c("minority_profit"), c("net_profit"), rate, abs_tolerance=True),
     ]
-    return _explode_checks(wide, "income_statement", checks)
+    return checks
 
 
-# ---------------------------------------------------------------------------
-# cash-flow statement
-# ---------------------------------------------------------------------------
-
-def _cash_flow_checks(slots: DataFrame) -> DataFrame:
-    s = slots.filter(F.col("statement_type") == "cash_flow")
-    names = [
-        "operating_inflow_subtotal", "operating_outflow_subtotal", "operating_net_cash_flow",
-        "investing_inflow_subtotal", "investing_outflow_subtotal", "investing_net_cash_flow",
-        "financing_inflow_subtotal", "financing_outflow_subtotal", "financing_net_cash_flow",
-        "exchange_rate_effect", "net_increase_cash", "beginning_cash_balance", "ending_cash_balance",
-    ]
-    wide = s.groupBy("url").agg(*[_slot_val(n).alias(n) for n in names])
+def _cash_flow_check_cols() -> list[Column]:
     c = F.col
     rate = TOLERANCE["cash_flow"]
 
@@ -286,15 +213,65 @@ def _cash_flow_checks(slots: DataFrame) -> DataFrame:
              c("beginning_cash_balance") + c("net_increase_cash"),
              c("ending_cash_balance"), rate, abs_tolerance=True),
     ]
-    return _explode_checks(wide, "cash_flow", checks)
+    return checks
+
+
+_BALANCE_SECTIONS = (
+    "assets.current_assets",
+    "assets.non_current_assets",
+    "liabilities.current_liabilities",
+    "liabilities.non_current_liabilities",
+    "equity.items",
+)
+_BALANCE_TOTALS = (
+    "current_assets_total", "non_current_assets_total", "assets_total",
+    "current_liabilities_total", "non_current_liabilities_total",
+    "liabilities_total", "parent_equity_total", "equity_total",
+    "liabilities_and_equity_total",
+)
+_INCOME_SLOTS = (
+    "operating_cost", "taxes_and_surcharges", "selling_expenses",
+    "administrative_expenses", "rd_expenses", "financial_expenses",
+    "operating_total_cost", "total_profit", "income_tax", "net_profit",
+    "parent_net_profit", "minority_profit",
+)
+_CASH_SLOTS = (
+    "operating_inflow_subtotal", "operating_outflow_subtotal", "operating_net_cash_flow",
+    "investing_inflow_subtotal", "investing_outflow_subtotal", "investing_net_cash_flow",
+    "financing_inflow_subtotal", "financing_outflow_subtotal", "financing_net_cash_flow",
+    "exchange_rate_effect", "net_increase_cash", "beginning_cash_balance", "ending_cash_balance",
+)
 
 
 def validation_checks(slots: DataFrame) -> DataFrame:
-    """All arithmetic checks, long format (V1-V3, V6-V8, V10-V12)."""
+    """All arithmetic checks, long format (V1-V3, V6-V8, V10-V12).
+
+    ONE aggregation pass: every slot value any statement's formulas need
+    becomes a conditional aggregate in a single groupBy(url,
+    statement_type); the statement-specific check array is then selected
+    by statement type and exploded. One shuffle for all three
+    statements (the naive per-statement plan costs three).
+    """
+    aggs: list[Column] = []
+    for sec in _BALANCE_SECTIONS:
+        aggs += _section_sum(sec)
+    for std in _BALANCE_TOTALS:
+        aggs.append(_slot_val(std).alias(f"t_{std}"))
+        aggs.append(_slot_present(std).alias(f"p_{std}"))
+    for n in _INCOME_SLOTS + _CASH_SLOTS:
+        aggs.append(_slot_val(n).alias(n))
+    wide = slots.groupBy("url", "statement_type").agg(*aggs)
+
+    checks_by_stmt = (
+        F.when(F.col("statement_type") == "balance_sheet", F.array(*_balance_check_cols()))
+        .when(F.col("statement_type") == "income_statement", F.array(*_income_check_cols()))
+        .otherwise(F.array(*_cash_flow_check_cols()))
+    )
     return (
-        _balance_checks(slots)
-        .unionByName(_income_checks(slots))
-        .unionByName(_cash_flow_checks(slots))
+        wide.select("url", "statement_type", F.explode(checks_by_stmt).alias("c"))
+        .select("url", "statement_type", "c.*")
+        .filter(F.col("applicable"))
+        .drop("applicable")
     )
 
 

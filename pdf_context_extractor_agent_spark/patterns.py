@@ -348,7 +348,7 @@ NOTE_L2_TITLE = r"^[（(](\d{1,3})[)）][.、]?\s*(.+)$"
 
 
 def _item_rows() -> list[tuple]:
-    """Flatten _ITEM_SPEC with explicit ordering columns.
+    """Flatten _ITEM_SPEC with a pattern id and explicit ordering columns.
 
     ``cat_ord`` follows the reference's category try-order per statement;
     ``std_ord``/``pat_ord`` follow dict/list insertion order. Totals get
@@ -369,7 +369,7 @@ def _item_rows() -> list[tuple]:
         std_ord = std_ords[cat_key]
         std_ords[cat_key] += 1
         for pat_ord, pat in enumerate(pats):
-            rows.append((stmt, section, std_name, pat,
+            rows.append((len(rows), stmt, section, std_name, pat,
                          cat_ords[cat_key], std_ord, pat_ord, is_total))
     return rows
 
@@ -378,23 +378,59 @@ def item_pattern_df(spark: SparkSession) -> DataFrame:
     """The unified J1+J3 pattern bank as a broadcastable DataFrame."""
     return spark.createDataFrame(
         _item_rows(),
-        "statement_type string, section_path string, standard_name string, "
+        "pid int, statement_type string, section_path string, standard_name string, "
         "pattern string, cat_ord int, std_ord int, pat_ord int, is_total boolean",
     )
 
 
-def anchor_df(spark: SparkSession) -> DataFrame:
-    """SI1 anchor bank as a broadcastable DataFrame."""
+def item_pattern_list() -> list[tuple[int, str]]:
+    """(pid, pattern) literals for codegen'd matching (see
+    functions.text.matched_pattern_ids)."""
+    return [(r[0], r[4]) for r in _item_rows()]
+
+
+def item_pid_ranges() -> dict[str, tuple[int, int]]:
+    """Per-statement contiguous pid range. pids are assigned in
+    (statement, cat_ord, std_ord, pat_ord) order, so WITHIN a statement
+    the minimum matching pid IS the reference's first-match winner —
+    J1 winner selection becomes a plain ``array_min``."""
+    out: dict[str, tuple[int, int]] = {}
+    for r in _item_rows():
+        pid, stmt = r[0], r[1]
+        lo, hi = out.get(stmt, (pid, pid))
+        out[stmt] = (min(lo, pid), max(hi, pid))
+    return out
+
+
+def _anchor_rows() -> list[tuple]:
     rows = []
     for stmt, spec in _ANCHOR_SPEC.items():
         for anchor_ord, (name, required, pats) in enumerate(spec):
             for pat_ord, pat in enumerate(pats):
-                rows.append((stmt, name, anchor_ord, required, pat, pat_ord))
+                rows.append((len(rows), stmt, name, anchor_ord, required, pat, pat_ord))
+    return rows
+
+
+def anchor_df(spark: SparkSession) -> DataFrame:
+    """SI1 anchor bank as a broadcastable DataFrame."""
     return spark.createDataFrame(
-        rows,
-        "statement_type string, anchor_name string, anchor_ord int, "
+        _anchor_rows(),
+        "aid int, statement_type string, anchor_name string, anchor_ord int, "
         "required boolean, pattern string, pat_ord int",
     )
+
+
+def anchor_pattern_list() -> list[tuple[int, str]]:
+    return [(r[0], r[5]) for r in _anchor_rows()]
+
+
+def end_pattern_rows() -> list[tuple[int, str, str]]:
+    """(eid, statement_type, pattern) for SI4 end-of-data detection."""
+    rows = []
+    for stmt, pats in STATEMENT_END_PATTERNS.items():
+        for pat in pats:
+            rows.append((len(rows), stmt, pat))
+    return rows
 
 
 def anchor_counts(statement_type: str) -> tuple[int, int]:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..kernels import extract_pages
 from ..operators.boundary import balance_boundaries, prune_rows_to_boundary
-from ..operators.columns import extract_items, header_maps
+from ..operators.columns import extract_items
 from ..operators.match import match_items
 from ..operators.merge import merged_clean_rows, rows_long, tables_long
 from ..operators.structure import identify_structures
@@ -42,41 +42,44 @@ def statement_rows(page_df: DataFrame) -> DataFrame:
 def _parse_from_rows(
     rows: DataFrame, spark: SparkSession, statement_types: tuple[str, ...]
 ) -> dict[str, DataFrame]:
-    structure = identify_structures(rows, spark, statement_types)
+    # rows and structure each feed 3-4 downstream branches; without a
+    # persist every branch would recompute the kernel + merge lineage.
+    # At 10^12-row scale these become checkpointed Iceberg stage tables;
+    # in-memory/disk persist is the single-job analog.
+    rows = rows.persist()
+    structure = identify_structures(rows, spark, statement_types).persist()
 
-    # header row per (url, statement): one cells row each — tiny kernel hop
+    # header row cells per (url, statement); the C1-C3 analysis itself
+    # happens inside the extraction kernel (memoized per header).
+    # ``structure`` is a handful of rows per document — broadcast it so
+    # the big ``rows`` relation is never reshuffled. (On a 10^12-row
+    # corpus structure is too big to broadcast whole; there this becomes
+    # a co-partitioned join on the url hash both sides already share, or
+    # AQE picks the strategy from runtime stats.)
     hdr_rows = (
-        structure.filter(F.col("header_row").isNotNull())
-        .select("url", "statement_type", F.col("header_row").alias("row_idx"))
+        F.broadcast(
+            structure.filter(F.col("header_row").isNotNull())
+            .select("url", "statement_type", F.col("header_row").alias("row_idx"))
+        )
         .join(rows.select("url", "row_idx", "cells"), ["url", "row_idx"])
-        .select("url", "statement_type", "cells")
+        .select("url", "statement_type", F.col("cells").alias("header_cells"))
     )
-    hmaps = header_maps(hdr_rows)
 
-    # bounded statement range per (url, statement) + header map defaults
-    # (get_header_info fallback: item col 0, everything else dynamic —
-    # base_statement_parser.py:81-93)
+    # bounded statement range per (url, statement) + header cells
     ranged = (
         rows.select("url", "row_idx", "cells")
         .join(
-            structure.select("url", "statement_type", "parse_start", "parse_end"),
+            F.broadcast(structure.select("url", "statement_type", "parse_start", "parse_end")),
             "url",
         )
         .filter(F.col("row_idx").between(F.col("parse_start"), F.col("parse_end")))
-        .join(hmaps, ["url", "statement_type"], "left")
-        .select(
-            "url",
-            "statement_type",
-            "row_idx",
-            "cells",
-            F.coalesce("item_col", F.lit(0)).alias("item_col"),
-            "cur_col",
-            "prev_col",
-            "note_col",
-        )
+        .join(F.broadcast(hdr_rows), ["url", "statement_type"], "left")
+        .select("url", "statement_type", "row_idx", "cells", "header_cells")
     )
     items = extract_items(ranged)
     m = match_items(items, spark)
+    # slots feed checks + completeness + summary
+    m["slots"] = m["slots"].persist()
 
     total_rows = rows.groupBy("url").agg((F.max("row_idx") + 1).alias("total_rows"))
     parsing_info = (
