@@ -1,0 +1,9 @@
+"""Structured Streaming surface of the engine."""
+
+from .pipeline import (  # noqa: F401
+    stream_pages,
+    streaming_exact_dedup,
+    streaming_lang_counts,
+    streaming_page_text,
+    streaming_quality,
+)

@@ -1,0 +1,108 @@
+"""Structured Streaming pipelines over the pages table.
+
+The reference is batch-only (streaming listed as "planned",
+docs/ARCHITECTURE.md:498-511); the crawl-ingest shape of the north rule
+makes these first-class here:
+
+* stateless extraction (the layout kernel is a pure map → runs
+  unchanged on a stream, micro-batch or continuous);
+* watermarked windowed aggregation for ingest monitoring with late
+  data;
+* a custom stateful operator (``applyInPandasWithState``): cross-batch
+  exact dedup — first occurrence of a content hash passes, later
+  arrivals are dropped, state carries the winner url per hash.
+
+All sinks are append-compatible; checkpointing uses the standard
+streaming checkpoint dir (exactly-once with a replayable source).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..corpus import PAGES_SCHEMA
+from ..functions.quality import quality_features
+from ..kernels import extract_pages
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of the pages table (schema pinned — streaming
+    sources never infer). In production this is the Iceberg/Kafka
+    ingest of crawl batches."""
+    return spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+
+
+def streaming_page_text(pages_stream: DataFrame) -> DataFrame:
+    """Layout kernel on a stream: identical code path as batch —
+    mapInPandas is stateless, so the plan is streaming-safe as-is."""
+    return extract_pages(pages_stream)
+
+
+def streaming_quality(pages_stream: DataFrame) -> DataFrame:
+    """Stateless per-doc text-quality scoring on the ingest stream."""
+    return quality_features(pages_stream.select("url", "warc_ts", "text")).drop("text")
+
+
+def streaming_lang_counts(
+    pages_stream: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked windowed ingest monitoring: docs + bytes per lang per
+    event-time window; late rows beyond the watermark are dropped."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum(F.length("html")).alias("n_bytes"))
+    )
+
+
+_DEDUP_OUT = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("is_first", T.BooleanType()),
+    ]
+)
+_DEDUP_STATE = T.StructType([T.StructField("first_url", T.StringType())])
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (content_hash,) = key
+    first_url = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdfs:
+        for url in sorted(pdf["url"]):
+            if first_url is None:
+                first_url = url
+                out.append((content_hash, url, True))
+            else:
+                out.append((content_hash, url, False))
+    state.update((first_url,))
+    yield pd.DataFrame(out, columns=["content_hash", "url", "is_first"])
+
+
+def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch exact dedup.
+
+    Key = md5 of normalized text; state = first-seen url. Emits every
+    arrival tagged ``is_first`` so a downstream filter keeps the corpus
+    unique no matter how documents straddle micro-batches.
+    """
+    hashed = pages_stream.select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("content_hash"),
+        "url",
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
