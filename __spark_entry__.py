@@ -104,6 +104,63 @@ def _q_cube_counts(spark, sf):
     return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
+def _q_rollup(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def _q_semi_join(spark, sf):
+    """EXISTS: customers having at least one 'F' order."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "F"), c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def _q_anti_join(spark, sf):
+    """NOT EXISTS: parts never shipped."""
+    p, li = _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def _q_pivot(spark, sf):
+    """Pivot linestatus into columns per returnflag."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) — the classic
+    cumulative-sum-of-boundaries window pattern."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value")
+    )
+
+
+def _q_orderby_limit(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
 def _q_j2_first_wins(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey", "o_orderpriority").orderBy("o_orderdate", "o_orderkey")
@@ -410,6 +467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_revenue": _q_join_revenue,
         "q_topn_per_customer": _q_topn_per_customer,
         "q_cube_counts": _q_cube_counts,
+        "q_rollup": _q_rollup,
+        "q_semi_join": _q_semi_join,
+        "q_anti_join": _q_anti_join,
+        "q_pivot": _q_pivot,
+        "q_sessionize": _q_sessionize,
+        "q_orderby_limit": _q_orderby_limit,
         # reference operator semantics over testdata
         "q_j2_first_wins": _q_j2_first_wins,
         "q_j1_pattern_match": _q_j1_pattern_match,
@@ -500,6 +563,41 @@ WITH words AS (
         "q_cube_counts": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "q_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "q_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+        "q_anti_join": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+        "q_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+            FROM lineitem GROUP BY l_returnflag""",
+        "q_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, value, ts,
+                     CASE WHEN epoch(ts)::BIGINT
+                               - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_id""",
+        "q_orderby_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
         "q_j2_first_wins": """
             SELECT o_custkey, o_orderpriority, o_orderkey AS first_order FROM (
               SELECT o_custkey, o_orderpriority, o_orderkey,
