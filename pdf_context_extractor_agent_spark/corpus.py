@@ -13,7 +13,10 @@ the expected extracted main-content ``text`` is known a priori and byte
 identity can be asserted per url.
 
 Document type by ``i % 10``:
-  0-4  full statement doc (balance + income + cash-flow + notes), zh
+  0-4  full statement doc (balance + income + cash-flow + notes), zh —
+       kinds 3-4 are rendered as FPDF1 positioned-glyph content streams
+       (kernels/pdfish_layout.py) instead of HTML, so the PDF-style
+       layout-reconstruction path shares the same byte-identity oracle
   5    statement doc with thousands-separator number formatting
   6-7  plain webtext doc (boilerplate-strip path only), en/es
   8    fixture-A verbatim balance sheet (structure-invalid fallback path:
@@ -343,12 +346,59 @@ def render_html(pages: list[Page]) -> str:
     return "".join(parts)
 
 
+_CHAR_W = 6
+
+
+def render_pdfish(pages: list[Page]) -> bytes:
+    """Render the content model as an FPDF1 positioned-glyph content
+    stream — positions only, NO structure: paragraph lines become
+    word-runs with deterministic ±1 Y jitter (the kernel must re-cluster
+    them), tables become ruling-line grids plus cell glyphs (the kernel
+    must re-detect rows/columns geometrically)."""
+    out = ["FPDF1"]
+    for page in pages:
+        out.append("P 612 792")
+        y = 20
+        for kind, payload in page:
+            if kind == "p":
+                x = 20
+                for wi, word in enumerate(payload.split(" ")):
+                    jit = (wi * 7 + y) % 3 - 1
+                    out.append(f"T {x} {y + jit} {word}")
+                    x += (len(word) + 1) * _CHAR_W
+                y += 12
+            else:
+                rows = payload
+                ncols = max(len(r) for r in rows)
+                col_w = [
+                    max((len(r[c]) if c < len(r) else 0) for r in rows) * _CHAR_W + 8
+                    for c in range(ncols)
+                ]
+                cols_x = [20]
+                for w in col_w:
+                    cols_x.append(cols_x[-1] + w)
+                rows_y = [y + i * 12 for i in range(len(rows) + 1)]
+                for ry in rows_y:
+                    out.append(f"L {cols_x[0]} {ry} {cols_x[-1]} {ry}")
+                for cx in cols_x:
+                    out.append(f"L {cx} {rows_y[0]} {cx} {rows_y[-1]}")
+                for ri, r in enumerate(rows):
+                    cy = rows_y[ri] + 3
+                    for ci, cell in enumerate(r):
+                        if cell:
+                            out.append(f"T {cols_x[ci] + 2} {cy} {cell}")
+                y = rows_y[-1] + 12
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
 def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
     pages, lang = doc_content(i)
-    url = f"https://reports.example.com/{i % 97:02d}/doc{i:08d}.html"
+    kind = i % 10
+    ext = "pdf" if kind in (3, 4) else "html"
+    url = f"https://reports.example.com/{i % 97:02d}/doc{i:08d}.{ext}"
     warc_ts = _EPOCH + dt.timedelta(seconds=i % 86_400)
-    html_s = render_html(pages)
-    return url, warc_ts, html_s.encode("utf-8"), render_text(pages), lang
+    blob = render_pdfish(pages) if kind in (3, 4) else render_html(pages).encode("utf-8")
+    return url, warc_ts, blob, render_text(pages), lang
 
 
 def pages_df(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:

@@ -6,4 +6,11 @@ table/word/position accessors used at src/parsers/batch_notes_extractor.py:
 column so all parsing happens inside Arrow batches on executors.
 """
 
-from .html_layout import PAGE_SCHEMA, extract_pages, extracted_text, parse_html_doc  # noqa: F401
+from .html_layout import (  # noqa: F401
+    PAGE_SCHEMA,
+    extract_pages,
+    extracted_text,
+    parse_doc,
+    parse_html_doc,
+)
+from .pdfish_layout import parse_pdfish  # noqa: F401

@@ -169,6 +169,17 @@ class _LayoutParser(HTMLParser):
         return self.pages
 
 
+def parse_doc(blob: bytes) -> list[dict]:
+    """binary → per-page structs, format dispatched by content sniffing
+    (SURVEY.md §7 step 4): PDF-style content streams go through the
+    glyph-clustering kernel, everything else through the DOM walk."""
+    from .pdfish_layout import is_pdfish, parse_pdfish
+
+    if is_pdfish(blob):
+        return parse_pdfish(blob)
+    return parse_html_doc(blob)
+
+
 def parse_html_doc(html_bytes: bytes) -> list[dict]:
     """binary → per-page structs (pure function; unit-testable off-Spark)."""
     parser = _LayoutParser()
@@ -211,7 +222,7 @@ def extract_pages(pages_tbl: DataFrame) -> DataFrame:
         for b in batches:
             rows = []
             for url, blob in zip(b["url"], b["html"]):
-                for p in parse_html_doc(bytes(blob)):
+                for p in parse_doc(bytes(blob)):
                     rows.append(
                         (url, p["page"], p["page_text"], p["lines"], p["tables"])
                     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .kernels.html_layout import PAGE_SCHEMA, parse_html_doc
+from .kernels.html_layout import PAGE_SCHEMA, parse_doc
 
 METRICS_SCHEMA = (
     "run_id string, partition_id int, url_count long, bytes long, "
@@ -56,7 +56,7 @@ def instrumented_extract_pages(pages_tbl: DataFrame) -> DataFrame:
             rows = []
             for url, blob, pid in zip(b["url"], b["html"], b["partition_id"]):
                 t0 = time.monotonic()
-                pages = parse_html_doc(bytes(blob))
+                pages = parse_doc(bytes(blob))
                 ms = int((time.monotonic() - t0) * 1000)
                 for p in pages:
                     rows.append(

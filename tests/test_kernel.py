@@ -44,3 +44,51 @@ def test_entity_unescape():
     html = b"<html><body><main><p>a &amp; b &lt;c&gt;</p></main></body></html>"
     pages = parse_html_doc(html)
     assert pages[0]["page_text"] == "a & b <c>"
+
+
+def test_pdfish_reconstruction():
+    """FPDF1 path: the kernel must RECONSTRUCT lines from jittered glyph
+    runs, tables from ruling-line grids, and reading order from Y — and
+    still match the oracle text byte-for-byte."""
+    from pdf_context_extractor_agent_spark.corpus import render_pdfish
+    from pdf_context_extractor_agent_spark.kernels import parse_doc, parse_pdfish
+
+    _, _, blob, text, _ = make_doc(3)  # kind 3 → FPDF1
+    assert blob[:5] == b"FPDF1"
+    pages = parse_doc(blob)
+    assert "\n".join(p["page_text"] for p in pages) == text
+    # table structure reconstructed geometrically
+    p2 = pages[1]
+    assert len(p2["tables"]) == 1
+    rows = p2["tables"][0][3]
+    assert len(rows) == 11 and len(rows[0]) == 4
+    # empty cells exist (section rows) — geometry, not text, defines them
+    assert ["流动资产：", "", "", ""] in rows
+
+
+def test_pdfish_y_jitter_clustering():
+    """±1 Y jitter on word runs must not split lines (Y_TOL=2)."""
+    from pdf_context_extractor_agent_spark.corpus import render_pdfish
+    from pdf_context_extractor_agent_spark.kernels import parse_pdfish
+
+    pages = [[("p", "alpha beta gamma delta"), ("p", "second line here")]]
+    out = parse_pdfish(render_pdfish(pages))
+    assert [t for _y, t in out[0]["lines"]] == ["alpha beta gamma delta", "second line here"]
+
+
+def test_pdfish_multiple_tables_one_page():
+    from pdf_context_extractor_agent_spark.corpus import render_pdfish
+    from pdf_context_extractor_agent_spark.kernels import parse_pdfish
+
+    pages = [[
+        ("p", "title"),
+        ("table", [["a", "b"], ["1", "2"]]),
+        ("p", "between"),
+        ("table", [["c", "d", "e"], ["3", "4", "5"]]),
+    ]]
+    out = parse_pdfish(render_pdfish(pages))
+    tabs = out[0]["tables"]
+    assert len(tabs) == 2
+    assert tabs[0][3] == [["a", "b"], ["1", "2"]]
+    assert tabs[1][3] == [["c", "d", "e"], ["3", "4", "5"]]
+    assert out[0]["page_text"] == "title\na\tb\n1\t2\nbetween\nc\td\te\n3\t4\t5"
