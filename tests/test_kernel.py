@@ -92,3 +92,33 @@ def test_pdfish_multiple_tables_one_page():
     assert tabs[0][3] == [["a", "b"], ["1", "2"]]
     assert tabs[1][3] == [["c", "d", "e"], ["3", "4", "5"]]
     assert out[0]["page_text"] == "title\na\tb\n1\t2\nbetween\nc\td\te\n3\t4\t5"
+
+
+def test_pdfish_random_roundtrip_fuzz():
+    """200 random content models render→parse byte-identically: random
+    paragraph lengths, table shapes, CJK/ASCII mix, empty cells."""
+    import random
+
+    from pdf_context_extractor_agent_spark.corpus import render_pdfish, render_text
+    from pdf_context_extractor_agent_spark.kernels import parse_pdfish
+
+    vocab = ["alpha", "beta", "数据", "表格", "x1", "合计", "spark", "净利润", "a", "99.50"]
+    rng = random.Random(31337)
+    for case in range(200):
+        pages = []
+        for _p in range(rng.randint(1, 3)):
+            blocks = []
+            for _b in range(rng.randint(1, 6)):
+                if rng.random() < 0.5:
+                    blocks.append(("p", " ".join(rng.choices(vocab, k=rng.randint(1, 8)))))
+                else:
+                    nrows, ncols = rng.randint(1, 6), rng.randint(1, 5)
+                    blocks.append(
+                        ("table",
+                         [[rng.choice(vocab) if rng.random() > 0.25 else ""
+                           for _ in range(ncols)] for _ in range(nrows)])
+                    )
+            pages.append(blocks)
+        blob = render_pdfish(pages)
+        got = "\n".join(p["page_text"] for p in parse_pdfish(blob))
+        assert got == render_text(pages), (case, got, render_text(pages))
