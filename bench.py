@@ -163,6 +163,8 @@ def main() -> None:
 
     scaling = None
     if DO_SCALING:
+        # the sandbox is multi-tenant and noisy; min-of-reps is the
+        # noise-robust estimator (more reps on the cheap leg)
         low = _leg(CORES_LOW, N_BENCH_DOCS, reps=1)
         high = _leg(CORES_HIGH, N_BENCH_DOCS, reps=2)
         speedup = low["secs"] / high["secs"]
