@@ -13,9 +13,11 @@ Two lifecycles, mirroring the reference's entry points (SURVEY.md §3):
 
 Both return the same bundle of DataFrames; nothing is collected —
 callers write or further compose. Plan shape: one shuffle to establish
-per-url row order, broadcast joins for every dimension table, window
-functions for all ordering logic, two Arrow kernel hops (header
-analysis on ~1 row/doc, row extraction on the bounded statement range).
+per-url row order, broadcast joins for every dimension table (pattern
+banks and the per-doc structure rows — see SCALE.md for when the
+latter flips to a co-partitioned join), window functions for all
+ordering logic, ONE Arrow kernel hop (row extraction over the bounded
+statement range; header analysis runs inside it, memoized per header).
 """
 
 from __future__ import annotations

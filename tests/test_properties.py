@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) — the reference has none
+(SURVEY.md §5); these pin algebraic invariants the fuzz/differential
+suites don't state explicitly."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_context_extractor_agent_spark.corpus import render_pdfish, render_text
+from pdf_context_extractor_agent_spark.kernels import parse_pdfish
+from pdf_context_extractor_agent_spark.operators.columns import (
+    analyze_columns,
+    clean_numeric,
+    is_money_format,
+)
+
+_CELL = st.sampled_from(
+    ["项目", "本期末", "上期末", "附注", "货币资金", "1,000.00", "-5.0",
+     "七、1", "", "x y", "123", "资产总计"]
+)
+_WORD = st.text(
+    alphabet="abcdefg数表计净12.5", min_size=1, max_size=6
+).filter(lambda w: w.strip() == w and w)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_CELL, min_size=1, max_size=6))
+def test_analyze_columns_invariants(row):
+    cmap = analyze_columns(row)
+    # indexes in range; current strictly left of previous when both set
+    for v in cmap.values():
+        assert 0 <= v < len(row)
+    if "current_period" in cmap and "previous_period" in cmap:
+        # ≤, not <: a single cell like 上期末 matches BOTH period banks
+        # (期末 ⊂ 上期末), so both roles can land on one column — the
+        # reference behaves identically (independent keyword passes)
+        assert cmap["current_period"] <= cmap["previous_period"]
+    # roles map to distinct concepts but may share a column only via
+    # the keyword pass; the map itself is a partial function
+    assert set(cmap) <= {"item_name", "current_period", "previous_period", "note"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789,.-元 人民币ab", max_size=20))
+def test_clean_numeric_idempotent_and_shape(s):
+    out = clean_numeric(s)
+    if out is not None:
+        # idempotence: cleaning a cleaned value is a no-op
+        assert clean_numeric(out) == out
+        assert all(c in "0123456789.-" for c in out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-10**9, max_value=10**9))
+def test_money_format_accepts_rendered_numbers(n):
+    assert is_money_format(f"{n}")
+    assert is_money_format(f"{n:,}")
+    assert is_money_format(f"{n}.25")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(  # pages
+        st.lists(  # blocks
+            st.one_of(
+                st.lists(_WORD, min_size=1, max_size=6).map(lambda ws: ("p", " ".join(ws))),
+                # rectangular tables only: a ruling-line grid defines a
+                # fixed arity, so ragged logical rows are normalized by
+                # the geometry (pdfish is a GRID format, unlike HTML)
+                st.integers(min_value=1, max_value=4).flatmap(
+                    lambda ncols: st.lists(
+                        st.lists(st.one_of(_WORD, st.just("")),
+                                 min_size=ncols, max_size=ncols),
+                        min_size=1,
+                        max_size=4,
+                    )
+                ).map(lambda rows: ("table", rows)),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_pdfish_roundtrip_property(pages):
+    """render ∘ parse is the identity on page text for ANY content
+    model expressible in the corpus block language."""
+    got = "\n".join(p["page_text"] for p in parse_pdfish(render_pdfish(pages)))
+    assert got == render_text(pages)
