@@ -161,6 +161,16 @@ def _q_orderby_limit(spark, sf):
     )
 
 
+def _q_percentiles(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+
 def _q_j2_first_wins(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey", "o_orderpriority").orderBy("o_orderdate", "o_orderkey")
@@ -473,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": _q_pivot,
         "q_sessionize": _q_sessionize,
         "q_orderby_limit": _q_orderby_limit,
+        "q_percentiles": _q_percentiles,
         # reference operator semantics over testdata
         "q_j2_first_wins": _q_j2_first_wins,
         "q_j1_pattern_match": _q_j1_pattern_match,
@@ -598,6 +609,13 @@ WITH words AS (
         "q_orderby_limit": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag""",
         "q_j2_first_wins": """
             SELECT o_custkey, o_orderpriority, o_orderkey AS first_order FROM (
               SELECT o_custkey, o_orderpriority, o_orderkey,
