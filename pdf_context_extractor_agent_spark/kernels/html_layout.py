@@ -172,12 +172,21 @@ class _LayoutParser(HTMLParser):
 def parse_doc(blob: bytes) -> list[dict]:
     """binary → per-page structs, format dispatched by content sniffing
     (SURVEY.md §7 step 4): PDF-style content streams go through the
-    glyph-clustering kernel, everything else through the DOM walk."""
+    glyph-clustering kernel, everything else through the DOM walk.
+
+    NEVER raises: a malformed document degrades to one empty page so a
+    single corrupt crawl record cannot fail a task (and with it, after
+    retries, the whole 10^12-row job). The lineage layer surfaces such
+    documents as zero-text pages rather than exceptions.
+    """
     from .pdfish_layout import is_pdfish, parse_pdfish
 
-    if is_pdfish(blob):
-        return parse_pdfish(blob)
-    return parse_html_doc(blob)
+    try:
+        if is_pdfish(blob):
+            return parse_pdfish(blob)
+        return parse_html_doc(blob)
+    except Exception:
+        return [{"page": 1, "page_text": "", "lines": [], "tables": []}]
 
 
 def parse_html_doc(html_bytes: bytes) -> list[dict]:

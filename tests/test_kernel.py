@@ -122,3 +122,16 @@ def test_pdfish_random_roundtrip_fuzz():
         blob = render_pdfish(pages)
         got = "\n".join(p["page_text"] for p in parse_pdfish(blob))
         assert got == render_text(pages), (case, got, render_text(pages))
+
+
+def test_malformed_documents_degrade_not_throw():
+    """Corrupt crawl records must yield an empty page, never raise —
+    a kernel exception would fail the task and (after retries) the job."""
+    from pdf_context_extractor_agent_spark.kernels import parse_doc
+
+    for blob in (b"", b"\x00\xff\xfe garbage", b"<html><td>unclosed",
+                 b"FPDF1\nP x y\nT not numbers here\n", b"\x80\x81\x82"):
+        pages = parse_doc(blob)
+        assert isinstance(pages, list)
+        for p in pages:
+            assert set(p) == {"page", "page_text", "lines", "tables"}
