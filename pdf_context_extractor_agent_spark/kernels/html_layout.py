@@ -34,6 +34,8 @@ PAGE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("page", T.IntegerType(), False),
+        T.StructField("width", T.DoubleType(), True),
+        T.StructField("height", T.DoubleType(), True),
         T.StructField("page_text", T.StringType(), True),
         T.StructField(
             "lines",
@@ -186,7 +188,8 @@ def parse_doc(blob: bytes) -> list[dict]:
             return parse_pdfish(blob)
         return parse_html_doc(blob)
     except Exception:
-        return [{"page": 1, "page_text": "", "lines": [], "tables": []}]
+        return [{"page": 1, "width": 612.0, "height": 792.0,
+                 "page_text": "", "lines": [], "tables": []}]
 
 
 def parse_html_doc(html_bytes: bytes) -> list[dict]:
@@ -211,6 +214,8 @@ def parse_html_doc(html_bytes: bytes) -> list[dict]:
         out.append(
             {
                 "page": page_no,
+                "width": 612.0,
+                "height": 792.0,
                 "page_text": "\n".join(t for _, t in lines),
                 "lines": lines,
                 "tables": tables,
@@ -233,10 +238,13 @@ def extract_pages(pages_tbl: DataFrame) -> DataFrame:
             for url, blob in zip(b["url"], b["html"]):
                 for p in parse_doc(bytes(blob)):
                     rows.append(
-                        (url, p["page"], p["page_text"], p["lines"], p["tables"])
+                        (url, p["page"], p["width"], p["height"],
+                         p["page_text"], p["lines"], p["tables"])
                     )
             yield pd.DataFrame(
-                rows, columns=["url", "page", "page_text", "lines", "tables"]
+                rows,
+                columns=["url", "page", "width", "height",
+                         "page_text", "lines", "tables"],
             )
 
     return src.mapInPandas(kernel, schema=PAGE_SCHEMA)

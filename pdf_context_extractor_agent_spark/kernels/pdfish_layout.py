@@ -126,7 +126,8 @@ def parse_pdfish(blob: bytes) -> list[dict]:
             continue
         op, rest = raw[0], raw[2:] if len(raw) > 2 else ""
         if op == "P":
-            page = {"runs": [], "h": [], "v": []}
+            w, h = (int(v) for v in rest.split(" "))
+            page = {"runs": [], "h": [], "v": [], "width": float(w), "height": float(h)}
             pages_raw.append(page)
         elif op == "T" and page is not None:
             xs, ys, run_text = rest.split(" ", 2)
@@ -184,6 +185,8 @@ def parse_pdfish(blob: bytes) -> list[dict]:
         out.append(
             {
                 "page": page_no,
+                "width": p["width"],
+                "height": p["height"],
                 "page_text": "\n".join(t for _y, t in elements),
                 "lines": [(float(y), t) for y, t in elements],
                 "tables": [

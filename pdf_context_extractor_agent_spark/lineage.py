@@ -60,12 +60,14 @@ def instrumented_extract_pages(pages_tbl: DataFrame) -> DataFrame:
                 ms = int((time.monotonic() - t0) * 1000)
                 for p in pages:
                     rows.append(
-                        (url, p["page"], p["page_text"], p["lines"], p["tables"],
+                        (url, p["page"], p["width"], p["height"],
+                         p["page_text"], p["lines"], p["tables"],
                          int(pid), ms, len(blob))
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["url", "page", "page_text", "lines", "tables",
+                columns=["url", "page", "width", "height",
+                         "page_text", "lines", "tables",
                          "partition_id", "kernel_ms", "doc_bytes"],
             )
 

@@ -134,4 +134,4 @@ def test_malformed_documents_degrade_not_throw():
         pages = parse_doc(blob)
         assert isinstance(pages, list)
         for p in pages:
-            assert set(p) == {"page", "page_text", "lines", "tables"}
+            assert set(p) == {"page", "width", "height", "page_text", "lines", "tables"}
