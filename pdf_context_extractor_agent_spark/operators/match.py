@@ -38,19 +38,19 @@ def match_items(items: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
     # J1 winner with ZERO shuffle: every bank regex is evaluated as a
     # literal (compiled once per task by codegen); pids are assigned in
     # (statement, cat_ord, std_ord, pat_ord) order, so the minimum
-    # matching pid inside the row's statement range IS the reference's
-    # first-match winner. One narrow projection + one broadcast
-    # equi-join on pid — no explode, no window, no anti-join.
-    ranges = item_pid_ranges()
-    lo = F.lit(None).cast("int")
-    hi = F.lit(None).cast("int")
-    for stmt, (a, b) in ranges.items():
-        lo = F.when(F.col("statement_type") == stmt, F.lit(a)).otherwise(lo)
-        hi = F.when(F.col("statement_type") == stmt, F.lit(b)).otherwise(hi)
-    arr = matched_pattern_ids(F.col("item_name"), item_pattern_list())
-    with_pid = items.withColumn(
-        "pid", F.array_min(F.filter(arr, lambda p: (p >= lo) & (p <= hi)))
-    )
+    # matching pid inside the row's statement bank IS the reference's
+    # first-match winner. Each row evaluates only ITS statement's
+    # sub-bank (a when-chain of per-statement arrays — 3× fewer regex
+    # evaluations than one global bank). One narrow projection + one
+    # broadcast equi-join on pid — no explode, no window, no anti-join.
+    stmts = sorted(item_pid_ranges())
+    arr = F.array().cast("array<int>")
+    for stmt in stmts:
+        arr = F.when(
+            F.col("statement_type") == stmt,
+            matched_pattern_ids(F.col("item_name"), item_pattern_list(stmt)),
+        ).otherwise(arr)
+    with_pid = items.withColumn("pid", F.array_min(arr))
     winners = with_pid.filter(F.col("pid").isNotNull()).join(pat, "pid")
     unmatched_rows = with_pid.filter(F.col("pid").isNull()).select(
         "url", "statement_type", "row_idx", "item_name",

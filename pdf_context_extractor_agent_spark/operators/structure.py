@@ -32,44 +32,68 @@ END_LOOKAHEAD = 50     # identifier.py:347
 END_FALLBACK = 30      # identifier.py:370
 
 
+_HIT_TYPE = "array<struct<stmt:string,kind:string,ord:int,req:boolean>>"
+
+
+def _hit(stmt: str, kind: str, ord_: int, req: bool, cond: Column) -> Column:
+    return F.when(
+        cond,
+        F.struct(
+            F.lit(stmt).alias("stmt"),
+            F.lit(kind).alias("kind"),
+            F.lit(ord_).alias("ord"),
+            F.lit(req).alias("req"),
+        ),
+    )
+
+
 def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...]) -> Column:
     """Per-row array of anchor/end hits, all regexes literal.
 
     Anchors match either of columns 0/1 (identifier.py:191-208); end
     markers match column 0 only (:357-366).
+
+    Every anchor pattern (and all but income's wildcard end pattern) is
+    ^-anchored on a literal character, so a name can only match if its
+    FIRST character is one of the banks' first literal chars — a
+    one-char ``isin`` guard short-circuits the ~70-regex bank for the
+    vast majority of rows (hundreds of millions of regex evaluations
+    saved per corpus pass). Wildcard-prefixed patterns are evaluated
+    outside the guard.
     """
-    entries = []
+    guarded: list[Column] = []
+    unguarded: list[Column] = []
+    trigger_chars: set[str] = set()
+
     for stmt in statement_types:
         for anchor_ord, (_name, required, pats) in enumerate(_ANCHOR_SPEC[stmt]):
             cond = F.lit(False)
             for p in pats:
                 cond = cond | name0.rlike(p) | name1.rlike(p)
-            entries.append(
-                F.when(
-                    cond,
-                    F.struct(
-                        F.lit(stmt).alias("stmt"),
-                        F.lit("a").alias("kind"),
-                        F.lit(anchor_ord).alias("ord"),
-                        F.lit(required).alias("req"),
-                    ),
-                )
-            )
-        cond_e = F.lit(False)
+                trigger_chars.add(p[1])
+            guarded.append(_hit(stmt, "a", anchor_ord, required, cond))
+        cond_g = F.lit(False)
+        cond_u = F.lit(False)
+        any_guarded = any_unguarded = False
         for p in STATEMENT_END_PATTERNS[stmt]:
-            cond_e = cond_e | name0.rlike(p)
-        entries.append(
-            F.when(
-                cond_e,
-                F.struct(
-                    F.lit(stmt).alias("stmt"),
-                    F.lit("e").alias("kind"),
-                    F.lit(-1).alias("ord"),
-                    F.lit(False).alias("req"),
-                ),
-            )
-        )
-    return F.array_compact(F.array(*entries))
+            if p.startswith("^.*"):
+                cond_u = cond_u | name0.rlike(p)
+                any_unguarded = True
+            else:
+                cond_g = cond_g | name0.rlike(p)
+                trigger_chars.add(p[1])
+                any_guarded = True
+        if any_guarded:
+            guarded.append(_hit(stmt, "e", -1, False, cond_g))
+        if any_unguarded:
+            unguarded.append(_hit(stmt, "e", -1, False, cond_u))
+
+    chars = sorted(trigger_chars)
+    trigger = F.substring(name0, 1, 1).isin(chars) | F.substring(name1, 1, 1).isin(chars)
+    guarded_arr = F.when(trigger, F.array(*guarded)).otherwise(F.array().cast(_HIT_TYPE))
+    if unguarded:
+        return F.array_compact(F.concat(guarded_arr, F.array(*unguarded)))
+    return F.array_compact(guarded_arr)
 
 
 def identify_structures(

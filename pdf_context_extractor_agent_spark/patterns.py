@@ -383,10 +383,14 @@ def item_pattern_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def item_pattern_list() -> list[tuple[int, str]]:
+def item_pattern_list(statement_type: str | None = None) -> list[tuple[int, str]]:
     """(pid, pattern) literals for codegen'd matching (see
-    functions.text.matched_pattern_ids)."""
-    return [(r[0], r[4]) for r in _item_rows()]
+    functions.text.matched_pattern_ids); optionally restricted to one
+    statement's bank so each row only evaluates its own ~70 regexes."""
+    return [
+        (r[0], r[4]) for r in _item_rows()
+        if statement_type is None or r[1] == statement_type
+    ]
 
 
 def item_pid_ranges() -> dict[str, tuple[int, int]]:
