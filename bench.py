@@ -37,7 +37,7 @@ DO_SCALING = "--no-scaling" not in sys.argv
 CORES_LOW, CORES_HIGH = 4, 16
 # scaling-leg corpus: large enough that per-doc work dominates the
 # ~5-10s of fixed driver/stage orchestration
-N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000" if QUICK else "36000"))
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000" if QUICK else "60000"))
 
 # AQE is ON in the engine defaults (skew-join/runtime re-plan matter at
 # 100 TB) but OFF for the bench session: at this data size AQE's
