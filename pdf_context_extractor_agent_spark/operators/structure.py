@@ -109,8 +109,11 @@ def identify_structures(
     header row, exactly like the reference (balance_sheet.py:187-196 →
     get_header_info default).
     """
-    name0 = name_from_cell(F.element_at(F.col("cells"), 1))
-    name1 = name_from_cell(F.element_at(F.col("cells"), 2))
+    # try_element_at: ANSI mode (Spark 4 default) makes plain
+    # element_at THROW on rows shorter than the index — one ragged
+    # 1-cell table row must not abort a 10^12-row job
+    name0 = name_from_cell(F.try_element_at(F.col("cells"), F.lit(1)))
+    name1 = name_from_cell(F.try_element_at(F.col("cells"), F.lit(2)))
     row_text = nonempty_row_text(F.col("cells"))
     hdr_flag = row_text.rlike(HEADER_MUST_MATCH) & row_text.rlike(HEADER_ALSO_MATCH)
 
@@ -143,7 +146,7 @@ def identify_structures(
         sorted_by_ord,
         F.array().cast("array<struct<o:int,r:int,q:boolean>>"),
         lambda acc, x: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1)["o"] == x["o"]), acc
+            (F.size(acc) > 0) & (F.try_element_at(acc, F.lit(-1))["o"] == x["o"]), acc
         ).otherwise(F.concat(acc, F.array(x))),
     )
     df = df.withColumn("amins", amins)

@@ -159,3 +159,21 @@ def test_p4_split_excludes_parent_company_rows(spark, page_df):
     cnt = rows.filter(F.element_at("cells", 1) == "货币资金").count()
     assert cnt == 1
     assert rows.filter(F.element_at("cells", 1).contains("母公司")).count() == 0
+
+
+def test_ragged_one_cell_rows_do_not_abort(spark):
+    """ANSI-mode regression: a document containing a 1-cell table row
+    (ragged extraction output) must parse, not abort the job."""
+    from pdf_context_extractor_agent_spark.operators.merge import merged_clean_rows
+
+    table = [
+        ["合并资产负债表"],                       # 1-cell row
+        ["项目", "本期末", "上期末", "附注"],
+        ["流动资产：", "", "", ""],
+        ["货币资金", "100.00", "90.00", "六、1"],
+        ["流动资产合计", "100.00", "90.00", ""],
+    ]
+    raw = rows_from_tables(spark, "ragged", [table])
+    res = _parse_from_rows(merged_clean_rows(raw), spark, ("balance_sheet",))
+    rows = res["parsed"].collect()  # must not raise
+    assert {r.standard_name for r in rows} >= {"货币资金", "current_assets_total"}
