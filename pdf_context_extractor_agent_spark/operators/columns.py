@@ -221,43 +221,28 @@ def header_maps(header_rows: DataFrame) -> DataFrame:
     )
 
 
-def extract_items(ranged_rows: DataFrame) -> DataFrame:
-    """Per-row extraction over rows carrying their header row's cells.
+def extract_items_fallback(ranged_rows: DataFrame) -> DataFrame:
+    """Arrow-kernel extraction for the DYNAMIC path: rows whose arity
+    diverges from the header map (or that have no usable header) get
+    the per-row re-analysis of base_statement_parser.py:134-149.
 
-    Input: (url, statement_type, row_idx, cells, header_cells) where
-    ``header_cells`` is null when no valid header exists → the reference
-    default header map (item col 0, everything else dynamic —
-    base_statement_parser.py:81-93). Header analysis (C1-C3) runs once
-    per distinct header inside the kernel (memoized per batch), so the
-    standalone header stage disappears from the plan.
-
-    Output drops rows with empty item names — the reference
-    ``continue``s on them (balance_sheet.py:207-208).
+    Input: (url, statement_type, row_idx, cells, item_col, cur_col,
+    prev_col, note_col). Output drops rows with empty item names — the
+    reference ``continue``s on them (balance_sheet.py:207-208).
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[tuple, tuple] = {}
-
-        def header_map(hdr) -> tuple:
-            if hdr is None:
-                return (0, None, None, None)
-            key = tuple(hdr)
-            if key not in memo:
-                m = analyze_columns(list(hdr))
-                memo[key] = (
-                    m.get("item_name", 0),
-                    m.get("current_period"),
-                    m.get("previous_period"),
-                    m.get("note"),
-                )
-            return memo[key]
-
         for b in batches:
             recs = []
-            for url, stmt, ridx, cells, hdr in zip(
-                b["url"], b["statement_type"], b["row_idx"], b["cells"], b["header_cells"]
+            for url, stmt, ridx, cells, ic, cc, pc, nc in zip(
+                b["url"], b["statement_type"], b["row_idx"], b["cells"],
+                b["item_col"], b["cur_col"], b["prev_col"], b["note_col"],
             ):
-                ic, cc, pc, nc = header_map(hdr)
-                name, cur, prev, note = extract_row(list(cells), ic, cc, pc, nc)
+                def _i(v):
+                    return None if pd.isna(v) else int(v)
+
+                name, cur, prev, note = extract_row(
+                    list(cells), _i(ic) if not pd.isna(ic) else 0, _i(cc), _i(pc), _i(nc)
+                )
                 if name:
                     recs.append((url, stmt, int(ridx), name, cur, prev, note))
             yield pd.DataFrame(
@@ -267,3 +252,88 @@ def extract_items(ranged_rows: DataFrame) -> DataFrame:
             )
 
     return ranged_rows.mapInPandas(kernel, schema=_ITEM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JVM fast path: the standard header-map extraction (C5-C7) as pure
+# column expressions — the hot path never leaves whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_NOTE_RE_UNION = "|".join(NOTE_FORMAT_PATTERNS + [NOTE_PURE_DIGIT])
+
+
+def _at(cells, pos0):
+    """0-based ANSI-safe cell access (null when out of range)."""
+    return F.when(pos0 >= 0, F.try_element_at(cells, pos0 + F.lit(1)))
+
+
+def _money_ok(c):
+    return c.isNotNull() & (F.trim(c) != "") & F.trim(c).rlike(MONEY_FORMAT)
+
+
+def _note_ok(c):
+    return c.isNotNull() & (F.trim(c) != "") & F.trim(c).rlike(_NOTE_RE_UNION)
+
+
+def _clean_c6(c):
+    """C6 numeric cleanup as expressions (column_analyzer.py:442-465)."""
+    cleaned = F.regexp_replace(F.regexp_replace(c, r"[^0-9.,\-]", ""), ",", "")
+    return F.when(cleaned.isin("", "-", "--"), F.lit(None).cast("string")).otherwise(cleaned)
+
+
+def _probe_numeric(cells, idx):
+    """C5 numeric probing: exact column, else left-only [-1, -2]."""
+    return F.coalesce(
+        *[F.when(_money_ok(_at(cells, idx + off)), _at(cells, idx + off)) for off in (0, -1, -2)]
+    )
+
+
+def _probe_note(cells, idx):
+    """C5 note probing: exact column, else [-1, +1, -2, +2]."""
+    return F.coalesce(
+        *[F.when(_note_ok(_at(cells, idx + off)), _at(cells, idx + off))
+          for off in (0, -1, 1, -2, 2)]
+    )
+
+
+def _name_at(cells, pos0):
+    """C7 candidate: cell at pos, CR/LF-stripped, null when empty."""
+    cleaned = F.trim(F.regexp_replace(F.coalesce(_at(cells, pos0), F.lit("")), r"[\n\r]", ""))
+    return F.when(cleaned != "", cleaned)
+
+
+def extract_items_jvm(ranged_rows: DataFrame) -> DataFrame:
+    """Standard-path extraction fully in column expressions."""
+    cells = F.col("cells")
+    ic = F.coalesce(F.col("item_col"), F.lit(0))
+    cc, pc, nc = F.col("cur_col"), F.col("prev_col"), F.col("note_col")
+    name = F.coalesce(_name_at(cells, ic), _name_at(cells, F.lit(0)), _name_at(cells, F.lit(1)))
+    cur = F.when(cc.isNotNull(), _clean_c6(_probe_numeric(cells, cc)))
+    prev = F.when(pc.isNotNull(), _clean_c6(_probe_numeric(cells, pc)))
+    note = F.when(nc.isNotNull(), F.trim(_probe_note(cells, nc)))
+    return ranged_rows.select(
+        "url", "statement_type", "row_idx",
+        name.alias("item_name"),
+        cur.alias("current_period"),
+        prev.alias("previous_period"),
+        note.alias("note"),
+    ).filter(F.col("item_name").isNotNull())
+
+
+def extract_items(ranged_rows: DataFrame) -> DataFrame:
+    """C5-C7 extraction, routed: rows whose arity fits the header map
+    (the overwhelming majority) run as codegen'd expressions; arity
+    mismatches / headerless rows take the Arrow kernel with per-row
+    re-analysis — exactly the reference's standard-vs-dynamic dispatch
+    (base_statement_parser.py:134-149), partitioned by path instead of
+    branching per row in Python.
+    """
+    n = F.size(F.col("cells"))
+    expected = F.greatest(F.coalesce(F.col("cur_col"), F.lit(0)),
+                          F.coalesce(F.col("prev_col"), F.lit(0))) + 1
+    standard = (
+        F.col("cur_col").isNotNull() & (n >= expected) & (F.abs(n - expected) <= 1)
+    )
+    jvm = extract_items_jvm(ranged_rows.filter(standard))
+    dyn = extract_items_fallback(ranged_rows.filter(~standard))
+    return jvm.unionByName(dyn)

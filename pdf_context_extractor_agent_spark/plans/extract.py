@@ -16,8 +16,9 @@ callers write or further compose. Plan shape: one shuffle to establish
 per-url row order, broadcast joins for every dimension table (pattern
 banks and the per-doc structure rows — see SCALE.md for when the
 latter flips to a co-partitioned join), window functions for all
-ordering logic, ONE Arrow kernel hop (row extraction over the bounded
-statement range; header analysis runs inside it, memoized per header).
+ordering logic. Row extraction runs as codegen'd column expressions for
+the standard header-map path; only arity-mismatch/headerless rows take
+the Arrow kernel (plus a one-row-per-document header-analysis hop).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..kernels import extract_pages
 from ..operators.boundary import balance_boundaries, prune_rows_to_boundary
-from ..operators.columns import extract_items
+from ..operators.columns import extract_items, header_maps
 from ..operators.match import match_items
 from ..operators.merge import merged_clean_rows, rows_long, tables_long
 from ..operators.structure import identify_structures
@@ -51,8 +52,8 @@ def _parse_from_rows(
     rows = rows.persist()
     structure = identify_structures(rows, spark, statement_types).persist()
 
-    # header row cells per (url, statement); the C1-C3 analysis itself
-    # happens inside the extraction kernel (memoized per header).
+    # header column map per (url, statement): C1-C3 over the header row
+    # cells (a tiny Arrow hop — one row per document-statement).
     # ``structure`` is a handful of rows per document — broadcast it so
     # the big ``rows`` relation is never reshuffled. (On a 10^12-row
     # corpus structure is too big to broadcast whole; there this becomes
@@ -64,10 +65,11 @@ def _parse_from_rows(
             .select("url", "statement_type", F.col("header_row").alias("row_idx"))
         )
         .join(rows.select("url", "row_idx", "cells"), ["url", "row_idx"])
-        .select("url", "statement_type", F.col("cells").alias("header_cells"))
+        .select("url", "statement_type", "cells")
     )
+    hmaps = header_maps(hdr_rows)
 
-    # bounded statement range per (url, statement) + header cells
+    # bounded statement range per (url, statement) + header map
     ranged = (
         rows.select("url", "row_idx", "cells")
         .join(
@@ -75,8 +77,9 @@ def _parse_from_rows(
             "url",
         )
         .filter(F.col("row_idx").between(F.col("parse_start"), F.col("parse_end")))
-        .join(F.broadcast(hdr_rows), ["url", "statement_type"], "left")
-        .select("url", "statement_type", "row_idx", "cells", "header_cells")
+        .join(F.broadcast(hmaps), ["url", "statement_type"], "left")
+        .select("url", "statement_type", "row_idx", "cells",
+                "item_col", "cur_col", "prev_col", "note_col")
     )
     items = extract_items(ranged)
     m = match_items(items, spark)
