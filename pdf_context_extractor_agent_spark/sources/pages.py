@@ -24,6 +24,27 @@ def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
         return spark.read.parquet(path_or_table)
 
 
+DEFAULT_JUMBO_BYTES = 8 * 1024 * 1024
+
+
+def split_by_size(
+    df: DataFrame, threshold_bytes: int = DEFAULT_JUMBO_BYTES
+) -> tuple[DataFrame, DataFrame]:
+    """Skew lane for oversized documents (SCALE.md).
+
+    A 500 MB report in a partition of 7 KB pages makes that task the
+    straggler of the whole stage. Split the corpus at a size threshold:
+    the normal lane keeps dense salted partitions, the jumbo lane gets
+    one document per partition (repartition on url puts each key alone
+    when partitions ≥ docs) so a monster doc can only delay itself.
+    Both lanes run the identical plan; union the outputs.
+    """
+    size = F.length("html")
+    normal = df.filter(size <= threshold_bytes)
+    jumbo = df.filter(size > threshold_bytes).repartition(F.col("url"))
+    return normal, jumbo
+
+
 def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Skew guard for the layout kernel (SURVEY.md §4 item 1).
 

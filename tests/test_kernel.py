@@ -135,3 +135,34 @@ def test_malformed_documents_degrade_not_throw():
         assert isinstance(pages, list)
         for p in pages:
             assert set(p) == {"page", "width", "height", "page_text", "lines", "tables"}
+
+
+def test_jumbo_document_skew_lane(spark):
+    """split_by_size routes oversized docs to one-doc partitions; both
+    lanes produce byte-identical extraction."""
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.kernels import extract_pages
+    from pdf_context_extractor_agent_spark.sources import split_by_size
+
+    pg = pages_df_for_skew(spark)
+    normal, jumbo = split_by_size(pg, threshold_bytes=50_000)
+    assert normal.count() == 6 and jumbo.count() == 1
+    # jumbo lane: the monster doc sits alone in its partition
+    parts = jumbo.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+    assert all(r["count"] == 1 for r in parts)
+    out = extract_pages(normal).unionByName(extract_pages(jumbo))
+    texts = {r.url: True for r in out.select("url").distinct().collect()}
+    assert len(texts) == 7
+
+
+def pages_df_for_skew(spark):
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+
+    rows = [make_doc(i) for i in range(6)]
+    url, ts, blob, text, lang = make_doc(100)
+    fat = blob * 40  # ~a few hundred KB of repeated content
+    rows.append((url, ts, fat, text, lang))
+    from pdf_context_extractor_agent_spark.corpus import PAGES_SCHEMA
+
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
