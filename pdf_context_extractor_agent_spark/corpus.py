@@ -391,13 +391,80 @@ def render_pdfish(pages: list[Page]) -> bytes:
     return ("\n".join(out) + "\n").encode("utf-8")
 
 
+def render_minipdf_doc(pages: list[Page]) -> bytes:
+    """Render the content model as a structurally valid minimal PDF:
+    same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
+    ruling-line grids) but expressed in real PDF content-stream
+    operators (Tm/Td/Tj text, m-l-S rules) with bottom-left origin."""
+    from .kernels.minipdf_layout import PAGE_H, _escape, render_minipdf
+
+    streams = []
+    for page in pages:
+        ops: list[str] = []
+
+        def text(x: int, ly: int, s: str) -> None:
+            ops.append(f"BT /F1 10 Tf 1 0 0 1 {x} {PAGE_H - ly} Tm ({_escape(s)}) Tj ET")
+
+        def seg(x1: int, ly1: int, x2: int, ly2: int) -> None:
+            ops.append(f"{x1} {PAGE_H - ly1} m {x2} {PAGE_H - ly2} l S")
+
+        y = 20
+        for kind, payload in page:
+            if kind == "p":
+                # one text object per paragraph: first word positions via
+                # Tm, the rest via relative Td displacements
+                words = payload.split(" ")
+                parts = []
+                x_prev = y_prev = None
+                x = 20
+                for wi, word in enumerate(words):
+                    jit = (wi * 7 + y) % 3 - 1
+                    px, py = x, PAGE_H - (y + jit)
+                    if wi == 0:
+                        parts.append(f"1 0 0 1 {px} {py} Tm ({_escape(word)}) Tj")
+                    else:
+                        parts.append(f"{px - x_prev} {py - y_prev} Td ({_escape(word)}) Tj")
+                    x_prev, y_prev = px, py
+                    x += (len(word) + 1) * _CHAR_W
+                ops.append("BT /F1 10 Tf " + " ".join(parts) + " ET")
+                y += 12
+            else:
+                rows = payload
+                ncols = max(len(r) for r in rows)
+                col_w = [
+                    max((len(r[c]) if c < len(r) else 0) for r in rows) * _CHAR_W + 8
+                    for c in range(ncols)
+                ]
+                cols_x = [20]
+                for w in col_w:
+                    cols_x.append(cols_x[-1] + w)
+                rows_y = [y + k * 12 for k in range(len(rows) + 1)]
+                for ry in rows_y:
+                    seg(cols_x[0], ry, cols_x[-1], ry)
+                for cx in cols_x:
+                    seg(cx, rows_y[0], cx, rows_y[-1])
+                for ri, r in enumerate(rows):
+                    cy = rows_y[ri] + 3
+                    for ci, cell in enumerate(r):
+                        if cell:
+                            text(cols_x[ci] + 2, cy, cell)
+                y = rows_y[-1] + 12
+        streams.append("\n".join(ops))
+    return render_minipdf(streams)
+
+
 def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
     pages, lang = doc_content(i)
     kind = i % 10
     ext = "pdf" if kind in (3, 4) else "html"
     url = f"https://reports.example.com/{i % 97:02d}/doc{i:08d}.{ext}"
     warc_ts = _EPOCH + dt.timedelta(seconds=i % 86_400)
-    blob = render_pdfish(pages) if kind in (3, 4) else render_html(pages).encode("utf-8")
+    if kind == 3:
+        blob = render_pdfish(pages)
+    elif kind == 4:
+        blob = render_minipdf_doc(pages)
+    else:
+        blob = render_html(pages).encode("utf-8")
     return url, warc_ts, blob, render_text(pages), lang
 
 

@@ -181,11 +181,14 @@ def parse_doc(blob: bytes) -> list[dict]:
     retries, the whole 10^12-row job). The lineage layer surfaces such
     documents as zero-text pages rather than exceptions.
     """
+    from .minipdf_layout import is_minipdf, parse_minipdf
     from .pdfish_layout import is_pdfish, parse_pdfish
 
     try:
         if is_pdfish(blob):
             return parse_pdfish(blob)
+        if is_minipdf(blob):
+            return parse_minipdf(blob)
         return parse_html_doc(blob)
     except Exception:
         return [{"page": 1, "width": 612.0, "height": 792.0,

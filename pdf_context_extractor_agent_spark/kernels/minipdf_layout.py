@@ -1,0 +1,179 @@
+"""Minimal REAL-PDF content-stream kernel.
+
+The north-star brief calls for "tokenizing content streams" of PDF byte
+streams. This module handles a structurally genuine PDF subset —
+``%PDF-1.4`` header, numbered objects, page tree, per-page
+uncompressed content streams, xref table, trailer — whose streams use
+the real PDF operator vocabulary:
+
+    BT … ET                 text object
+    a b c d e f Tm          text matrix (absolute positioning; e,f = x,y)
+    tx ty Td                relative line displacement
+    (string) Tj             show text
+    x y m   x y l   S       path moveto/lineto/stroke (ruling lines)
+
+The tokenizer walks each stream, tracks the text matrix, and emits
+positioned glyph runs + ruling segments; PDF's bottom-left origin is
+flipped to layout (top-down) Y. Reconstruction — Y-clustering into
+lines, ruling-grid table detection, reading order — is shared with the
+FPDF1 kernel (`pdfish_layout.assemble_pages`), so both formats satisfy
+the same byte-identity oracle.
+
+Simplifications vs full PDF (documented contract of the subset): one
+content stream per page in document order, streams uncompressed, text
+strings UTF-8 inside literal-string syntax (real CJK PDFs use CID font
+CMaps — encoding-layer work orthogonal to layout reconstruction).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .pdfish_layout import assemble_pages
+
+PAGE_W, PAGE_H = 612, 792
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+
+# content-stream token: literal string (with \-escapes), number, or operator
+_TOKEN_RE = re.compile(
+    r"""\((?:\\.|[^\\()])*\)   # literal string
+      | [-+]?\d+(?:\.\d+)?     # number
+      | /[A-Za-z0-9]+          # name
+      | [A-Za-z']{1,3}\*?      # operator
+    """,
+    re.X,
+)
+
+
+def is_minipdf(blob: bytes) -> bool:
+    return blob[:5] == b"%PDF-"
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _tokenize_stream(data: str) -> dict:
+    """One content stream → {runs, h, v} in layout (top-down) coords."""
+    runs: list[tuple[int, int, str]] = []
+    h_segs: list[tuple[int, int, int, int]] = []
+    v_segs: list[tuple[int, int, int, int]] = []
+    stack: list = []
+    tx = ty = 0.0          # current text position (PDF coords)
+    path_pt: tuple[float, float] | None = None
+    pending_seg: tuple[float, float, float, float] | None = None
+
+    def flip(y: float) -> int:
+        return int(PAGE_H - y)
+
+    for m in _TOKEN_RE.finditer(data):
+        tok = m.group(0)
+        if tok.startswith("("):
+            stack.append(("str", _unescape(tok[1:-1])))
+        elif tok.startswith("/"):
+            stack.append(("name", tok))
+        elif tok[0].isdigit() or tok[0] in "+-":
+            stack.append(("num", float(tok)))
+        else:
+            if tok == "Tm" and len(stack) >= 6:
+                tx, ty = stack[-2][1], stack[-1][1]
+                stack.clear()
+            elif tok == "Td" and len(stack) >= 2:
+                tx += stack[-2][1]
+                ty += stack[-1][1]
+                stack.clear()
+            elif tok == "Tj" and stack and stack[-1][0] == "str":
+                runs.append((int(tx), flip(ty), stack[-1][1]))
+                stack.clear()
+            elif tok == "m" and len(stack) >= 2:
+                path_pt = (stack[-2][1], stack[-1][1])
+                stack.clear()
+            elif tok == "l" and len(stack) >= 2 and path_pt is not None:
+                x1, y1 = path_pt
+                x2, y2 = stack[-2][1], stack[-1][1]
+                pending_seg = (x1, y1, x2, y2)
+                path_pt = (x2, y2)
+                stack.clear()
+            elif tok == "S":
+                if pending_seg is not None:
+                    x1, y1, x2, y2 = pending_seg
+                    seg = (int(x1), flip(y1), int(x2), flip(y2))
+                    if seg[1] == seg[3]:
+                        h_segs.append(seg)
+                    else:
+                        v_segs.append(seg)
+                    pending_seg = None
+                path_pt = None
+                stack.clear()
+            elif tok in ("BT", "ET"):
+                stack.clear()
+            else:  # Tf and friends: consume operands
+                stack.clear()
+    return {"runs": runs, "h": h_segs, "v": v_segs,
+            "width": float(PAGE_W), "height": float(PAGE_H)}
+
+
+def parse_minipdf(blob: bytes) -> list[dict]:
+    """PDF bytes → per-page structs via the shared layout reconstruction."""
+    pages_raw = [
+        _tokenize_stream(m.group(1).decode("utf-8", errors="replace"))
+        for m in _STREAM_RE.finditer(blob)
+    ]
+    return assemble_pages(pages_raw)
+
+
+# ---------------------------------------------------------------------------
+# writer (used by the corpus generator)
+# ---------------------------------------------------------------------------
+
+def _escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def render_minipdf(pages_streams: list[str]) -> bytes:
+    """Assemble a structurally valid PDF around per-page content streams
+    (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer)."""
+    objects: list[bytes] = []
+    n_pages = len(pages_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, content in enumerate(pages_streams):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+                f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 {3 + 2 * n_pages} 0 R >> >> >>"
+            ).encode()
+        )
+        data = content.encode("utf-8")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(data), data)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_pos)
+    )
+    return bytes(out)

@@ -135,7 +135,13 @@ def parse_pdfish(blob: bytes) -> list[dict]:
         elif op == "L" and page is not None:
             x1, y1, x2, y2 = (int(v) for v in rest.split(" "))
             (page["h"] if y1 == y2 else page["v"]).append((x1, y1, x2, y2))
+    return assemble_pages(pages_raw)
 
+
+def assemble_pages(pages_raw: list[dict]) -> list[dict]:
+    """Layout reconstruction shared by every positioned-glyph format
+    (FPDF1 and the minimal real-PDF tokenizer): runs + ruling segments →
+    lines (Y-clustered), tables (grid-detected), reading order."""
     out = []
     for page_no, p in enumerate(pages_raw, start=1):
         grids = _detect_grids(p["h"], p["v"])

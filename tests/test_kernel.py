@@ -166,3 +166,52 @@ def pages_df_for_skew(spark):
     from pdf_context_extractor_agent_spark.corpus import PAGES_SCHEMA
 
     return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_minipdf_real_structure_and_tokenizer():
+    """Kind-4 docs are structurally genuine PDFs (header, objects, xref,
+    trailer, Length-tagged streams) and the content-stream tokenizer
+    reconstructs the identical layout."""
+    from pdf_context_extractor_agent_spark.kernels import parse_doc
+
+    _, _, blob, text, _ = make_doc(4)
+    assert blob.startswith(b"%PDF-1.4")
+    assert b"xref" in blob and b"trailer" in blob and b"%%EOF" in blob
+    assert blob.count(b"stream") >= 8  # one content stream per page
+    pages = parse_doc(blob)
+    assert "\n".join(p["page_text"] for p in pages) == text
+
+
+def test_minipdf_handwritten_operators():
+    """Tokenizer semantics on a hand-written stream: Tm absolute, Td
+    relative displacement, m-l-S rules forming a 1x2 grid."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    stream = "\n".join([
+        "BT /F1 10 Tf 1 0 0 1 20 772 Tm (hello) Tj 40 0 Td (world) Tj ET",
+        # grid: rows at y=740,728 (layout 52,64), cols at x=20,80,140
+        "20 752 m 140 752 l S", "20 740 m 140 740 l S", "20 728 m 140 728 l S",
+        "20 752 m 20 728 l S", "80 752 m 80 728 l S", "140 752 m 140 728 l S",
+        "BT /F1 10 Tf 1 0 0 1 22 749 Tm (a) Tj ET",
+        "BT /F1 10 Tf 1 0 0 1 82 749 Tm (b) Tj ET",
+        "BT /F1 10 Tf 1 0 0 1 22 737 Tm (c) Tj ET",
+    ])
+    pages = parse_minipdf(render_minipdf([stream]))
+    assert pages[0]["page_text"].splitlines()[0] == "hello world"
+    tabs = pages[0]["tables"]
+    assert len(tabs) == 1
+    assert tabs[0][3] == [["a", "b"], ["c", ""]]
+
+
+def test_minipdf_string_escapes():
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    stream = r"BT 1 0 0 1 20 772 Tm (pa\(ren\)s \\ slash) Tj ET"
+    pages = parse_minipdf(render_minipdf([stream]))
+    assert pages[0]["page_text"] == r"pa(ren)s \ slash"
