@@ -87,3 +87,35 @@ def test_pdfish_roundtrip_property(pages):
     model expressible in the corpus block language."""
     got = "\n".join(p["page_text"] for p in parse_pdfish(render_pdfish(pages)))
     assert got == render_text(pages)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.lists(_WORD, min_size=1, max_size=6).map(lambda ws: ("p", " ".join(ws))),
+                st.integers(min_value=1, max_value=4).flatmap(
+                    lambda ncols: st.lists(
+                        st.lists(st.one_of(_WORD, st.just("")),
+                                 min_size=ncols, max_size=ncols),
+                        min_size=1,
+                        max_size=4,
+                    )
+                ).map(lambda rows: ("table", rows)),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_minipdf_roundtrip_property(pages):
+    """The real-PDF writer ∘ content-stream tokenizer is also the
+    identity on page text for any content model."""
+    from pdf_context_extractor_agent_spark.corpus import render_minipdf_doc
+    from pdf_context_extractor_agent_spark.kernels import parse_doc
+
+    got = "\n".join(p["page_text"] for p in parse_doc(render_minipdf_doc(pages)))
+    assert got == render_text(pages)
