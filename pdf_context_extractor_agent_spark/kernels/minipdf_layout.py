@@ -35,12 +35,13 @@ PAGE_W, PAGE_H = 612, 792
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 
-# content-stream token: literal string (with \-escapes), number, or operator
+# content-stream token classes (group index = token kind, dispatched
+# via match.lastindex — cheaper than re-inspecting the lexeme)
 _TOKEN_RE = re.compile(
-    r"""\((?:\\.|[^\\()])*\)   # literal string
-      | [-+]?\d+(?:\.\d+)?     # number
-      | /[A-Za-z0-9]+          # name
-      | [A-Za-z']{1,3}\*?      # operator
+    r"""(\((?:\\.|[^\\()])*\))   # 1: literal string
+      | ([-+]?\d+(?:\.\d+)?)     # 2: number
+      | (/[A-Za-z0-9]+)          # 3: name
+      | ([A-Za-z']{1,3}\*?)      # 4: operator
     """,
     re.X,
 )
@@ -78,33 +79,34 @@ def _tokenize_stream(data: str) -> dict:
         return int(PAGE_H - y)
 
     for m in _TOKEN_RE.finditer(data):
-        tok = m.group(0)
-        if tok.startswith("("):
-            stack.append(("str", _unescape(tok[1:-1])))
-        elif tok.startswith("/"):
-            stack.append(("name", tok))
-        elif tok[0].isdigit() or tok[0] in "+-":
-            stack.append(("num", float(tok)))
+        kind = m.lastindex
+        if kind == 2:  # number (the most frequent token)
+            stack.append(m.group(2))
+        elif kind == 1:  # literal string
+            stack.append(m.group(1))
+        elif kind == 3:  # name
+            stack.append(None)
         else:
-            if tok == "Tm" and len(stack) >= 6:
-                tx, ty = stack[-2][1], stack[-1][1]
-                stack.clear()
-            elif tok == "Td" and len(stack) >= 2:
-                tx += stack[-2][1]
-                ty += stack[-1][1]
-                stack.clear()
-            elif tok == "Tj" and stack and stack[-1][0] == "str":
-                runs.append((int(tx), flip(ty), stack[-1][1]))
-                stack.clear()
-            elif tok == "m" and len(stack) >= 2:
-                path_pt = (stack[-2][1], stack[-1][1])
-                stack.clear()
-            elif tok == "l" and len(stack) >= 2 and path_pt is not None:
-                x1, y1 = path_pt
-                x2, y2 = stack[-2][1], stack[-1][1]
-                pending_seg = (x1, y1, x2, y2)
-                path_pt = (x2, y2)
-                stack.clear()
+            tok = m.group(4)
+            if tok == "Tj":
+                if stack and isinstance(stack[-1], str) and stack[-1].startswith("("):
+                    runs.append((int(tx), flip(ty), _unescape(stack[-1][1:-1])))
+            elif tok == "Tm":
+                if len(stack) >= 6:
+                    tx, ty = float(stack[-2]), float(stack[-1])
+            elif tok == "Td":
+                if len(stack) >= 2:
+                    tx += float(stack[-2])
+                    ty += float(stack[-1])
+            elif tok == "m":
+                if len(stack) >= 2:
+                    path_pt = (float(stack[-2]), float(stack[-1]))
+            elif tok == "l":
+                if len(stack) >= 2 and path_pt is not None:
+                    x1, y1 = path_pt
+                    x2, y2 = float(stack[-2]), float(stack[-1])
+                    pending_seg = (x1, y1, x2, y2)
+                    path_pt = (x2, y2)
             elif tok == "S":
                 if pending_seg is not None:
                     x1, y1, x2, y2 = pending_seg
@@ -115,11 +117,7 @@ def _tokenize_stream(data: str) -> dict:
                         v_segs.append(seg)
                     pending_seg = None
                 path_pt = None
-                stack.clear()
-            elif tok in ("BT", "ET"):
-                stack.clear()
-            else:  # Tf and friends: consume operands
-                stack.clear()
+            stack.clear()
     return {"runs": runs, "h": h_segs, "v": v_segs,
             "width": float(PAGE_W), "height": float(PAGE_H)}
 
