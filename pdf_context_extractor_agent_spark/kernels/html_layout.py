@@ -184,15 +184,22 @@ def parse_doc(blob: bytes) -> list[dict]:
     from .minipdf_layout import is_minipdf, parse_minipdf
     from .pdfish_layout import is_pdfish, parse_pdfish
 
+    empty = [{"page": 1, "width": 612.0, "height": 792.0,
+              "page_text": "", "lines": [], "tables": []}]
     try:
         if is_pdfish(blob):
-            return parse_pdfish(blob)
-        if is_minipdf(blob):
-            return parse_minipdf(blob)
-        return parse_html_doc(blob)
+            pages = parse_pdfish(blob)
+        elif is_minipdf(blob):
+            pages = parse_minipdf(blob)
+        else:
+            pages = parse_html_doc(blob)
+        # zero pages (e.g. a corrupt PDF with no parseable streams) must
+        # still yield one empty page: otherwise the url vanishes from
+        # every output AND from the lineage/resume bookkeeping, so a
+        # checkpointed rerun would re-process the poison doc forever
+        return pages or empty
     except Exception:
-        return [{"page": 1, "width": 612.0, "height": 792.0,
-                 "page_text": "", "lines": [], "tables": []}]
+        return empty
 
 
 def parse_html_doc(html_bytes: bytes) -> list[dict]:

@@ -215,3 +215,13 @@ def test_minipdf_string_escapes():
     stream = r"BT 1 0 0 1 20 772 Tm (pa\(ren\)s \\ slash) Tj ET"
     pages = parse_minipdf(render_minipdf([stream]))
     assert pages[0]["page_text"] == r"pa(ren)s \ slash"
+
+
+def test_zero_page_parse_yields_placeholder():
+    """A corrupt PDF that parses to zero pages must still emit one empty
+    page so the url stays visible to outputs and resume bookkeeping."""
+    from pdf_context_extractor_agent_spark.kernels import parse_doc
+
+    pages = parse_doc(b"%PDF-1.4\ngarbage with no streams")
+    assert len(pages) == 1 and pages[0]["page_text"] == ""
+    assert parse_doc(b"")[0]["page_text"] == ""
