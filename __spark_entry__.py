@@ -141,11 +141,17 @@ def _q_pivot(spark, sf):
 
 def _q_sessionize(spark, sf):
     """Gap-based sessionization (30-min inactivity) — the classic
-    cumulative-sum-of-boundaries window pattern."""
+    cumulative-sum-of-boundaries window pattern.
+
+    Gaps are computed at MICROSECOND precision: ``unix_timestamp``
+    floors fractional seconds while DuckDB's ``epoch()`` rounds, so a
+    seconds-granularity gap splits sessions differently near the
+    boundary. ``unix_micros`` / ``epoch_us`` agree exactly."""
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is TIMESTAMP_NTZ
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -269,12 +275,14 @@ def _q_n6_interval_assign(spark, sf):
 def _q_n8_continuity(spark, sf):
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond precision — see _q_sessionize
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     return (
         ev.withColumn("gap", gap)
         .groupBy("user_id")
         .agg(
-            F.count(F.when(F.col("gap") > 3600, 1)).alias("n_gaps"),
+            F.count(F.when(F.col("gap") > 3600 * 1_000_000, 1)).alias("n_gaps"),
             F.count("*").alias("n_events"),
         )
     )
@@ -466,7 +474,17 @@ def _q_multimodal(spark, sf):
         [(i, "image", make_fake_image(i, 16 + i % 8, 16)) for i in range(64)],
         "media_id long, kind string, payload binary",
     )
-    return image_features(media)
+    feats = image_features(media)
+    # the driver canonicalizes results by sorting every column, which
+    # dies on an array<double> column — project the histogram to a
+    # deterministic sortable scalar (rounded-JSON)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.to_json(F.transform("histogram", lambda x: F.round(x, 6))).alias("histogram_json"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -593,8 +611,8 @@ WITH words AS (
         "q_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, value, ts,
-                     CASE WHEN epoch(ts)::BIGINT
-                               - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT > 1800
+                     CASE WHEN epoch_us(ts)
+                               - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                           THEN 1 ELSE 0 END AS new_sess
               FROM events),
@@ -679,9 +697,9 @@ WITH words AS (
         "q_n8_continuity": """
             WITH g AS (
               SELECT user_id,
-                     epoch(ts)::BIGINT - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS gap
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
               FROM events)
-            SELECT user_id, count(CASE WHEN gap > 3600 THEN 1 END) AS n_gaps,
+            SELECT user_id, count(CASE WHEN gap > 3600000000 THEN 1 END) AS n_gaps,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
         "q_window_running": """
