@@ -378,6 +378,26 @@ def _q_minhash_md5(spark, sf):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _q_minhash_lsh_md5(spark, sf):
+    """Full LSH pipeline (signatures → bands → pairs → verify) with
+    md5 hashing so DuckDB replicates it bit-for-bit."""
+    from pdf_context_extractor_agent_spark.functions.dedup import minhash_md5_pipeline
+
+    out = minhash_md5_pipeline(_t(spark, sf, "documents"), threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"), "is_near_dup")
+
+
+def _q_simhash_md5(spark, sf):
+    """Full SimHash near-dup pipeline (fingerprint → bands → pairs →
+    Hamming) with md5 hashing + string fingerprints for the oracle."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        simhash_md5,
+        simhash_md5_near_dups,
+    )
+
+    return simhash_md5_near_dups(simhash_md5(_t(spark, sf, "documents")))
+
+
 def _q_embed_topk(spark, sf):
     from pdf_context_extractor_agent_spark.functions.similarity import cosine
 
@@ -522,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": _q_quality,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_md5": _q_minhash_md5,
+        "q_minhash_lsh_md5": _q_minhash_lsh_md5,
+        "q_simhash_md5": _q_simhash_md5,
         "q_embed_topk": _q_embed_topk,
         # kernel / LSH paths (rows-only)
         "q_minhash_lsh_dedup": _q_minhash_lsh,
@@ -553,6 +575,22 @@ WITH words AS (
     def hits(words: list[str]) -> str:
         pat = r"\b(" + "|".join(words) + r")\b"
         return f"len(regexp_extract_all(text, '{pat}'))"
+
+    # --- md5 LSH twins: generate the DuckDB mirror of the Spark plan ---
+    mh_sig = ", ".join(f"min(md5('{k}' || shingle)) AS mh_{k}" for k in range(16))
+    band_key = "CASE band_idx " + " ".join(
+        f"WHEN {b} THEN mh_{2*b} || '|' || mh_{2*b+1}" for b in range(8)
+    ) + " END"
+    band_vals = ", ".join(f"({b})" for b in range(8))
+    jacc = "len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))"
+
+    # 60-bit simhash: bit b = bit (3 - b%4) of hex nibble b//4 of md5(word)
+    sim_sums = ", ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1) // {div}) % 2 = 1 "
+        "THEN 1 ELSE -1 END) AS s{b}".format(pos=1 + b // 4, div=2 ** (3 - b % 4), b=b)
+        for b in range(60)
+    )
+    sim_fp = "||".join(f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)" for b in range(60))
 
     en = f"{hits(['the','a','of','and','is'])} / {lang_tokens}"
     es = f"{hits(['el','la','de','que','los'])} / {lang_tokens}"
@@ -764,6 +802,36 @@ WITH words AS (
                    min(md5('2' || shingle)) AS mh_2,
                    min(md5('3' || shingle)) AS mh_3
             FROM sh GROUP BY doc_id""",
+        "q_minhash_lsh_md5": f"""
+            {shingle_cte},
+            sigs AS (SELECT doc_id, {mh_sig} FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, band_idx, {band_key} AS band_key
+              FROM sigs CROSS JOIN (VALUES {band_vals}) b(band_idx)),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+            sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)
+            SELECT doc_a, doc_b, round({jacc}, 6) AS jaccard,
+                   {jacc} >= 0.5 AS is_near_dup
+            FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id""",
+        "q_simhash_md5": f"""
+            WITH words AS (
+              SELECT doc_id, md5(unnest(string_split({norm}, ' '))) AS h FROM documents),
+            sums AS (SELECT doc_id, {sim_sums} FROM words GROUP BY doc_id),
+            fps AS (SELECT doc_id, {sim_fp} AS fp FROM sums),
+            banded AS (
+              SELECT doc_id, fp, band_idx, substring(fp, band_idx * 15 + 1, 15) AS band_val
+              FROM fps CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx))
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   len(list_filter(list_transform(generate_series(1, 60),
+                                                  i -> substring(l.fp, i, 1) != substring(r.fp, i, 1)),
+                                   x -> x)) AS hamming
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+             AND l.doc_id < r.doc_id""",
         "q_embed_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -147,6 +147,136 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# md5-keyed oracle twins of the full LSH pipelines
+#
+# The production path hashes with xxhash64 (fast, JVM-side) which no
+# external engine reproduces; these twins swap ONLY the hash primitive
+# for md5 (bit-identical across Spark and DuckDB) so the complete
+# signatures → bands → candidate-pairs → verify pipeline is
+# oracle-checkable end to end. Plan shape is identical to the
+# production functions above — same groupBy(min) signatures, same
+# banded equi-join, same verify-after — so a green oracle here
+# certifies the banding/join/verify logic, not just the hashing.
+# ---------------------------------------------------------------------------
+
+def minhash_md5_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature with md5-string hashing (seed = prefix)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs_keyed(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signature by CONCATENATION (no re-hash): the band key is
+    the joined member strings, so any engine computes the same key. Same
+    bucket equi-join as :func:`lsh_candidate_pairs`."""
+    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    band_structs = []
+    for b in range(bands):
+        members = [F.col(c) for c in mh_cols[b * rows_per_band:(b + 1) * rows_per_band]]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *members).alias("band_key"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_md5_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full md5-keyed shingle→minhash→band→pairs→verify pipeline."""
+    sh = shingles(docs, id_col, text_col, n)
+    cands = lsh_candidate_pairs_keyed(minhash_md5_signatures(sh, num_hashes), bands)
+    return jaccard_verify(cands, sh, threshold)
+
+
+SIMHASH_MD5_BITS = 60  # 15 hex nibbles — fits a signed long on any engine
+
+
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over md5 word hashes, fingerprint as a '0'/'1'
+    STRING so banding and Hamming distance are pure string ops any
+    engine reproduces. Bit b = bit (3 - b%4) of hex nibble b//4."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
+    ).withColumn("h", F.md5("word"))
+    aggs = []
+    for b in range(SIMHASH_MD5_BITS):
+        nib = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    sums = words.groupBy("doc_id").agg(*aggs)
+    fp = F.concat(*[
+        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_MD5_BITS)
+    ])
+    return sums.select("doc_id", fp.alias("fp_bits"))
+
+
+def simhash_md5_near_dups(fps: DataFrame, band_chars: int = 15) -> DataFrame:
+    """Candidate pairs sharing any 15-char band of the bit string, with
+    exact Hamming distance via per-position char compare."""
+    n_bands = SIMHASH_MD5_BITS // band_chars
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.substring("fp_bits", b * band_chars + 1, band_chars).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = fps.select(
+        "doc_id", "fp_bits", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "fp_bits", "band.band_idx", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("l.fp_bits"), ""),
+                F.split(F.col("r.fp_bits"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

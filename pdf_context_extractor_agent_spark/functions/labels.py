@@ -14,6 +14,93 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Balance-sheet EN→ZH map (reference statement_labels.py:7-88). The
+# engine's balance standard names are already the canonical Chinese
+# strings, so this map serves the reference's lookup direction (EN key →
+# display label) plus the reverse (ZH → EN key) for users porting
+# reference workflows that address items by English key.
+BALANCE_SHEET_LABELS: dict[str, str] = {
+    # 流动资产
+    "cash": "货币资金",
+    "trading_financial_assets": "交易性金融资产",
+    "derivative_financial_assets": "衍生金融资产",
+    "notes_receivable": "应收票据",
+    "accounts_receivable": "应收账款",
+    "receivables_financing": "应收款项融资",
+    "prepayments": "预付款项",
+    "other_receivables": "其他应收款",
+    "inventory": "存货",
+    "contract_assets": "合同资产",
+    "held_for_sale_assets": "持有待售资产",
+    "non_current_assets_due_within_one_year": "一年内到期的非流动资产",
+    "other_current_assets": "其他流动资产",
+    "current_assets_total": "流动资产合计",
+    # 非流动资产
+    "debt_investments": "债权投资",
+    "other_debt_investments": "其他债权投资",
+    "long_term_receivables": "长期应收款",
+    "long_term_equity_investments": "长期股权投资",
+    "other_equity_instruments": "其他权益工具投资",
+    "other_non_current_financial_assets": "其他非流动金融资产",
+    "investment_property": "投资性房地产",
+    "fixed_assets": "固定资产",
+    "construction_in_progress": "在建工程",
+    "productive_biological_assets": "生产性生物资产",
+    "oil_and_gas_assets": "油气资产",
+    "right_of_use_assets": "使用权资产",
+    "intangible_assets": "无形资产",
+    "development_expenditure": "开发支出",
+    "goodwill": "商誉",
+    "long_term_prepaid_expenses": "长期待摊费用",
+    "deferred_tax_assets": "递延所得税资产",
+    "other_non_current_assets": "其他非流动资产",
+    "non_current_assets_total": "非流动资产合计",
+    "assets_total": "资产总计",
+    # 流动负债
+    "short_term_borrowings": "短期借款",
+    "trading_financial_liabilities": "交易性金融负债",
+    "derivative_financial_liabilities": "衍生金融负债",
+    "notes_payable": "应付票据",
+    "accounts_payable": "应付账款",
+    "advance_receipts": "预收款项",
+    "contract_liabilities": "合同负债",
+    "employee_benefits_payable": "应付职工薪酬",
+    "taxes_payable": "应交税费",
+    "other_payables": "其他应付款",
+    "held_for_sale_liabilities": "持有待售负债",
+    "non_current_liabilities_due_within_one_year": "一年内到期的非流动负债",
+    "other_current_liabilities": "其他流动负债",
+    "current_liabilities_total": "流动负债合计",
+    # 非流动负债
+    "long_term_borrowings": "长期借款",
+    "bonds_payable": "应付债券",
+    "lease_liabilities": "租赁负债",
+    "long_term_payables": "长期应付款",
+    "long_term_employee_benefits_payable": "长期应付职工薪酬",
+    "provisions": "预计负债",
+    "deferred_income": "递延收益",
+    "deferred_tax_liabilities": "递延所得税负债",
+    "other_non_current_liabilities": "其他非流动负债",
+    "non_current_liabilities_total": "非流动负债合计",
+    "liabilities_total": "负债合计",
+    # 所有者权益
+    "share_capital": "股本",
+    "other_equity_instruments_equity": "其他权益工具",
+    "capital_reserve": "资本公积",
+    "treasury_stock": "减：库存股",
+    "other_comprehensive_income": "其他综合收益",
+    "special_reserve": "专项储备",
+    "surplus_reserve": "盈余公积",
+    "retained_earnings": "未分配利润",
+    "parent_equity_total": "归属于母公司所有者权益合计",
+    "minority_interests": "少数股东权益",
+    "equity_total": "所有者权益合计",
+    "total_liabilities_and_equity": "负债和所有者权益总计",
+}
+
+# reverse direction: canonical Chinese item name → reference English key
+BALANCE_SHEET_EN_KEYS: dict[str, str] = {v: k for k, v in BALANCE_SHEET_LABELS.items()}
+
 INCOME_STATEMENT_LABELS: dict[str, str] = {
     "operating_revenue": "营业收入",
     "operating_total_revenue": "营业总收入",
@@ -107,16 +194,23 @@ def get_label(key: str, statement_type: str) -> str:
     """statement_labels.get_label semantics (:185-203): fall back to the
     key itself when unmapped."""
     bank = {
-        "balance_sheet": BALANCE_TOTAL_LABELS,
+        "balance_sheet": {**BALANCE_SHEET_LABELS, **BALANCE_TOTAL_LABELS},
         "income_statement": INCOME_STATEMENT_LABELS,
         "cash_flow": CASH_FLOW_LABELS,
     }.get(statement_type, {})
     return bank.get(key, key)
 
 
+def en_key(zh_name: str) -> str:
+    """Reverse lookup: canonical Chinese balance item → reference English
+    key (statement_labels.py direction users address items by)."""
+    return BALANCE_SHEET_EN_KEYS.get(zh_name, zh_name)
+
+
 def label_df(spark: SparkSession) -> DataFrame:
+    balance = {**BALANCE_SHEET_LABELS, **BALANCE_TOTAL_LABELS}
     rows = (
-        [("balance_sheet", k, v) for k, v in BALANCE_TOTAL_LABELS.items()]
+        [("balance_sheet", k, v) for k, v in balance.items()]
         + [("income_statement", k, v) for k, v in INCOME_STATEMENT_LABELS.items()]
         + [("cash_flow", k, v) for k, v in CASH_FLOW_LABELS.items()]
     )

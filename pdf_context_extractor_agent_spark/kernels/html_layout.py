@@ -36,6 +36,9 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("page", T.IntegerType(), False),
         T.StructField("width", T.DoubleType(), True),
         T.StructField("height", T.DoubleType(), True),
+        # reference get_page_info metadata (src/pdf_reader.py:102-136):
+        # rotation degrees; 0 for HTML and unrotated PDF pages
+        T.StructField("rotation", T.IntegerType(), True),
         T.StructField("page_text", T.StringType(), True),
         T.StructField(
             "lines",
@@ -184,7 +187,7 @@ def parse_doc(blob: bytes) -> list[dict]:
     from .minipdf_layout import is_minipdf, parse_minipdf
     from .pdfish_layout import is_pdfish, parse_pdfish
 
-    empty = [{"page": 1, "width": 612.0, "height": 792.0,
+    empty = [{"page": 1, "width": 612.0, "height": 792.0, "rotation": 0,
               "page_text": "", "lines": [], "tables": []}]
     try:
         if is_pdfish(blob):
@@ -226,6 +229,7 @@ def parse_html_doc(html_bytes: bytes) -> list[dict]:
                 "page": page_no,
                 "width": 612.0,
                 "height": 792.0,
+                "rotation": 0,
                 "page_text": "\n".join(t for _, t in lines),
                 "lines": lines,
                 "tables": tables,
@@ -249,11 +253,11 @@ def extract_pages(pages_tbl: DataFrame) -> DataFrame:
                 for p in parse_doc(bytes(blob)):
                     rows.append(
                         (url, p["page"], p["width"], p["height"],
-                         p["page_text"], p["lines"], p["tables"])
+                         p.get("rotation", 0), p["page_text"], p["lines"], p["tables"])
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["url", "page", "width", "height",
+                columns=["url", "page", "width", "height", "rotation",
                          "page_text", "lines", "tables"],
             )
 

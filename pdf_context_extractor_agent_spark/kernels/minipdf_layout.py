@@ -122,12 +122,30 @@ def _tokenize_stream(data: str) -> dict:
             "width": float(PAGE_W), "height": float(PAGE_H)}
 
 
+_PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+
+
+def _page_rotations(blob: bytes) -> list[int]:
+    """/Rotate values of the page objects in document order (reference
+    get_page_info rotation metadata, src/pdf_reader.py:102-136)."""
+    rotations = []
+    for m in _PAGE_OBJ_RE.finditer(blob):
+        obj = blob[m.start():blob.find(b"endobj", m.start())]
+        r = re.search(rb"/Rotate\s+(-?\d+)", obj)
+        rotations.append(int(r.group(1)) if r else 0)
+    return rotations
+
+
 def parse_minipdf(blob: bytes) -> list[dict]:
     """PDF bytes → per-page structs via the shared layout reconstruction."""
     pages_raw = [
         _tokenize_stream(m.group(1).decode("utf-8", errors="replace"))
         for m in _STREAM_RE.finditer(blob)
     ]
+    rotations = _page_rotations(blob)
+    if len(rotations) == len(pages_raw):  # malformed trees default to 0
+        for p, r in zip(pages_raw, rotations):
+            p["rotation"] = r
     return assemble_pages(pages_raw)
 
 
@@ -139,18 +157,21 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def render_minipdf(pages_streams: list[str]) -> bytes:
+def render_minipdf(pages_streams: list[str], rotations: list[int] | None = None) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
-    (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer)."""
+    (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
+    ``rotations`` optionally sets per-page /Rotate entries."""
     objects: list[bytes] = []
     n_pages = len(pages_streams)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     for i, content in enumerate(pages_streams):
+        rot = rotations[i] if rotations else 0
+        rot_entry = f"/Rotate {rot} " if rot else ""
         objects.append(
             (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+                f"<< /Type /Page /Parent 2 0 R {rot_entry}/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
                 f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 {3 + 2 * n_pages} 0 R >> >> >>"
             ).encode()
         )

@@ -193,6 +193,10 @@ def assemble_pages(pages_raw: list[dict]) -> list[dict]:
                 "page": page_no,
                 "width": p["width"],
                 "height": p["height"],
+                # reference get_page_info (src/pdf_reader.py:102-136)
+                # exposes page rotation; positioned-glyph formats carry
+                # it in the page dict (minipdf /Rotate), default 0
+                "rotation": int(p.get("rotation", 0)),
                 "page_text": "\n".join(t for _y, t in elements),
                 "lines": [(float(y), t) for y, t in elements],
                 "tables": [

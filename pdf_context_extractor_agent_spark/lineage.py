@@ -61,12 +61,12 @@ def instrumented_extract_pages(pages_tbl: DataFrame) -> DataFrame:
                 for p in pages:
                     rows.append(
                         (url, p["page"], p["width"], p["height"],
-                         p["page_text"], p["lines"], p["tables"],
+                         p.get("rotation", 0), p["page_text"], p["lines"], p["tables"],
                          int(pid), ms, len(blob))
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["url", "page", "width", "height",
+                columns=["url", "page", "width", "height", "rotation",
                          "page_text", "lines", "tables",
                          "partition_id", "kernel_ms", "doc_bytes"],
             )

@@ -132,9 +132,10 @@ def identify_structures(
         F.sort_array(F.collect_list(F.when(hdr_flag, F.col("row_idx")))).alias("hdr_rows"),
     )
 
-    # both sides are one-or-few rows per url; broadcasting the per-url
-    # side keeps the join narrow on the per-statement partitioning
-    df = per_stmt.join(F.broadcast(per_url), "url")
+    # both sides are one-or-few rows per url — PER-DOCUMENT cardinality,
+    # so no broadcast hint (it would ship the whole corpus's per-url rows
+    # to every executor at 10^12 scale); AQE chooses from runtime stats
+    df = per_stmt.join(per_url, "url")
 
     # ---- expression-level SI2-SI4 over the collected hit lists ----
     anchors = F.filter(F.col("hs"), lambda h: h["kind"] == F.lit("a"))

@@ -54,16 +54,16 @@ def _parse_from_rows(
 
     # header column map per (url, statement): C1-C3 over the header row
     # cells (a tiny Arrow hop — one row per document-statement).
-    # ``structure`` is a handful of rows per document — broadcast it so
-    # the big ``rows`` relation is never reshuffled. (On a 10^12-row
-    # corpus structure is too big to broadcast whole; there this becomes
-    # a co-partitioned join on the url hash both sides already share, or
-    # AQE picks the strategy from runtime stats.)
+    # ``structure`` and ``hmaps`` have ONE-ROW-PER-DOCUMENT cardinality:
+    # they must NOT carry a broadcast hint (at 10^12 input rows a forced
+    # broadcast ships billions of rows to every executor and OOMs the
+    # driver). Left unhinted, AQE picks broadcast-vs-shuffle from runtime
+    # stats — broadcast at test scale, co-partitioned shuffle join at
+    # corpus scale. Only the genuinely tiny pattern/anchor/label dims
+    # keep explicit hints (operators/match.py, operators/structure.py).
     hdr_rows = (
-        F.broadcast(
-            structure.filter(F.col("header_row").isNotNull())
-            .select("url", "statement_type", F.col("header_row").alias("row_idx"))
-        )
+        structure.filter(F.col("header_row").isNotNull())
+        .select("url", "statement_type", F.col("header_row").alias("row_idx"))
         .join(rows.select("url", "row_idx", "cells"), ["url", "row_idx"])
         .select("url", "statement_type", "cells")
     )
@@ -73,11 +73,11 @@ def _parse_from_rows(
     ranged = (
         rows.select("url", "row_idx", "cells")
         .join(
-            F.broadcast(structure.select("url", "statement_type", "parse_start", "parse_end")),
+            structure.select("url", "statement_type", "parse_start", "parse_end"),
             "url",
         )
         .filter(F.col("row_idx").between(F.col("parse_start"), F.col("parse_end")))
-        .join(F.broadcast(hmaps), ["url", "statement_type"], "left")
+        .join(hmaps, ["url", "statement_type"], "left")
         .select("url", "statement_type", "row_idx", "cells",
                 "item_col", "cur_col", "prev_col", "note_col")
     )
@@ -134,13 +134,26 @@ def parse_balance_via_boundary(page_df: DataFrame, spark: SparkSession) -> dict[
     return _parse_from_rows(rows, spark, ("balance_sheet",))
 
 
-def extraction_result(pages_tbl: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
+def extraction_result(
+    pages_tbl: DataFrame, spark: SparkSession, repartition: bool = True
+) -> dict[str, DataFrame]:
     """Full pipeline from the raw pages table: kernel → statements.
+
+    ``repartition=True`` routes the input through the skew lanes
+    (salted dense partitions + one-doc partitions for oversized
+    documents — sources/pages.py) before the layout kernel, so a single
+    500-page annual report (the reference's
+    tools/export_all_statements.py:19-55 case) can only delay itself,
+    never a partition of small pages.
 
     ``page_df`` is persisted because three independent consumers read it
     (statements, notes, text reassembly); at 10^12-row scale this would
     be a checkpointed Iceberg stage table instead of executor memory.
     """
+    from ..sources import skew_partitioned
+
+    if repartition:
+        pages_tbl = skew_partitioned(pages_tbl)
     page_df = extract_pages(pages_tbl).persist()
     out = parse_statements(page_df, spark)
     out["pages"] = page_df

@@ -45,6 +45,25 @@ def split_by_size(
     return normal, jumbo
 
 
+def skew_partitioned(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    jumbo_threshold: int = DEFAULT_JUMBO_BYTES,
+) -> DataFrame:
+    """The production partitioning for the layout kernel: dense salted
+    partitions for normal documents + one-document partitions for
+    jumbos, unioned. Union concatenates the two lanes' partition lists,
+    so the kernel (a narrow per-partition map) sees both layouts without
+    an extra shuffle; the first wide op downstream re-shuffles anyway.
+
+    Both lanes filter the same input, so the source is scanned twice in
+    the job that materializes the kernel — cheap next to the kernel
+    itself, and irrelevant when the input is a persisted/columnar scan.
+    """
+    normal, jumbo = split_by_size(df, jumbo_threshold)
+    return salted_repartition(normal, num_partitions).unionByName(jumbo)
+
+
 def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Skew guard for the layout kernel (SURVEY.md §4 item 1).
 

@@ -53,7 +53,7 @@ def main() -> int:
     from pdf_context_extractor_agent_spark.operators.notes import extract_notes
     from pdf_context_extractor_agent_spark.plans import parse_statements
     from pdf_context_extractor_agent_spark.session import get_spark
-    from pdf_context_extractor_agent_spark.sources import read_pages, salted_repartition
+    from pdf_context_extractor_agent_spark.sources import read_pages, skew_partitioned
     from pdf_context_extractor_agent_spark.sources.sinks import write_parsed_json
 
     spark = get_spark(app_name="run_pipeline", cores=args.cores)
@@ -61,7 +61,8 @@ def main() -> int:
     pages = (
         pages_df(spark, args.demo_docs) if args.demo_docs else read_pages(spark, args.input)
     )
-    pages = salted_repartition(pages)
+    # dense salted partitions + one-doc partitions for jumbo documents
+    pages = skew_partitioned(pages)
 
     if args.resume:
         info = run_with_checkpoint(

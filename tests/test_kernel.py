@@ -134,7 +134,7 @@ def test_malformed_documents_degrade_not_throw():
         pages = parse_doc(blob)
         assert isinstance(pages, list)
         for p in pages:
-            assert set(p) == {"page", "width", "height", "page_text", "lines", "tables"}
+            assert set(p) == {"page", "width", "height", "rotation", "page_text", "lines", "tables"}
 
 
 def test_jumbo_document_skew_lane(spark):
@@ -225,3 +225,35 @@ def test_zero_page_parse_yields_placeholder():
     pages = parse_doc(b"%PDF-1.4\ngarbage with no streams")
     assert len(pages) == 1 and pages[0]["page_text"] == ""
     assert parse_doc(b"")[0]["page_text"] == ""
+
+
+def test_skew_lane_plan_output_identical(spark):
+    """skew_partitioned (the lane extraction_result routes through) must
+    not change WHAT is computed — only where it runs. Parsed output with
+    the lane forced on (low threshold) equals the unrouted plan's."""
+    from pdf_context_extractor_agent_spark.plans import parse_statements
+    from pdf_context_extractor_agent_spark.kernels import extract_pages
+    from pdf_context_extractor_agent_spark.sources import skew_partitioned
+
+    pg = pages_df_for_skew(spark)
+    lane = skew_partitioned(pg, num_partitions=4, jumbo_threshold=50_000)
+    base = parse_statements(extract_pages(pg), spark)["parsed"]
+    routed = parse_statements(extract_pages(lane), spark)["parsed"]
+    assert base.exceptAll(routed).count() == 0
+    assert routed.exceptAll(base).count() == 0
+
+
+def test_page_rotation_metadata():
+    """S5 parity: /Rotate in PDF page objects surfaces as the rotation
+    field (reference get_page_info, src/pdf_reader.py:102-136); HTML and
+    unrotated pages report 0."""
+    from pdf_context_extractor_agent_spark.kernels import parse_doc
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import render_minipdf
+
+    streams = ["BT 1 0 0 1 72 720 Tm (first) Tj ET", "BT 1 0 0 1 72 720 Tm (second) Tj ET"]
+    rotated = parse_doc(render_minipdf(streams, rotations=[90, 0]))
+    assert [p["rotation"] for p in rotated] == [90, 0]
+    plain = parse_doc(render_minipdf(streams))
+    assert [p["rotation"] for p in plain] == [0, 0]
+    html = parse_doc(b"<html><p>hi</p></html>")
+    assert [p["rotation"] for p in html] == [0]

@@ -131,10 +131,23 @@ def test_multimodal_features_and_resize(spark):
 
 
 def test_labels_join(spark):
-    from pdf_context_extractor_agent_spark.functions.labels import get_label, with_labels
+    from pdf_context_extractor_agent_spark.functions.labels import (
+        BALANCE_SHEET_LABELS,
+        en_key,
+        get_label,
+        with_labels,
+    )
 
     assert get_label("net_profit", "income_statement") == "净利润"
     assert get_label("货币资金", "balance_sheet") == "货币资金"  # fallback
+    # full balance map (reference statement_labels.py:7-88): EN → ZH
+    assert get_label("cash", "balance_sheet") == "货币资金"
+    assert get_label("treasury_stock", "balance_sheet") == "减：库存股"
+    assert get_label("total_liabilities_and_equity", "balance_sheet") == "负债和所有者权益总计"
+    assert len(BALANCE_SHEET_LABELS) >= 70
+    # reverse direction: ZH item name → reference English key
+    assert en_key("应收账款") == "accounts_receivable"
+    assert en_key("未映射科目") == "未映射科目"  # fallback to key itself
     parsed = spark.createDataFrame(
         [("u", "income_statement", "profit", "net_profit", "五、净利润", "1", "1", None, 3, False)],
         "url string, statement_type string, section_path string, standard_name string, "
