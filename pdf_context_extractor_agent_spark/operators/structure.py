@@ -35,6 +35,15 @@ END_FALLBACK = 30      # identifier.py:370
 _HIT_TYPE = "array<struct<stmt:string,kind:string,ord:int,req:boolean>>"
 
 
+def _guardable(p: str) -> bool:
+    """True iff the first-char trigger guard is sound for pattern ``p``:
+    '^' followed by a literal character, so a row can match only if its
+    first character IS that literal. Anything else ('^(A|B)…',
+    unanchored, '^.*…') must bypass the guard or it would be silently
+    dropped for most rows."""
+    return len(p) > 1 and p[0] == "^" and p[1] not in "\\.[](|)?*+{^$"
+
+
 def _hit(stmt: str, kind: str, ord_: int, req: bool, cond: Column) -> Column:
     return F.when(
         cond,
@@ -65,27 +74,40 @@ def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...])
     unguarded: list[Column] = []
     trigger_chars: set[str] = set()
 
+    guardable = _guardable
     for stmt in statement_types:
         for anchor_ord, (_name, required, pats) in enumerate(_ANCHOR_SPEC[stmt]):
-            cond = F.lit(False)
+            cond_g = F.lit(False)
+            cond_u = F.lit(False)
+            any_g = any_u = False
             for p in pats:
-                cond = cond | name0.rlike(p) | name1.rlike(p)
-                trigger_chars.add(p[1])
-            guarded.append(_hit(stmt, "a", anchor_ord, required, cond))
+                if guardable(p):
+                    cond_g = cond_g | name0.rlike(p) | name1.rlike(p)
+                    trigger_chars.add(p[1])
+                    any_g = True
+                else:
+                    cond_u = cond_u | name0.rlike(p) | name1.rlike(p)
+                    any_u = True
+            # duplicate (stmt, 'a', ord) hits merge downstream (amins
+            # keeps the min row per ord), so split emission is safe
+            if any_g:
+                guarded.append(_hit(stmt, "a", anchor_ord, required, cond_g))
+            if any_u:
+                unguarded.append(_hit(stmt, "a", anchor_ord, required, cond_u))
         cond_g = F.lit(False)
         cond_u = F.lit(False)
-        any_guarded = any_unguarded = False
+        any_g = any_u = False
         for p in STATEMENT_END_PATTERNS[stmt]:
-            if p.startswith("^.*"):
-                cond_u = cond_u | name0.rlike(p)
-                any_unguarded = True
-            else:
+            if guardable(p):
                 cond_g = cond_g | name0.rlike(p)
                 trigger_chars.add(p[1])
-                any_guarded = True
-        if any_guarded:
+                any_g = True
+            else:
+                cond_u = cond_u | name0.rlike(p)
+                any_u = True
+        if any_g:
             guarded.append(_hit(stmt, "e", -1, False, cond_g))
-        if any_unguarded:
+        if any_u:
             unguarded.append(_hit(stmt, "e", -1, False, cond_u))
 
     chars = sorted(trigger_chars)

@@ -79,3 +79,86 @@ def test_quality_never_reads_html(spark):
         pg = spark.read.parquet(d)
         plan = _physical(quality_features(pg.select("url", "text")))
         assert "ReadSchema: struct<url:string,text:string>" in plan
+
+
+def test_no_forced_broadcast_on_per_doc_relations(spark, page_df):
+    """VERDICT r1 regression lock: structure / header-map / per-url
+    relations have one-row-per-document cardinality and must NOT carry
+    a broadcast hint (at 10^12 rows a forced broadcast OOMs). With auto
+    broadcast disabled and AQE off, any BroadcastExchange left in the
+    plan comes from an explicit hint — and every one must sit above a
+    LocalTableScan (the tiny pattern/anchor dims), never above the
+    kernel/parquet-backed per-document relations."""
+    from pdf_context_extractor_agent_spark.plans import parse_statements
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # cached fragments planned earlier (with AQE on) would leak
+        # AQE-CHOSEN broadcasts into this dump; those are legitimate —
+        # only compile-time hints are under test
+        spark.catalog.clearCache()
+        plan = _physical(parse_statements(page_df, spark)["parsed"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        page_df.persist()  # restore the shared fixture's cache mark
+    segments = plan.split("BroadcastExchange")[1:]
+    assert segments, "pattern dims should still be hint-broadcast"
+    leaf_re = __import__("re").compile(
+        r"LocalTableScan|Scan ExistingRDD|FileScan|MapInPandas|FlatMapGroupsInPandas|Scan parquet"
+    )
+    local_leaves = {"LocalTableScan", "Scan ExistingRDD"}  # driver-local tiny dims
+    for seg in segments:
+        first_leaf = leaf_re.search(seg)
+        assert first_leaf and first_leaf.group(0) in local_leaves, (
+            "BroadcastExchange over a non-local (per-document) relation:\n" + seg[:800]
+        )
+
+
+def test_trigger_guard_classification():
+    """ADVICE r1: the first-char trigger guard must only claim patterns
+    it is sound for ('^' + literal char)."""
+    from pdf_context_extractor_agent_spark.operators.structure import _guardable
+    from pdf_context_extractor_agent_spark.patterns import (
+        _ANCHOR_SPEC,
+        STATEMENT_END_PATTERNS,
+    )
+
+    assert _guardable("^流动资产")
+    assert not _guardable("^(流|货)动资产")   # alternation at position 1
+    assert not _guardable("流动资产")          # unanchored
+    assert not _guardable("^.*每股收益")       # wildcard prefix
+    assert not _guardable("^\\d+、")           # escape at position 1
+    # current banks: anchors all guardable; only wildcard ends are not
+    for spec in _ANCHOR_SPEC.values():
+        for _name, _req, pats in spec:
+            assert all(_guardable(p) for p in pats)
+    assert any(not _guardable(p) for ps in STATEMENT_END_PATTERNS.values() for p in ps)
+
+
+def test_unguardable_anchor_still_matches(spark, page_df, monkeypatch):
+    """A future anchor pattern like '^(A|B)…' must route to the
+    unguarded branch and still match — not be silently dropped."""
+    from pdf_context_extractor_agent_spark import patterns
+    from pdf_context_extractor_agent_spark.operators.structure import identify_structures
+    from pdf_context_extractor_agent_spark.plans.extract import statement_rows
+
+    rows = statement_rows(page_df).persist()
+    base = identify_structures(rows, spark, ("balance_sheet",)).collect()
+
+    spec = patterns._ANCHOR_SPEC["balance_sheet"]
+    # rewrite the first anchor's patterns into a semantically identical
+    # but non-guardable alternation form
+    mutated = [
+        (name, req, [f"^({p[1]}|￿){p[2:]}" if p.startswith("^") else p for p in pats])
+        if i == 0 else (name, req, pats)
+        for i, (name, req, pats) in enumerate(spec)
+    ]
+    monkeypatch.setitem(patterns._ANCHOR_SPEC, "balance_sheet", mutated)
+    got = identify_structures(rows, spark, ("balance_sheet",)).collect()
+    rows.unpersist()
+    key = lambda r: (r.url, r.statement_type)
+    assert sorted(base, key=key) == sorted(got, key=key)

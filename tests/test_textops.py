@@ -179,3 +179,52 @@ def test_sinks(spark, tmp_path):
     write_parsed_csv(parsed, str(tmp_path / "csv"))
     back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
     assert back.count() == 2
+
+
+def test_balance_excel_ordered_walk():
+    """S7 golden: the workbook row structure the reference's ordered
+    walk produces (main.py:166-370) — title + blank, section/category
+    header rows at transitions, no category rows after totals."""
+    from pdf_context_extractor_agent_spark.sources.sinks import balance_excel_rows
+
+    items = [
+        {"section_path": "assets.current_assets", "original_name": "货币资金",
+         "current_period": "100", "previous_period": "90", "note": "1"},
+        {"section_path": "assets.current_assets", "original_name": "存货",
+         "current_period": "50", "previous_period": "40", "note": None},
+        {"section_path": "assets.current_assets_total", "original_name": "流动资产合计",
+         "current_period": "150", "previous_period": "130", "note": None},
+        {"section_path": "assets.non_current_assets", "original_name": "固定资产",
+         "current_period": "30", "previous_period": "20", "note": None},
+        {"section_path": "assets.assets_total", "original_name": "资产总计",
+         "current_period": "180", "previous_period": "150", "note": None},
+        {"section_path": "liabilities.current_liabilities", "original_name": "短期借款",
+         "current_period": "10", "previous_period": "5", "note": None},
+        {"section_path": "equity", "original_name": "股本",
+         "current_period": "70", "previous_period": "70", "note": None},
+        {"section_path": "liabilities_and_equity_total", "original_name": "负债和所有者权益总计",
+         "current_period": "180", "previous_period": "150", "note": None},
+    ]
+    rows = balance_excel_rows(items)
+    skeleton = [(r["部分"], r["类别"], r["项目名称"]) for r in rows]
+    assert skeleton == [
+        ("合并资产负债表", "", ""),
+        ("", "", ""),                        # blank after title
+        ("资产", "", ""),                    # section header (once)
+        ("", "流动资产", ""),                # category header
+        ("", "", "货币资金"),
+        ("", "", "存货"),
+        ("", "", "流动资产合计"),            # *_total stays in category walk
+        ("", "非流动资产", ""),              # category switch, no new section row
+        ("", "", "固定资产"),
+        ("", "", "资产总计"),                # assets_total: no header row
+        ("", "", ""),                        # blank before the new section
+        ("负债和所有者权益", "", ""),
+        ("", "流动负债", ""),
+        ("", "", "短期借款"),
+        ("", "所有者权益", ""),
+        ("", "", "股本"),
+        ("", "", "负债和所有者权益总计"),
+    ]
+    # None values render as empty strings
+    assert rows[5]["附注"] == ""
