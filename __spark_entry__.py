@@ -446,7 +446,8 @@ def _q_ann_topk(spark, sf):
 def _q_cosine_neardup(spark, sf):
     from pdf_context_extractor_agent_spark.functions.similarity import cosine_near_dup_pairs
 
-    return cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.5)
+    out = cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.5)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _q_extract_parsed(spark, sf):
@@ -591,6 +592,23 @@ WITH words AS (
         for b in range(60)
     )
     sim_fp = "||".join(f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)" for b in range(60))
+
+    # --- hyperplane-LSH twins: the planes are deterministic md5-derived
+    # floats, so the DuckDB oracle embeds the SAME values as literals and
+    # reproduces bucket signatures and cosine scores exactly ---
+    from pdf_context_extractor_agent_spark.functions.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 8)
+    bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
+        for i, plane in enumerate(_planes)
+    )
+    cos_expr = (
+        "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
 
     en = f"{hits(['the','a','of','and','is'])} / {lang_tokens}"
     es = f"{hits(['el','la','de','que','los'])} / {lang_tokens}"
@@ -832,6 +850,23 @@ WITH words AS (
             FROM banded l JOIN banded r
               ON l.band_idx = r.band_idx AND l.band_val = r.band_val
              AND l.doc_id < r.doc_id""",
+        "q_ann_topk": f"""
+            WITH buckets AS (
+              SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            q AS (SELECT embedding AS qv, bucket AS qb FROM buckets WHERE vec_id = 0),
+            cand AS (
+              SELECT b.vec_id, b.embedding, q.qv FROM buckets b, q
+              WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 2)
+            SELECT vec_id, round({cos_expr.format(a='embedding', b='qv')}, 6) AS cos_sim
+            FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "q_cosine_neardup": f"""
+            WITH buckets AS (
+              SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings)
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   round({cos_expr.format(a='l.embedding', b='r.embedding')}, 6) AS cos_sim
+            FROM buckets l JOIN buckets r
+              ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE {cos_expr.format(a='l.embedding', b='r.embedding')} >= 0.5""",
         "q_embed_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

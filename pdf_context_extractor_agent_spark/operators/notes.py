@@ -11,9 +11,13 @@ NOTE_L1_TITLE / NOTE_L2_TITLE), making the whole stage deterministic
 DataFrame algebra: window ``lead`` for interval bounds, a range join
 for table→note assignment, ``lag`` for continuity.
 
-Faithful quirk: the reference's ``_extract_note_text`` accepts a
+Faithful quirk: the reference's batch ``_extract_note_text`` accepts a
 next-title bound but never uses it — text is simply the next ≤10
-non-empty lines after the title line (:584-591). Reproduced as-is.
+non-empty lines after the title line (:584-591). Reproduced as-is as
+``text_mode="batch"`` (the default). The reference's single-page
+variant (notes_extractor.py:17-54 ``extract_text_between_titles``)
+slices ALL lines strictly between the current title and the next title
+of any level, uncapped — available as ``text_mode="between_titles"``.
 """
 
 from __future__ import annotations
@@ -47,9 +51,16 @@ def _title_candidates(lines: DataFrame) -> DataFrame:
     ).drop("_rk")
 
 
-def extract_notes(page_df: DataFrame) -> DataFrame:
+def extract_notes(page_df: DataFrame, text_mode: str = "batch") -> DataFrame:
     """→ (url, page, number, level, title, full_title, text, tables,
-    table_count, has_table, y)."""
+    table_count, has_table, y).
+
+    ``text_mode``: "batch" = the ≤10-line slice of the batch extractor
+    (default); "between_titles" = the single-page extractor's uncapped
+    slice bounded by the next title of any level.
+    """
+    if text_mode not in ("batch", "between_titles"):
+        raise ValueError(f"unknown text_mode: {text_mode!r}")
     lines = _lines_long(page_df)
     cand = _title_candidates(lines)
 
@@ -135,14 +146,26 @@ def extract_notes(page_df: DataFrame) -> DataFrame:
         .unionByName(l2_assigned.select("url", "page", "y", "number", "title", "full_title", "level", "tables"))
     )
 
-    # N7 text slice: next ≤10 lines strictly after the title line
-    after = notes.select("url", "page", F.col("y").alias("note_y")).join(
-        lines, ["url", "page"], "inner"
-    ).filter(F.col("y") > F.col("note_y"))
+    # N7 text slice. batch: next ≤10 lines strictly after the title
+    # line; between_titles: every line up to the next title of ANY level
+    # (notes_extractor.py:36-50 break condition), uncapped.
+    w_titles = Window.partitionBy("url", "page").orderBy("note_y")
+    note_bounds = notes.select("url", "page", F.col("y").alias("note_y")).withColumn(
+        "next_title_y", F.lead("note_y").over(w_titles)
+    )
+    after = note_bounds.join(lines, ["url", "page"], "inner").filter(
+        F.col("y") > F.col("note_y")
+    )
+    if text_mode == "between_titles":
+        after = after.filter(
+            F.col("next_title_y").isNull() | (F.col("y") < F.col("next_title_y"))
+        )
     w_after = Window.partitionBy("url", "page", "note_y").orderBy("y")
+    after = after.withColumn("_rk", F.row_number().over(w_after))
+    if text_mode == "batch":
+        after = after.filter(F.col("_rk") <= TEXT_LINE_CAP)
     texts = (
-        after.withColumn("_rk", F.row_number().over(w_after))
-        .filter(F.col("_rk") <= TEXT_LINE_CAP)
+        after
         .groupBy("url", "page", "note_y")
         .agg(
             F.array_join(

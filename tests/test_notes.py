@@ -58,3 +58,30 @@ def test_continuity_across_pages(spark, page_df):
         (3, 4, True),
     ]
     assert cont.filter(~F.col("continuity_ok")).count() == 0
+
+
+def test_text_mode_between_titles(spark):
+    """Single-page variant (notes_extractor.py:17-54): text runs to the
+    next title of ANY level, uncapped — vs the batch mode's ≤10 lines
+    ignoring the bound."""
+    from pdf_context_extractor_agent_spark.corpus import PAGES_SCHEMA  # noqa: F401
+    from pdf_context_extractor_agent_spark.kernels.html_layout import PAGE_SCHEMA
+    from pdf_context_extractor_agent_spark.operators.notes import extract_notes
+
+    lines = [(0.0, "1、 货币资金")]
+    lines += [(12.0 * (i + 1), f"content line {i}") for i in range(13)]
+    lines += [(12.0 * 14, "2、 应收账款"), (12.0 * 15, "tail line")]
+    page = spark.createDataFrame(
+        [("u", 1, 612.0, 792.0, 0, "\n".join(t for _, t in lines), lines, [])],
+        PAGE_SCHEMA,
+    )
+    batch = {r.number: r.text for r in extract_notes(page, "batch").collect()}
+    between = {r.number: r.text for r in extract_notes(page, "between_titles").collect()}
+    # batch: 10-line cap, bound ignored (note 1 even swallows nothing past cap)
+    assert batch["1"].split("\n") == [f"content line {i}" for i in range(10)]
+    # between_titles: all 13 lines, stops before title 2
+    assert between["1"].split("\n") == [f"content line {i}" for i in range(13)]
+    assert between["2"] == "tail line"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        extract_notes(page, "nope")
