@@ -378,6 +378,48 @@ def _q_minhash_md5(spark, sf):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _q_repetition(spark, sf):
+    """Gopher-style repetition quality metrics — pure per-row array
+    expressions, zero shuffles."""
+    from pdf_context_extractor_agent_spark.functions.quality import repetition_features
+
+    r = repetition_features(_t(spark, sf, "documents"))
+    return r.select(
+        "doc_id",
+        F.round("distinct_word_ratio", 6).alias("distinct_word_ratio"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _q_pii_scrub(spark, sf):
+    """PII detect + mask over a deterministically PII-augmented text (the
+    corpus itself contains none, so the query synthesizes one email and
+    one phone per doc on BOTH sides to exercise the regex families)."""
+    from pdf_context_extractor_agent_spark.functions.quality import mask_pii, pii_counts
+
+    docs = _t(spark, sf, "documents")
+    derived = F.concat_ws(
+        "", F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +555-123-4567 now"),
+    )
+    counts = pii_counts(derived)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        F.md5(mask_pii(derived)).alias("masked_md5"),
+    )
+
+
+def _q_chunk_dedup(spark, sf):
+    """C4-style cross-document unit dedup: one global groupBy on the
+    chunk, owner-join back, per-doc rebuild."""
+    from pdf_context_extractor_agent_spark.functions.dedup import chunk_dedup
+
+    d = chunk_dedup(_t(spark, sf, "documents"))
+    return d.select("doc_id", "n_chunks", "n_removed", F.md5("kept_text").alias("kept_md5"))
+
+
 def _q_minhash_lsh_md5(spark, sf):
     """Full LSH pipeline (signatures → bands → pairs → verify) with
     md5 hashing so DuckDB replicates it bit-for-bit."""
@@ -542,6 +584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_scores": _q_lang_scores,
         "q_quality": _q_quality,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_repetition": _q_repetition,
+        "q_pii_scrub": _q_pii_scrub,
+        "q_chunk_dedup": _q_chunk_dedup,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -820,6 +865,46 @@ WITH words AS (
                    min(md5('2' || shingle)) AS mh_2,
                    min(md5('3' || shingle)) AS mh_3
             FROM sh GROUP BY doc_id""",
+        "q_repetition": f"""
+            WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+            bg AS (
+              SELECT doc_id, w,
+                     list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                    i -> concat_ws(' ', w[i], w[i + 1])) AS bg
+              FROM w)
+            SELECT doc_id,
+                   round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_word_ratio,
+                   round(list_max(list_transform(list_distinct(bg),
+                                                 d -> len(list_filter(bg, x -> x = d))))::DOUBLE
+                         / len(bg), 6) AS top_bigram_frac
+            FROM bg""",
+        "q_pii_scrub": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@example.com or +555-123-4567 now' AS t
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS n_phone,
+                   md5(regexp_replace(
+                         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                         '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g')) AS masked_md5
+            FROM d""",
+        "q_chunk_dedup": f"""
+            WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+            pos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0, ceil(len(w) / 2.0)::INT - 1)) AS pos
+              FROM w),
+            ch AS (SELECT doc_id, pos, array_to_string(w[2*pos+1:2*pos+2], ' ') AS chunk FROM pos),
+            owners AS (SELECT chunk, min(doc_id) AS owner FROM ch GROUP BY chunk)
+            SELECT ch.doc_id,
+                   count(*) AS n_chunks,
+                   count(CASE WHEN owner != ch.doc_id THEN 1 END) AS n_removed,
+                   md5(coalesce(string_agg(CASE WHEN owner = ch.doc_id THEN chunk END, ' ' ORDER BY pos), '')) AS kept_md5
+            FROM ch JOIN owners USING (chunk)
+            GROUP BY ch.doc_id""",
         "q_minhash_lsh_md5": f"""
             {shingle_cte},
             sigs AS (SELECT doc_id, {mh_sig} FROM sh GROUP BY doc_id),

@@ -348,3 +348,53 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for an explicit pair list (doc_a, doc_b)."""
     sh = shingles(docs, id_col, text_col, n)
     return jaccard_verify(pairs, sh, threshold=0.0).drop("is_near_dup")
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document unit dedup: a text unit appearing in several
+# documents is kept only in the lowest-id one and removed everywhere
+# else. Real pipelines use lines; the testdata corpus is single-line,
+# so the unit is a non-overlapping word chunk — the plan (explode →
+# ONE global groupBy on the unit → owner join back → per-doc rebuild)
+# is identical either way and is the scale-correct shape: the shuffle
+# carries (unit, doc_id) pairs, never document bodies.
+# ---------------------------------------------------------------------------
+
+def doc_chunks(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               chunk_words: int = 2) -> DataFrame:
+    """(doc_id, pos, chunk) — non-overlapping ``chunk_words``-word units."""
+    w = F.split(normalized_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("pos", "chunk")
+    )
+
+
+def chunk_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                chunk_words: int = 2) -> DataFrame:
+    """→ (doc_id, n_chunks, n_removed, kept_text): every chunk whose
+    global owner (min doc_id over all docs containing it) is another
+    document is dropped; the survivors rebuild the cleaned text in
+    original order."""
+    ch = doc_chunks(docs, id_col, text_col, chunk_words)
+    owners = ch.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    kept = ch.join(owners, "chunk")
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("owner") != F.col("doc_id"), 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("owner") == F.col("doc_id"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

@@ -95,3 +95,65 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fp_md5", fp).withColumn(
         "fp64", F.conv(F.substring(fp, 1, 16), 16, 10).cast("decimal(20,0)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules) — pure per-row array
+# expressions, NO shuffle: the correct 100 TB shape for per-document
+# quality filtering is a narrow map, not an explode+groupBy.
+# ---------------------------------------------------------------------------
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " ")
+
+
+def repetition_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals:
+
+    * ``distinct_word_ratio`` — |unique words| / |words|
+    * ``top_bigram_frac``     — occurrences of the most frequent word
+                                bigram / total bigrams
+
+    Quadratic in distinct bigrams PER ROW (documents are bounded); stays
+    inside whole-stage codegen with zero exchanges.
+    """
+    w = _words(F.col(text_col))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.try_element_at(w, i), F.try_element_at(w, i + 1)),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
+        (top / F.size(bg)).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / masking — regex families shared verbatim between the
+# Spark expressions and the DuckDB oracle (no lookarounds, both engines
+# agree). Real pipelines extend PII_PATTERNS; the plan shape is fixed.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (regex, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "[PHONE]"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {name: F.regexp_count(text, F.lit(pat)) for name, (pat, _) in PII_PATTERNS.items()}
+
+
+def mask_pii(text: Column) -> Column:
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

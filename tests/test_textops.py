@@ -228,3 +228,50 @@ def test_balance_excel_ordered_walk():
     ]
     # None values render as empty strings
     assert rows[5]["附注"] == ""
+
+
+def test_repetition_features(spark):
+    from pdf_context_extractor_agent_spark.functions.quality import repetition_features
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "x y z w"), (2, "solo")], "doc_id long, text string"
+    )
+    r = {x.doc_id: x for x in repetition_features(docs).collect()}
+    assert r[0].distinct_word_ratio == 0.5          # {a,b} of 4 words
+    assert abs(r[0].top_bigram_frac - 2 / 3) < 1e-9  # 'a b' twice of 3 bigrams
+    assert r[1].distinct_word_ratio == 1.0 and r[1].top_bigram_frac == 1 / 3
+    assert r[2].distinct_word_ratio == 1.0 and r[2].top_bigram_frac == 1.0
+
+
+def test_pii_mask_and_counts(spark):
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.functions.quality import mask_pii, pii_counts
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@test.org call +123-456-7890 or 999-123-4567 end"),
+         (1, "clean text")],
+        "doc_id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id", c["email"].alias("e"), c["phone"].alias("p"),
+        mask_pii(F.col("text")).alias("m")).collect()}
+    assert (out[0].e, out[0].p) == (1, 2)
+    assert out[0].m == "mail [EMAIL] call [PHONE] or [PHONE] end"
+    assert (out[1].e, out[1].p) == (0, 0) and out[1].m == "clean text"
+
+
+def test_chunk_dedup_c4_style(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "x y z w"), (1, "x y q r"), (2, "q r x y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs).collect()}
+    # doc 0 owns 'x y' and 'z w'
+    assert (out[0].n_chunks, out[0].n_removed, out[0].kept_text) == (2, 0, "x y z w")
+    # doc 1 loses 'x y' (owned by 0), keeps 'q r'
+    assert (out[1].n_chunks, out[1].n_removed, out[1].kept_text) == (2, 1, "q r")
+    # doc 2 loses both ('q r' owned by 1, 'x y' by 0)
+    assert (out[2].n_chunks, out[2].n_removed, out[2].kept_text) == (2, 2, "")
