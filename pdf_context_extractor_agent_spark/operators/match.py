@@ -12,11 +12,30 @@ liabilities and equity) is data, not code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import matched_pattern_ids
 from ..patterns import item_pattern_df, item_pattern_list, item_pid_ranges
+
+
+@lru_cache(maxsize=1)
+def _pid_array_expr() -> Column:
+    """The per-statement literal-regex bank as ONE reusable unresolved
+    expression. Building it costs ~1 s of serial py4j traffic (hundreds
+    of rlike literals); Column expressions are immutable by-name
+    references, so the same object is reused across every plan in the
+    process — the driver pays the construction once."""
+    stmts = sorted(item_pid_ranges())
+    arr = F.array().cast("array<int>")
+    for stmt in stmts:
+        arr = F.when(
+            F.col("statement_type") == stmt,
+            matched_pattern_ids(F.col("item_name"), item_pattern_list(stmt)),
+        ).otherwise(arr)
+    return arr
 
 
 def match_items(items: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
@@ -43,14 +62,7 @@ def match_items(items: DataFrame, spark: SparkSession) -> dict[str, DataFrame]:
     # sub-bank (a when-chain of per-statement arrays — 3× fewer regex
     # evaluations than one global bank). One narrow projection + one
     # broadcast equi-join on pid — no explode, no window, no anti-join.
-    stmts = sorted(item_pid_ranges())
-    arr = F.array().cast("array<int>")
-    for stmt in stmts:
-        arr = F.when(
-            F.col("statement_type") == stmt,
-            matched_pattern_ids(F.col("item_name"), item_pattern_list(stmt)),
-        ).otherwise(arr)
-    with_pid = items.withColumn("pid", F.array_min(arr))
+    with_pid = items.withColumn("pid", F.array_min(_pid_array_expr()))
     winners = with_pid.filter(F.col("pid").isNotNull()).join(pat, "pid")
     unmatched_rows = with_pid.filter(F.col("pid").isNull()).select(
         "url", "statement_type", "row_idx", "item_name",

@@ -15,6 +15,8 @@ reference's three parser objects × per-row Python scans.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,6 +56,17 @@ def _hit(stmt: str, kind: str, ord_: int, req: bool, cond: Column) -> Column:
             F.lit(req).alias("req"),
         ),
     )
+
+
+@lru_cache(maxsize=8)
+def _hit_structs_cached(statement_types: tuple[str, ...]) -> Column:
+    """Process-wide cache of the ~70-regex anchor/end bank expression —
+    keyed by statement tuple; saves ~0.7 s of serial py4j construction
+    per plan build after the first. NOTE: tests that monkeypatch
+    patterns._ANCHOR_SPEC must clear this cache."""
+    name0 = name_from_cell(F.try_element_at(F.col("cells"), F.lit(1)))
+    name1 = name_from_cell(F.try_element_at(F.col("cells"), F.lit(2)))
+    return _hit_structs(name0, name1, statement_types)
 
 
 def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...]) -> Column:
@@ -131,18 +144,16 @@ def identify_structures(
     header row, exactly like the reference (balance_sheet.py:187-196 →
     get_header_info default).
     """
-    # try_element_at: ANSI mode (Spark 4 default) makes plain
-    # element_at THROW on rows shorter than the index — one ragged
-    # 1-cell table row must not abort a 10^12-row job
-    name0 = name_from_cell(F.try_element_at(F.col("cells"), F.lit(1)))
-    name1 = name_from_cell(F.try_element_at(F.col("cells"), F.lit(2)))
+    # try_element_at (inside the cached bank): ANSI mode (Spark 4
+    # default) makes plain element_at THROW on rows shorter than the
+    # index — one ragged 1-cell table row must not abort a 10^12-row job
     row_text = nonempty_row_text(F.col("cells"))
     hdr_flag = row_text.rlike(HEADER_MUST_MATCH) & row_text.rlike(HEADER_ALSO_MATCH)
 
     hits = clean_rows.select(
         "url",
         "row_idx",
-        F.explode(_hit_structs(name0, name1, statement_types)).alias("h"),
+        F.explode(_hit_structs_cached(tuple(statement_types))).alias("h"),
     ).select("url", "row_idx", "h.stmt", "h.kind", "h.ord", "h.req")
 
     per_stmt = hits.groupBy("url", "stmt").agg(
@@ -159,6 +170,48 @@ def identify_structures(
     # to every executor at 10^12 scale); AQE chooses from runtime stats
     df = per_stmt.join(per_url, "url")
 
+    e = _si_exprs(tuple(statement_types))
+    df = df.withColumn("amins", e["amins"])
+    df = (
+        df.withColumn("found_total", e["found_total"])
+        .withColumn("found_required", e["found_required"])
+        .withColumn("first_anchor", e["first_anchor"])
+        .withColumn("last_anchor", e["last_anchor"])
+        .withColumn("order_ok", e["order_ok"])
+        .withColumn("req_anchors", e["counts_required"])
+        .withColumn("tot_anchors", e["counts_total"])
+    )
+    df = df.withColumn(
+        "is_valid", (F.col("found_required") == F.col("req_anchors")) & F.col("order_ok")
+    ).withColumn(
+        "confidence",
+        F.when(
+            F.col("found_required") < F.col("req_anchors"),
+            F.col("found_total") / F.col("req_anchors"),
+        )
+        .when(~F.col("order_ok"), F.lit(0.5))
+        .otherwise(F.col("found_total") / F.col("tot_anchors")),
+    )
+
+    return df.select(
+        "url",
+        F.col("stmt").alias("statement_type"),
+        "is_valid",
+        "confidence",
+        F.when(F.col("is_valid"), e["header_row"]).alias("header_row"),
+        F.when(F.col("is_valid"), F.col("first_anchor")).otherwise(F.lit(0)).alias("parse_start"),
+        F.when(F.col("is_valid"), e["end_row"]).otherwise(F.col("max_row")).alias("parse_end"),
+        "first_anchor",
+        "last_anchor",
+        "max_row",
+    )
+
+
+@lru_cache(maxsize=8)
+def _si_exprs(statement_types: tuple[str, ...]) -> dict[str, Column]:
+    """SI2-SI4 expression block, memoized per process (pure by-name
+    column references — reuse across plans is safe and saves ~0.8 s of
+    serial py4j construction per subsequent plan build)."""
     # ---- expression-level SI2-SI4 over the collected hit lists ----
     anchors = F.filter(F.col("hs"), lambda h: h["kind"] == F.lit("a"))
     # per-anchor first row: sort by (ord, row), keep first per ord
@@ -172,7 +225,6 @@ def identify_structures(
             (F.size(acc) > 0) & (F.try_element_at(acc, F.lit(-1))["o"] == x["o"]), acc
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    df = df.withColumn("amins", amins)
 
     found_total = F.size(F.col("amins"))
     found_required = F.size(F.filter(F.col("amins"), lambda a: a["q"]))
@@ -196,27 +248,6 @@ def identify_structures(
         tot, req = anchor_counts(s)
         counts_total = F.when(F.col("stmt") == s, F.lit(tot)).otherwise(counts_total)
         counts_required = F.when(F.col("stmt") == s, F.lit(req)).otherwise(counts_required)
-
-    df = (
-        df.withColumn("found_total", found_total)
-        .withColumn("found_required", found_required)
-        .withColumn("first_anchor", first_anchor)
-        .withColumn("last_anchor", last_anchor)
-        .withColumn("order_ok", order_ok)
-        .withColumn("req_anchors", counts_required)
-        .withColumn("tot_anchors", counts_total)
-    )
-    df = df.withColumn(
-        "is_valid", (F.col("found_required") == F.col("req_anchors")) & F.col("order_ok")
-    ).withColumn(
-        "confidence",
-        F.when(
-            F.col("found_required") < F.col("req_anchors"),
-            F.col("found_total") / F.col("req_anchors"),
-        )
-        .when(~F.col("order_ok"), F.lit(0.5))
-        .otherwise(F.col("found_total") / F.col("tot_anchors")),
-    )
 
     # SI3 header: nearest candidate ≤20 rows above the first anchor;
     # fallback = first_anchor-1 (identifier.py:278-308)
@@ -245,15 +276,15 @@ def identify_structures(
     )
     end_row = F.coalesce(end_found, F.least(F.col("max_row"), F.col("last_anchor") + END_FALLBACK))
 
-    return df.select(
-        "url",
-        F.col("stmt").alias("statement_type"),
-        "is_valid",
-        "confidence",
-        F.when(F.col("is_valid"), header_row).alias("header_row"),
-        F.when(F.col("is_valid"), F.col("first_anchor")).otherwise(F.lit(0)).alias("parse_start"),
-        F.when(F.col("is_valid"), end_row).otherwise(F.col("max_row")).alias("parse_end"),
-        "first_anchor",
-        "last_anchor",
-        "max_row",
-    )
+    return {
+        "amins": amins,
+        "found_total": found_total,
+        "found_required": found_required,
+        "first_anchor": first_anchor,
+        "last_anchor": last_anchor,
+        "order_ok": order_ok,
+        "counts_total": counts_total,
+        "counts_required": counts_required,
+        "header_row": header_row,
+        "end_row": end_row,
+    }

@@ -143,7 +143,10 @@ def test_unguardable_anchor_still_matches(spark, page_df, monkeypatch):
     """A future anchor pattern like '^(A|B)…' must route to the
     unguarded branch and still match — not be silently dropped."""
     from pdf_context_extractor_agent_spark import patterns
-    from pdf_context_extractor_agent_spark.operators.structure import identify_structures
+    from pdf_context_extractor_agent_spark.operators.structure import (
+        _hit_structs_cached,
+        identify_structures,
+    )
     from pdf_context_extractor_agent_spark.plans.extract import statement_rows
 
     rows = statement_rows(page_df).persist()
@@ -158,7 +161,11 @@ def test_unguardable_anchor_still_matches(spark, page_df, monkeypatch):
         for i, (name, req, pats) in enumerate(spec)
     ]
     monkeypatch.setitem(patterns._ANCHOR_SPEC, "balance_sheet", mutated)
-    got = identify_structures(rows, spark, ("balance_sheet",)).collect()
-    rows.unpersist()
+    _hit_structs_cached.cache_clear()  # bank expr is memoized per process
+    try:
+        got = identify_structures(rows, spark, ("balance_sheet",)).collect()
+    finally:
+        rows.unpersist()
+        _hit_structs_cached.cache_clear()  # drop the mutated bank
     key = lambda r: (r.url, r.statement_type)
     assert sorted(base, key=key) == sorted(got, key=key)
