@@ -169,3 +169,23 @@ def test_unguardable_anchor_still_matches(spark, page_df, monkeypatch):
         _hit_structs_cached.cache_clear()  # drop the mutated bank
     key = lambda r: (r.url, r.statement_type)
     assert sorted(base, key=key) == sorted(got, key=key)
+
+
+def test_repetition_and_pii_are_shuffle_free(spark):
+    """Per-document quality filtering must be a narrow map at 100 TB:
+    the repetition and PII queries may not contain a single Exchange,
+    and their scans must prune to (doc_id, text)."""
+    for name in ("q_repetition", "q_pii_scrub"):
+        plan = _physical(entry_mod.queries()[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:600]}"
+        scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+        assert "source" not in scan  # untouched column pruned from the scan
+
+
+def test_chunk_dedup_no_product_join(spark):
+    """chunk_dedup's owner join is an equi-join on the chunk — never a
+    nested-loop/cartesian product, and document bodies don't ride the
+    shuffle (the exploded relation carries only (doc_id, pos, chunk))."""
+    plan = _physical(entry_mod.queries()["q_chunk_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

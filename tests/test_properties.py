@@ -119,3 +119,40 @@ def test_minipdf_roundtrip_property(pages):
 
     got = "\n".join(p["page_text"] for p in parse_doc(render_minipdf_doc(pages)))
     assert got == render_text(pages)
+
+
+def test_mask_pii_idempotent(spark):
+    """Masking already-masked text is a no-op (replacement tokens never
+    re-match any PII pattern)."""
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.functions.quality import mask_pii
+
+    docs = spark.createDataFrame(
+        [(0, "a@b.com and +123-456-7890"), (1, "plain"), (2, "x.y%z@q.io t 555-1234-0000")],
+        "doc_id long, text string",
+    )
+    once = docs.select("doc_id", mask_pii(F.col("text")).alias("m"))
+    twice = once.select("doc_id", mask_pii(F.col("m")).alias("m"))
+    assert [r.m for r in once.orderBy("doc_id").collect()] == [
+        r.m for r in twice.orderBy("doc_id").collect()
+    ]
+
+
+def test_chunk_dedup_invariants(spark):
+    """Over the real documents table: removals are bounded by chunk
+    counts, and every distinct chunk survives in exactly its owner."""
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.functions.dedup import chunk_dedup, doc_chunks
+    from pdf_context_extractor_agent_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = chunk_dedup(docs)
+    assert out.filter((F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_chunks"))).count() == 0
+    # conservation: kept occurrences == occurrences whose doc is the owner
+    ch = doc_chunks(docs)
+    owners = ch.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    expect_kept = ch.join(owners, "chunk").filter(F.col("owner") == F.col("doc_id")).count()
+    got_kept = out.agg(F.sum(F.col("n_chunks") - F.col("n_removed"))).first()[0]
+    assert got_kept == expect_kept
