@@ -37,7 +37,10 @@ DO_SCALING = "--no-scaling" not in sys.argv
 CORES_LOW, CORES_HIGH = 4, 16
 # scaling-leg corpus: large enough that per-doc work dominates the
 # ~5-10s of fixed driver/stage orchestration
-N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000" if QUICK else "60000"))
+# 120k docs ≈ 1 GB: sized so the high-parallelism leg's parallel work
+# dominates its ~10-20s of fixed stage/barrier cost (the kernel fast
+# path made 60k too quick for a clean 4× read at 16 cores)
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000" if QUICK else "120000"))
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 # AQE stays ON, matching the engine defaults: with no forced broadcast
@@ -142,8 +145,11 @@ def _leg_once(cores: int, n_docs: int, check_identity: bool) -> dict:
     from pdf_context_extractor_agent_spark.session import get_spark, stop_spark
 
     stop_spark()
+    # 2× cores shuffle partitions (the production guidance): smooths
+    # partition-size tails in the url-window stages; AQE coalesces any
+    # that end up small
     spark = get_spark(
-        app_name=f"bench{cores}", cores=cores, shuffle_partitions=cores, extra_conf=BENCH_CONF
+        app_name=f"bench{cores}", cores=cores, shuffle_partitions=cores * 2, extra_conf=BENCH_CONF
     )
     # warmup: compile codegen classes + spawn python workers so the
     # timed run measures steady-state throughput, not JIT

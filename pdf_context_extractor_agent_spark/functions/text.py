@@ -20,6 +20,52 @@ def rlike_any(col: Column, patterns: list[str]) -> Column:
     return out
 
 
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def fast_match(col: Column, pattern: str) -> Column:
+    """rlike-equivalent that compiles the common literal pattern shapes
+    to cheap string predicates instead of Java regex:
+
+    * ``^lit$`` → equality, ``^lit`` → startswith, ``lit$`` → endswith,
+      ``lit`` → contains (rlike is an unanchored FIND, so these are
+      exact semantic equivalents for metacharacter-free bodies);
+    * anything containing regex syntax falls back to ``rlike``.
+
+    The pattern banks are hundreds of mostly-literal Chinese account
+    names evaluated against every item row — indexOf beats a regex
+    engine by ~5-10× on that hot path.
+
+    Caveat: Java's ``$`` also matches before one trailing newline;
+    equality/endswith do not. Callers feed M3-cleaned cells or
+    name_from_cell output (both newline-free), so the shapes agree.
+    """
+    body = pattern
+    anchored_start = body.startswith("^")
+    if anchored_start:
+        body = body[1:]
+    anchored_end = body.endswith("$")
+    if anchored_end:
+        body = body[:-1]
+    if body and not (set(body) & _REGEX_META):
+        if anchored_start and anchored_end:
+            return col == body
+        if anchored_start:
+            return col.startswith(body)
+        if anchored_end:
+            return col.endswith(body)
+        return col.contains(body)
+    # unanchored top-level alternation of pure literals → OR of contains
+    if not anchored_start and not anchored_end and "|" in body:
+        parts = body.split("|")
+        if all(p and not (set(p) & _REGEX_META) for p in parts):
+            out = F.lit(False)
+            for p in parts:
+                out = out | col.contains(p)
+            return out
+    return col.rlike(pattern)
+
+
 def clean_cells(cells: Column) -> Column:
     """M3 cell cleaning (reference table_extractor.py:336-347):
     null→'', strip, collapse internal whitespace runs to one space."""
@@ -67,7 +113,7 @@ def matched_pattern_ids(col: Column, patterns: list[tuple[int, str]]) -> Column:
     result, hash join instead of nested loop.
     """
     return F.array_compact(
-        F.array(*[F.when(col.rlike(p), F.lit(i)) for i, p in patterns])
+        F.array(*[F.when(fast_match(col, p), F.lit(i)) for i, p in patterns])
     )
 
 

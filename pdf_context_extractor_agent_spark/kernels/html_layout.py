@@ -20,6 +20,8 @@ kernel); the binary column is pruned away immediately after.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator
 
@@ -205,10 +207,66 @@ def parse_doc(blob: bytes) -> list[dict]:
         return empty
 
 
+# --- fast event tokenizer -------------------------------------------------
+# html.parser spends ~60% of HTML kernel time in per-character goahead()
+# and attribute-regex parse_starttag(). This regex tokenizer produces the
+# SAME handler event stream (start/end/data with entities unescaped, the
+# only attribute anyone reads is `class`, script/style bodies skipped as
+# CDATA) and drives the identical _LayoutParser handlers — semantics are
+# pinned by the byte-identity corpus, the entity test, and the 200-case
+# generative fuzz. Any exception falls back to html.parser.
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>", re.S)
+_CLASS_ATTR_RE = re.compile(r"""class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def _fast_feed(parser: _LayoutParser, text: str) -> None:
+    text = _COMMENT_RE.sub("", text)
+    lower = text.lower()
+    pos = 0
+    search = _TAG_RE.search
+    while True:
+        m = search(text, pos)
+        if m is None:
+            break
+        s = m.start()
+        if s > pos:
+            data = text[pos:s]
+            parser.handle_data(unescape(data) if "&" in data else data)
+        pos = m.end()
+        tag = m.group(2).lower()
+        if m.group(1):
+            parser.handle_endtag(tag)
+            continue
+        rest = m.group(3)
+        attrs: list[tuple[str, str | None]] = []
+        if "class" in rest or "CLASS" in rest:
+            cm = _CLASS_ATTR_RE.search(rest)
+            if cm:
+                attrs = [("class", cm.group(1) or cm.group(2) or cm.group(3) or "")]
+        parser.handle_starttag(tag, attrs)
+        if rest.rstrip().endswith("/"):
+            parser.handle_endtag(tag)
+        elif tag in ("script", "style"):
+            # CDATA content mode: everything until the closing tag is raw
+            # (a '<div>' inside a JS string must not become an event)
+            close = lower.find("</" + tag, pos)
+            pos = len(text) if close < 0 else close
+    if pos < len(text):
+        data = text[pos:]
+        parser.handle_data(unescape(data) if "&" in data else data)
+
+
 def parse_html_doc(html_bytes: bytes) -> list[dict]:
     """binary → per-page structs (pure function; unit-testable off-Spark)."""
+    text = html_bytes.decode("utf-8", errors="replace")
     parser = _LayoutParser()
-    parser.feed(html_bytes.decode("utf-8", errors="replace"))
+    try:
+        _fast_feed(parser, text)
+    except Exception:
+        parser = _LayoutParser()
+        parser.feed(text)
     out = []
     for page_no, blocks in enumerate(parser.result(), start=1):
         lines: list[tuple[float, str]] = []

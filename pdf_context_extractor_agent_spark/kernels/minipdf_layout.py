@@ -90,7 +90,10 @@ def _tokenize_stream(data: str) -> dict:
             tok = m.group(4)
             if tok == "Tj":
                 if stack and isinstance(stack[-1], str) and stack[-1].startswith("("):
-                    runs.append((int(tx), flip(ty), _unescape(stack[-1][1:-1])))
+                    s = stack[-1][1:-1]
+                    if "\\" in s:  # escape processing only when present
+                        s = _unescape(s)
+                    runs.append((int(tx), flip(ty), s))
             elif tok == "Tm":
                 if len(stack) >= 6:
                     tx, ty = float(stack[-2]), float(stack[-1])

@@ -205,3 +205,62 @@ def notes_continuity(notes: DataFrame) -> DataFrame:
         .otherwise(F.col("first_num") == F.col("prev_last") + 1)
         .alias("continuity_ok"),
     )
+
+
+def merge_cross_page_notes(notes: DataFrame, page_df: DataFrame) -> DataFrame:
+    """Cross-page note continuation (the reference's ``is_complete=False``
+    case, notes_extractor.py:474 — there judged by the LLM; here the
+    deterministic contract is positional): lines on the NEXT notes page
+    that precede its first title are the spilled tail of the previous
+    page's last note. Those notes get the continuation appended to
+    ``text`` and ``is_complete=False``; everything else passes through.
+
+    Designed for ``text_mode="between_titles"`` output (the uncapped
+    slice); chains longer than one page (a full page with no titles) are
+    out of scope, matching the reference's ±1-page batch context window.
+    """
+    lines = _lines_long(page_df)
+    bounds = notes.groupBy("url", "page").agg(
+        F.min("y").alias("first_title_y"), F.max("y").alias("last_title_y")
+    )
+    cont = (
+        lines.join(bounds, ["url", "page"])
+        .filter(F.col("y") < F.col("first_title_y"))
+        .groupBy("url", "page")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("y", "text"))), lambda s: s["text"]
+                ),
+                "\n",
+            ).alias("cont_text")
+        )
+    )
+    # attach page p+1's continuation to page p's LAST note
+    w = Window.partitionBy("url").orderBy("page")
+    nxt = (
+        bounds.withColumn("next_page", F.lead("page").over(w))
+        .join(
+            cont.select("url", F.col("page").alias("next_page"), "cont_text"),
+            ["url", "next_page"],
+        )
+        .filter(F.col("next_page") == F.col("page") + 1)  # adjacent pages only
+        .select("url", "page", "last_title_y", "cont_text")
+    )
+    merged = notes.join(
+        nxt.withColumnRenamed("last_title_y", "y"), ["url", "page", "y"], "left"
+    )
+    spilled = F.col("cont_text").isNotNull()
+    return (
+        merged.withColumn(
+            "text",
+            F.when(
+                spilled,
+                F.when(F.col("text") == "", F.col("cont_text")).otherwise(
+                    F.concat_ws("\n", "text", "cont_text")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("is_complete", ~spilled)
+        .drop("cont_text")
+    )

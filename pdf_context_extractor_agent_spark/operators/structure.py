@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import name_from_cell, nonempty_row_text
+from ..functions.text import fast_match
 from ..patterns import (
     HEADER_ALSO_MATCH,
     HEADER_MUST_MATCH,
@@ -95,11 +96,11 @@ def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...])
             any_g = any_u = False
             for p in pats:
                 if guardable(p):
-                    cond_g = cond_g | name0.rlike(p) | name1.rlike(p)
+                    cond_g = cond_g | fast_match(name0, p) | fast_match(name1, p)
                     trigger_chars.add(p[1])
                     any_g = True
                 else:
-                    cond_u = cond_u | name0.rlike(p) | name1.rlike(p)
+                    cond_u = cond_u | fast_match(name0, p) | fast_match(name1, p)
                     any_u = True
             # duplicate (stmt, 'a', ord) hits merge downstream (amins
             # keeps the min row per ord), so split emission is safe
@@ -112,11 +113,11 @@ def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...])
         any_g = any_u = False
         for p in STATEMENT_END_PATTERNS[stmt]:
             if guardable(p):
-                cond_g = cond_g | name0.rlike(p)
+                cond_g = cond_g | fast_match(name0, p)
                 trigger_chars.add(p[1])
                 any_g = True
             else:
-                cond_u = cond_u | name0.rlike(p)
+                cond_u = cond_u | fast_match(name0, p)
                 any_u = True
         if any_g:
             guarded.append(_hit(stmt, "e", -1, False, cond_g))
@@ -148,7 +149,7 @@ def identify_structures(
     # default) makes plain element_at THROW on rows shorter than the
     # index — one ragged 1-cell table row must not abort a 10^12-row job
     row_text = nonempty_row_text(F.col("cells"))
-    hdr_flag = row_text.rlike(HEADER_MUST_MATCH) & row_text.rlike(HEADER_ALSO_MATCH)
+    hdr_flag = fast_match(row_text, HEADER_MUST_MATCH) & fast_match(row_text, HEADER_ALSO_MATCH)
 
     hits = clean_rows.select(
         "url",

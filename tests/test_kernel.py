@@ -257,3 +257,36 @@ def test_page_rotation_metadata():
     assert [p["rotation"] for p in plain] == [0, 0]
     html = parse_doc(b"<html><p>hi</p></html>")
     assert [p["rotation"] for p in html] == [0]
+
+
+def test_fast_feed_matches_html_parser_events():
+    """The regex event tokenizer must produce the same extraction as the
+    html.parser-driven walk on corpus docs AND on awkward shapes it
+    could plausibly diverge on (script with tag-like strings, comments,
+    self-closing tags, entities in cells, class variants)."""
+    from pdf_context_extractor_agent_spark.kernels.html_layout import (
+        _fast_feed,
+        _LayoutParser,
+    )
+
+    awkward = [
+        "<html><script>var s = '<div>not a tag</div>';</script><p>kept</p></html>",
+        "<html><!-- <p>ghost</p> --><p>real</p></html>",
+        "<html><p>a<br/>b</p><hr/><p>c &amp; d</p></html>",
+        "<html><div class='page'><table><tr><td>x &lt;y&gt;</td></tr></table></div></html>",
+        '<html><nav class="TopNav">skip</nav><div CLASS="page"><p>t</p></div></html>',
+        "<html><style>p:before { content: '<'; }</style><p>after</p></html>",
+        "<html><p>unterminated",
+    ]
+    for i in range(60):
+        from pdf_context_extractor_agent_spark.corpus import make_doc
+
+        blob = make_doc(i)[2]
+        if not blob.startswith((b"FPDF1", b"%PDF")):
+            awkward.append(blob.decode("utf-8"))
+    for doc in awkward:
+        fast, slow = _LayoutParser(), _LayoutParser()
+        _fast_feed(fast, doc)
+        slow.feed(doc)
+        slow.close()
+        assert fast.result() == slow.result(), doc[:120]

@@ -85,3 +85,27 @@ def test_text_mode_between_titles(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         extract_notes(page, "nope")
+
+
+def test_merge_cross_page_notes(spark):
+    """A note whose body spills onto the next page: the next page's
+    pre-title lines append to it and it reports is_complete=False."""
+    from pdf_context_extractor_agent_spark.kernels.html_layout import PAGE_SCHEMA
+    from pdf_context_extractor_agent_spark.operators.notes import (
+        extract_notes,
+        merge_cross_page_notes,
+    )
+
+    p1 = [(0.0, "1、 货币资金"), (12.0, "p1 body"), (24.0, "2、 应收账款"), (36.0, "spill start")]
+    p2 = [(0.0, "spill end"), (12.0, "3、 存货"), (24.0, "p2 body")]
+    page = spark.createDataFrame(
+        [("u", 1, 612.0, 792.0, 0, "\n".join(t for _, t in p1), p1, []),
+         ("u", 2, 612.0, 792.0, 0, "\n".join(t for _, t in p2), p2, [])],
+        PAGE_SCHEMA,
+    )
+    notes = extract_notes(page, "between_titles")
+    out = {r.number: r for r in merge_cross_page_notes(notes, page).collect()}
+    assert out["2"].text == "spill start\nspill end"
+    assert out["2"].is_complete is False
+    assert out["1"].text == "p1 body" and out["1"].is_complete is True
+    assert out["3"].text == "p2 body" and out["3"].is_complete is True

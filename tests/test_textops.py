@@ -275,3 +275,45 @@ def test_chunk_dedup_c4_style(spark):
     assert (out[1].n_chunks, out[1].n_removed, out[1].kept_text) == (2, 1, "q r")
     # doc 2 loses both ('q r' owned by 1, 'x y' by 0)
     assert (out[2].n_chunks, out[2].n_removed, out[2].kept_text) == (2, 2, "")
+
+
+def test_fast_match_equals_rlike_for_every_bank_pattern(spark):
+    """fast_match compiles literal pattern shapes to string predicates;
+    it must agree with rlike for EVERY pattern in every bank, over a
+    probe set covering hits, misses, prefixes, suffixes and embeddings."""
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.functions.text import fast_match
+    from pdf_context_extractor_agent_spark.patterns import (
+        _ANCHOR_SPEC,
+        HEADER_ALSO_MATCH,
+        HEADER_MUST_MATCH,
+        STATEMENT_END_PATTERNS,
+        item_pattern_list,
+        item_pid_ranges,
+    )
+
+    pats = {HEADER_MUST_MATCH, HEADER_ALSO_MATCH}
+    for stmt in item_pid_ranges():
+        pats |= {p for _i, p in item_pattern_list(stmt)}
+    for spec in _ANCHOR_SPEC.values():
+        for _n, _r, ps in spec:
+            pats |= set(ps)
+    for ps in STATEMENT_END_PATTERNS.values():
+        pats |= set(ps)
+
+    probes = set()
+    for p in sorted(pats):
+        body = p.strip("^$")
+        lit = "".join(ch for ch in body if ch not in ".^$*+?()[]{}|\\")
+        probes |= {lit, f"x{lit}", f"{lit}x", f"x{lit}x", lit[:-1], ""}
+    probe_df = spark.createDataFrame([(s,) for s in sorted(probes)], "s string")
+
+    mismatches = F.lit(0)
+    for p in sorted(pats):
+        eq = F.coalesce(fast_match(F.col("s"), p), F.lit(False)) == F.coalesce(
+            F.col("s").rlike(p), F.lit(False)
+        )
+        mismatches = mismatches + F.when(~eq, 1).otherwise(0)
+    total = probe_df.agg(F.sum(mismatches)).first()[0]
+    assert total == 0
