@@ -550,6 +550,83 @@ def _q_multimodal(spark, sf):
     )
 
 
+def _synth_lines(spark, sf):
+    """Deterministic line table from documents: 6-word chunks with a
+    hash-chosen terminal mark — gives the C4 rules real punctuation and
+    word-count variety to act on (the raw corpus text has neither)."""
+    docs = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    w = F.split(norm, " ")
+    n_lines = F.ceil(F.size(w) / F.lit(6)).cast("int")
+    bodies = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(w, i * 6 + 1, 6), " "),
+    )
+    def punct(b):
+        c = F.substring(F.md5(b), 32, 1)
+        return (
+            F.when(c <= "6", F.lit(".")).when(c <= "9", F.lit("?"))
+            .when(c <= "b", F.lit("!")).otherwise(F.lit(""))
+        )
+    lines = F.transform(bodies, lambda b: F.concat(b, punct(b)))
+    return docs.select("doc_id", F.posexplode(lines).alias("line_no", "line"))
+
+
+def _q_c4_filter(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.webtext import c4_filter_lines
+
+    out = c4_filter_lines(_synth_lines(spark, sf), banned_line_words=("slow",))
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "keep_doc", F.md5("kept_text").alias("kept_md5")
+    )
+
+
+def _q_block_classify(spark, sf):
+    """Density classifier over a deterministic block table derived from
+    documents (hash-chosen link density and heading tags)."""
+    from pdf_context_extractor_agent_spark.functions.dedup import doc_chunks
+    from pdf_context_extractor_agent_spark.functions.webtext import classify_blocks
+
+    ch = doc_chunks(_t(spark, sf, "documents"), chunk_words=6)
+    h = F.md5("chunk")
+    # densities chosen exactly representable in binary floating point so
+    # floor(n_chars * ld) is bit-identical between Spark (DOUBLE) and
+    # DuckDB (DECIMAL literal) arithmetic
+    ld = (
+        F.when(F.substring(h, 31, 1) <= "3", F.lit(0.0))
+        .when(F.substring(h, 31, 1) <= "7", F.lit(0.25))
+        .when(F.substring(h, 31, 1) <= "b", F.lit(0.5))
+        .otherwise(F.lit(0.875))
+    )
+    n_chars = F.length("chunk")
+    feats = ch.select(
+        "doc_id",
+        F.col("pos").alias("block_no"),
+        F.when(F.substring(h, 30, 1) <= "1", F.lit("h2")).otherwise(F.lit("p")).alias("tag"),
+        F.col("chunk").alias("text"),
+        n_chars.alias("n_chars"),
+        F.size(F.split("chunk", " ")).alias("n_words"),
+        F.floor(n_chars * ld).cast("int").alias("n_link_chars"),
+    )
+    out = classify_blocks(feats, doc_col="doc_id", order_col="block_no", min_words_good=5)
+    return out.select(
+        "doc_id", "block_no", "tag", "n_chars", "n_words", "n_link_chars",
+        "base_label", "label", "is_content",
+    )
+
+
+def _q_main_content(spark, sf):
+    """Generic-web main-content extraction over the pages corpus (DOM
+    block kernel + density classifier) — kernel-based, rows-only."""
+    from pdf_context_extractor_agent_spark.corpus import pages_df
+    from pdf_context_extractor_agent_spark.functions.webtext import main_content
+
+    out = main_content(pages_df(spark, N_ENTRY_DOCS))
+    return out.select(
+        "url", "n_blocks", "n_content_blocks", F.md5("main_text").alias("main_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -587,6 +664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_pii_scrub": _q_pii_scrub,
         "q_chunk_dedup": _q_chunk_dedup,
+        "q_c4_filter": _q_c4_filter,
+        "q_block_classify": _q_block_classify,
+        "q_main_content": _q_main_content,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -905,6 +985,81 @@ WITH words AS (
                    md5(coalesce(string_agg(CASE WHEN owner = ch.doc_id THEN chunk END, ' ' ORDER BY pos), '')) AS kept_md5
             FROM ch JOIN owners USING (chunk)
             GROUP BY ch.doc_id""",
+        "q_c4_filter": f"""
+            WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+            pos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0, ceil(len(w) / 6.0)::INT - 1)) AS line_no
+              FROM w),
+            bodies AS (
+              SELECT doc_id, line_no,
+                     array_to_string(w[6*line_no+1:6*line_no+6], ' ') AS body
+              FROM pos),
+            lines AS (
+              SELECT doc_id, line_no, body || CASE
+                       WHEN substring(md5(body), 32, 1) <= '6' THEN '.'
+                       WHEN substring(md5(body), 32, 1) <= '9' THEN '?'
+                       WHEN substring(md5(body), 32, 1) <= 'b' THEN '!'
+                       ELSE '' END AS line
+              FROM bodies),
+            flags AS (
+              SELECT doc_id, line_no, line,
+                     regexp_matches(line, '[.!?"”。！？]$')
+                       AND len(list_filter(string_split(trim(line), ' '), x -> x <> '')) >= 5
+                       AND NOT contains(lower(line), 'slow') AS kept,
+                     contains(lower(line), 'lorem ipsum') OR contains(line, '{{') AS banned
+              FROM lines)
+            SELECT doc_id, count(*) AS n_lines,
+                   count(CASE WHEN kept THEN 1 END) AS n_kept,
+                   count(CASE WHEN kept THEN 1 END) >= 3 AND NOT bool_or(banned) AS keep_doc,
+                   md5(coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_no), '')) AS kept_md5
+            FROM flags GROUP BY doc_id""",
+        "q_block_classify": f"""
+            WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+            pos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0, ceil(len(w) / 6.0)::INT - 1)) AS block_no
+              FROM w),
+            ch AS (
+              SELECT doc_id, block_no,
+                     array_to_string(w[6*block_no+1:6*block_no+6], ' ') AS text
+              FROM pos),
+            feats AS (
+              SELECT doc_id, block_no,
+                     CASE WHEN substring(md5(text), 30, 1) <= '1' THEN 'h2' ELSE 'p' END AS tag,
+                     length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_words,
+                     floor(length(text) * CASE
+                       WHEN substring(md5(text), 31, 1) <= '3' THEN 0.0
+                       WHEN substring(md5(text), 31, 1) <= '7' THEN 0.25
+                       WHEN substring(md5(text), 31, 1) <= 'b' THEN 0.5
+                       ELSE 0.875 END)::INT AS n_link_chars
+              FROM ch),
+            base AS (
+              SELECT *, CASE
+                       WHEN n_chars = 0 THEN 'bad'
+                       WHEN n_link_chars::DOUBLE / greatest(n_chars, 1) > 0.33 THEN 'bad'
+                       WHEN tag IN ('h1','h2','h3','h4','h5','h6') THEN 'heading'
+                       WHEN n_words >= 5 THEN 'good'
+                       ELSE 'short' END AS base_label
+              FROM feats),
+            sm AS (
+              SELECT *,
+                     lag(base_label) OVER (PARTITION BY doc_id ORDER BY block_no) AS prev_l,
+                     lead(base_label) OVER (PARTITION BY doc_id ORDER BY block_no) AS next_l
+              FROM base)
+            SELECT doc_id, block_no, tag, n_chars, n_words, n_link_chars, base_label,
+                   CASE WHEN base_label = 'short' THEN
+                          CASE WHEN prev_l = 'good' OR next_l = 'good' THEN 'good' ELSE 'bad' END
+                        WHEN base_label = 'heading' THEN
+                          CASE WHEN next_l = 'good' THEN 'good' ELSE 'bad' END
+                        ELSE base_label END AS label,
+                   (CASE WHEN base_label = 'short' THEN
+                          CASE WHEN prev_l = 'good' OR next_l = 'good' THEN 'good' ELSE 'bad' END
+                        WHEN base_label = 'heading' THEN
+                          CASE WHEN next_l = 'good' THEN 'good' ELSE 'bad' END
+                        ELSE base_label END) = 'good' AS is_content
+            FROM sm""",
         "q_minhash_lsh_md5": f"""
             {shingle_cte},
             sigs AS (SELECT doc_id, {mh_sig} FROM sh GROUP BY doc_id),

@@ -44,6 +44,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # size JVM service pools (GC threads, fork-join, netty) to the
+        # host's HONEST capacity, not its advertised CPU count: the box
+        # advertises 32 CPUs but sustains ~16 effective cores (BENCH.md
+        # calibration), so the JVM otherwise over-provisions GC/service
+        # threads 2× — the same truth a production executor gets from
+        # its cgroup core pinning. JVM flags bind at gateway launch
+        # (first session in the process), hence a fixed value.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={os.environ.get('SPARK_GRAFT_EFFECTIVE_CPUS', '16')}",
+        )
         .config("spark.ui.enabled", "false")
         # broadcast threshold: the pattern/anchor dimension tables are
         # a few KB; the default 10MB is fine, stated here for intent.

@@ -21,6 +21,7 @@ Outputs under --output:
     text/        per-url extracted main-content text
     documents/   nested per-document JSON view (S6)
     metrics/     per-partition lineage rows (--resume mode)
+    main_content/  density-classified boilerplate-free text (--main-content)
 """
 
 from __future__ import annotations
@@ -41,6 +42,9 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true",
                     help="anti-join against prior output; write lineage metrics")
     ap.add_argument("--statements", default="balance_sheet,income_statement,cash_flow")
+    ap.add_argument("--main-content", action="store_true",
+                    help="also write density-classified main-content text "
+                         "(generic-web boilerplate removal)")
     args = ap.parse_args()
     if not args.input and not args.demo_docs:
         ap.error("one of --input / --demo-docs is required")
@@ -78,6 +82,12 @@ def main() -> int:
     extract_notes(page_df).drop("tables").write.mode("overwrite").parquet(f"{args.output}/notes")
     extracted_text(page_df).write.mode("overwrite").parquet(f"{args.output}/text")
     write_parsed_json(res["parsed"], f"{args.output}/documents")
+    if args.main_content:
+        from pdf_context_extractor_agent_spark.functions.webtext import main_content
+
+        main_content(pages).write.mode("overwrite").parquet(
+            f"{args.output}/main_content"
+        )
 
     n_docs = page_df.select("url").distinct().count()
     n_valid = res["summary"].filter(F.col("is_valid")).count()

@@ -290,3 +290,49 @@ def test_fast_feed_matches_html_parser_events():
         slow.feed(doc)
         slow.close()
         assert fast.result() == slow.result(), doc[:120]
+
+
+def test_minipdf_tj_kerning_and_leading():
+    """TJ arrays: kern gaps ≤ -180 become inter-word spaces, smaller
+    ones join glyph runs; TL/T*/' drive line advances like real
+    word-processor output."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    stream = "\n".join([
+        "BT /F1 10 Tf 14 TL 1 0 0 1 20 772 Tm",
+        "[(Hel) -40 (lo) -250 (kerned)] TJ",
+        "T* (second line) Tj",
+        "(third via quote) '",
+        "ET",
+    ])
+    pages = parse_minipdf(render_minipdf([stream]))
+    lines = pages[0]["page_text"].splitlines()
+    assert lines[0] == "Hello kerned"
+    assert lines[1] == "second line"
+    assert lines[2] == "third via quote"
+    # T*/' advanced y by the 14pt leading each time
+    ys = [ln[0] for ln in pages[0]["lines"]]
+    assert ys[1] - ys[0] == 14 and ys[2] - ys[1] == 14
+
+
+def test_minipdf_flate_streams():
+    """FlateDecode round trip: compressed and uncompressed renderings of
+    the same streams parse to identical pages (kind-4 corpus doc)."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    streams = [
+        "BT 1 0 0 1 20 772 Tm (alpha beta) Tj 0 -12 Td (gamma) Tj ET",
+        "BT 1 0 0 1 20 772 Tm (page two) Tj ET",
+    ]
+    plain = parse_minipdf(render_minipdf(streams))
+    packed_blob = render_minipdf(streams, compress=True)
+    assert b"/FlateDecode" in packed_blob
+    packed = parse_minipdf(packed_blob)
+    assert plain == packed
+    assert plain[0]["page_text"] == "alpha beta\ngamma"

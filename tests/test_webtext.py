@@ -1,0 +1,157 @@
+"""C4 line filter + density-based main-content extraction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_context_extractor_agent_spark.functions.webtext import (
+    c4_filter,
+    classify_blocks,
+    main_content,
+)
+from pdf_context_extractor_agent_spark.kernels.html_blocks import parse_blocks
+
+
+# ---------------------------------------------------------------------------
+# block kernel (pure python — no Spark needed)
+# ---------------------------------------------------------------------------
+
+def test_parse_blocks_features():
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<nav><a href='/'>Home</a> <a href='/x'>About</a></nav>"
+        b"<h1>The Article</h1>"
+        b"<p>This is the body of the article with plenty of words in it "
+        b"to be recognized as content by any density rule.</p>"
+        b"<div class='footer'><a href='/p'>Privacy</a></div>"
+        b"<script>var x = '<p>ghost</p>';</script>"
+        b"</body></html>"
+    )
+    blocks = parse_blocks(html)
+    tags = [t for t, _, _ in blocks]
+    assert "nav" in tags and "h1" in tags and "p" in tags
+    by_tag = {t: (txt, lc) for t, txt, lc in blocks}
+    # nav is fully link text
+    nav_text, nav_links = by_tag["nav"]
+    assert nav_links == len(nav_text.replace(" ", "")) or nav_links >= len(nav_text) - 1
+    # the paragraph has zero link chars
+    assert by_tag["p"][1] == 0
+    assert "ghost" not in " ".join(txt for _, txt, _ in blocks)
+
+
+def test_parse_blocks_never_raises():
+    for blob in (b"", b"\x00\xff\xfe garbage <p", b"<html><p>ok"):
+        assert isinstance(parse_blocks(blob), list)
+
+
+# ---------------------------------------------------------------------------
+# classifier semantics
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def blocks_df(spark):
+    rows = [
+        # url, block_no, tag, text, n_chars, n_words, n_link_chars
+        ("u", 0, "nav", "Home About Contact", 18, 3, 17),       # bad: link-dominated
+        ("u", 1, "h1", "Article Title", 13, 2, 0),              # heading: next is good
+        ("u", 2, "p", "word " * 19 + "word", 99, 20, 0),        # good: long, no links
+        ("u", 3, "p", "short aside", 11, 2, 0),                 # short, prev good -> good
+        ("u", 4, "div", "More Links Here", 15, 3, 14),          # bad
+        ("u", 5, "p", "lonely short", 12, 2, 0),                # short, no good neighbour
+        ("u", 6, "h2", "Dangling Heading", 16, 2, 0),           # heading, next bad
+        ("u", 7, "div", "Promo Promo", 11, 2, 10),              # bad
+    ]
+    return spark.createDataFrame(
+        rows, "url string, block_no int, tag string, text string,"
+              "n_chars int, n_words int, n_link_chars int"
+    )
+
+
+def test_classify_blocks(blocks_df):
+    out = {r.block_no: r for r in classify_blocks(blocks_df).collect()}
+    assert out[0].label == "bad"
+    assert out[1].label == "good" and out[1].base_label == "heading"
+    assert out[2].label == "good"
+    assert out[3].label == "good" and out[3].base_label == "short"
+    assert out[4].label == "bad"
+    assert out[5].label == "bad"    # short with no good neighbour
+    assert out[6].label == "bad"    # heading before bad block
+    assert out[7].label == "bad"
+
+
+def test_main_content_end_to_end(spark):
+    html = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/b'>Blog</a> <a href='/c'>Contact</a></nav>"
+        "<h1>Real Title</h1>"
+        "<p>" + "meaningful words forming the actual article body text here. " * 3 + "</p>"
+        "<p>tail note</p>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    row = main_content(pages).collect()[0]
+    assert row.n_blocks >= 4
+    assert row.main_text.startswith("Real Title\nmeaningful words")
+    assert "tail note" in row.main_text        # short block adjacent to good
+    assert "Home" not in row.main_text and "Privacy" not in row.main_text
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter
+# ---------------------------------------------------------------------------
+
+def test_c4_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "This line has enough words and ends well.\n"
+                "too short.\n"
+                "this long line is missing its terminal punctuation mark\n"
+                "Another complete sentence with enough words right here.\n"
+                "A third proper sentence keeps this document alive today."),
+            (1, "Only one good sentence lives inside this document here.\n"
+                "enable javascript to view this content please now.\n"
+                "nope\n"),
+            (2, "A fine opening sentence with plenty of words here.\n"
+                "A second fine sentence with plenty of words too.\n"
+                "A third fine sentence { lorem ipsum } appears sadly."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_filter(docs).collect()}
+    assert out[0].n_lines == 5 and out[0].n_kept == 3 and out[0].keep_doc
+    assert out[0].kept_text.startswith("This line has enough words")
+    assert "too short." not in out[0].kept_text
+    # doc 1: javascript line dropped, only 1 kept -> not enough lines
+    assert out[1].n_kept == 1 and not out[1].keep_doc
+    # doc 2: 3 kept lines but page-level ban (lorem ipsum / '{')
+    assert out[2].n_kept == 3 and not out[2].keep_doc
+
+
+def test_plan_stays_jvm_side(spark):
+    """The classifier and filter must compile to pure expressions — no
+    BatchEvalPython / ArrowEvalPython stages (UDF-free contract)."""
+    docs = spark.createDataFrame([(0, "a.\nb.")], "doc_id long, text string")
+    plan = c4_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    blocks = spark.createDataFrame(
+        [("u", 0, "p", "x", 1, 1, 0)],
+        "url string, block_no int, tag string, text string,"
+        "n_chars int, n_words int, n_link_chars int",
+    )
+    plan2 = classify_blocks(blocks)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan2
+
+
+def test_parse_blocks_pdf_routes_through_layout_kernel():
+    """PDF blobs must not become one garbage 'body' block: they emit one
+    block per layout-kernel text line with zero link chars."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+
+    _, _, blob, text, _ = make_doc(4)
+    assert blob.startswith(b"%PDF")
+    blocks = parse_blocks(blob)
+    assert len(blocks) > 5
+    assert all(t == "p" and lc == 0 for t, _, lc in blocks)
+    assert "%PDF" not in " ".join(s for _, s, _ in blocks)
