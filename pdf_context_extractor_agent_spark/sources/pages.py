@@ -64,6 +64,89 @@ def skew_partitioned(
     return salted_repartition(normal, num_partitions).unionByName(jumbo)
 
 
+_PAGE_MARK = b'<div class="page"'
+
+
+def split_html_chunks(blob: bytes, pages_per_chunk: int = 8) -> list[bytes]:
+    """Cut an HTML document at page-div boundaries into parseable
+    fragments of ``pages_per_chunk`` pages each.
+
+    Chunk 0 keeps the document head (and any pre-page content); each
+    later chunk starts exactly at a page-div marker, so every fragment
+    parses standalone (the DOM walk tolerates the missing outer
+    wrapper). Non-HTML or single-chunk documents return ``[blob]``.
+    """
+    marks = []
+    pos = blob.find(_PAGE_MARK)
+    while pos != -1:
+        marks.append(pos)
+        pos = blob.find(_PAGE_MARK, pos + 1)
+    if len(marks) <= pages_per_chunk:
+        return [blob]
+    cuts = [0] + marks[pages_per_chunk::pages_per_chunk] + [len(blob)]
+    return [blob[cuts[i]: cuts[i + 1]] for i in range(len(cuts) - 1)]
+
+
+def decomposed_pages(
+    pages_tbl: DataFrame,
+    jumbo_threshold: int = DEFAULT_JUMBO_BYTES,
+    pages_per_chunk: int = 8,
+) -> DataFrame:
+    """True page-level decomposition of monster documents (SCALE.md).
+
+    The one-doc-per-partition jumbo lane bounds a monster document's
+    blast radius but still serializes ITS OWN kernel work in one task.
+    This operator splits oversized HTML documents at page-div
+    boundaries BEFORE the kernel, spreads the fragments across
+    partitions, parses each fragment independently, and renumbers pages
+    with a per-url cumulative window — page-level decomposition is
+    semantics-preserving because the reference itself loops per page
+    (table_extractor.py:46-63). Output schema == ``extract_pages``; a
+    test asserts byte-equal results with and without decomposition.
+
+    PDF blobs pass through unsplit (their streams need the xref to
+    relocate); at corpus scale they ride the one-doc jumbo lane.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..kernels import extract_pages
+
+    src = pages_tbl.select("url", "html")
+
+    def splitter(batches):
+        for b in batches:
+            rows = []
+            for url, blob in zip(b["url"], b["html"]):
+                blob = bytes(blob)
+                if len(blob) > jumbo_threshold and not blob.startswith((b"%PDF", b"FPDF1")):
+                    for i, ch in enumerate(split_html_chunks(blob, pages_per_chunk)):
+                        rows.append((url, i, ch))
+                else:
+                    rows.append((url, 0, blob))
+            yield pd.DataFrame(rows, columns=["url", "chunk", "html"])
+
+    chunks = src.mapInPandas(splitter, "url string, chunk int, html binary")
+    # spread one document's fragments across partitions — the whole point
+    chunks = chunks.repartition(F.xxhash64("url", "chunk"))
+    parsed = extract_pages(chunks.withColumn("url", F.concat_ws("\x00", "url", "chunk")))
+    parsed = parsed.withColumn("chunk", F.split_part("url", F.lit("\x00"), F.lit(2)).cast("int")) \
+                   .withColumn("url", F.split_part("url", F.lit("\x00"), F.lit(1)))
+    # renumber: pages of chunk i follow all pages of chunks < i
+    w = (
+        Window.partitionBy("url")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counts = parsed.groupBy("url", "chunk").agg(F.max("page").alias("np"))
+    offs = counts.withColumn("off", F.coalesce(F.sum("np").over(w), F.lit(0)))
+    return (
+        parsed.join(offs.select("url", "chunk", "off"), ["url", "chunk"])
+        .withColumn("page", (F.col("page") + F.col("off")).cast("int"))
+        .drop("chunk", "off")
+    )
+
+
 def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Skew guard for the layout kernel (SURVEY.md §4 item 1).
 

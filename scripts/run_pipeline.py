@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--main-content", action="store_true",
                     help="also write density-classified main-content text "
                          "(generic-web boilerplate removal)")
+    ap.add_argument("--decompose-jumbo", action="store_true",
+                    help="split oversized HTML docs at page boundaries before "
+                         "the kernel (page-level skew decomposition)")
     args = ap.parse_args()
     if not args.input and not args.demo_docs:
         ap.error("one of --input / --demo-docs is required")
@@ -74,7 +77,12 @@ def main() -> int:
         )
         print(f"lineage: {info}")
 
-    page_df = extract_pages(pages).persist()
+    if args.decompose_jumbo:
+        from pdf_context_extractor_agent_spark.sources import decomposed_pages
+
+        page_df = decomposed_pages(pages).persist()
+    else:
+        page_df = extract_pages(pages).persist()
     res = parse_statements(page_df, spark, tuple(args.statements.split(",")))
     res["parsed"].write.mode("overwrite").parquet(f"{args.output}/parsed")
     res["checks"].write.mode("overwrite").parquet(f"{args.output}/checks")

@@ -336,3 +336,36 @@ def test_minipdf_flate_streams():
     packed = parse_minipdf(packed_blob)
     assert plain == packed
     assert plain[0]["page_text"] == "alpha beta\ngamma"
+
+
+def test_page_decomposition_identical_output(spark):
+    """decomposed_pages must produce byte-identical page rows to the
+    unsplit kernel — page-level decomposition is semantics-preserving —
+    while actually splitting the jumbo document into multiple chunks."""
+    from pdf_context_extractor_agent_spark.kernels import extract_pages
+    from pdf_context_extractor_agent_spark.sources.pages import (
+        decomposed_pages,
+        split_html_chunks,
+    )
+
+    body = ['<html><body><nav class="TopNav">skip</nav><p>preamble text</p>']
+    for p in range(20):
+        body.append(f'<div class="page"><h2>Section {p}</h2>'
+                    f'<table><tr><td>item {p}</td><td>{p * 7}</td></tr></table>'
+                    f'<p>paragraph for page {p}.</p></div>')
+    body.append("</body></html>")
+    jumbo = "".join(body).encode()
+    small = b"<html><div class='page'><p>tiny</p></div></html>"
+    assert len(split_html_chunks(jumbo, 8)) == 3
+
+    pages = spark.createDataFrame(
+        [("u_jumbo", jumbo), ("u_small", small)], "url string, html binary"
+    )
+    plain = {(r.url, r.page): r for r in extract_pages(pages).collect()}
+    decomp = {
+        (r.url, r.page): r
+        for r in decomposed_pages(pages, jumbo_threshold=100, pages_per_chunk=8).collect()
+    }
+    assert set(plain) == set(decomp)
+    for k in plain:
+        assert plain[k] == decomp[k], k
