@@ -44,10 +44,16 @@ DEFAULT_BANNED_DOC_MARKS = ("lorem ipsum", "{")
 
 
 def split_lines(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, line_no, line) — one row per newline-separated line."""
+    """(id, line_no, line) — one row per newline-separated line.
+
+    Null text coalesces to one empty line so the document still appears
+    in the per-doc verdict (n_kept=0, keep_doc=false) instead of
+    silently vanishing through posexplode(null)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "line_no", "line"
+        ),
     )
 
 

@@ -155,3 +155,16 @@ def test_parse_blocks_pdf_routes_through_layout_kernel():
     assert len(blocks) > 5
     assert all(t == "p" and lc == 0 for t, _, lc in blocks)
     assert "%PDF" not in " ".join(s for _, s, _ in blocks)
+
+
+def test_c4_filter_null_text_survives(spark):
+    """A null-text row must yield a verdict row (keep_doc=False), not
+    vanish through posexplode(null) — one poison row in 10^12 must stay
+    visible to the pipeline."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "A decent sentence with enough words to keep here.")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_filter(docs).collect()}
+    assert 0 in out and out[0].n_kept == 0 and not out[0].keep_doc
+    assert out[1].n_kept == 1
