@@ -799,8 +799,9 @@ WITH words AS (
               FROM events),
             s AS (
               SELECT user_id, value,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 2) AS session_value

@@ -41,12 +41,12 @@ CORES_LOW, CORES_HIGH = 4, 16
 # dominates its ~10-20s of fixed stage/barrier cost (the kernel fast
 # path made 60k too quick for a clean 4× read at 16 cores)
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000" if QUICK else "120000"))
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-# adaptive cap: extra interleaved pairs beyond SCALING_REPS, taken only
-# while the min-estimate efficiency is still below target (a sustained
-# noisy-neighbor burst can depress BOTH legs of a pair; more symmetric
-# samples let min-of-N find the uncontended cost on each side)
-SCALING_MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "4"))
+# FIXED pair count (no optional stopping: sampling-until-the-metric-
+# crosses-a-threshold biases the reported efficiency upward, so the
+# number of interleaved pairs is decided before any timing is read;
+# the wall-clock budget below is the only early-exit and is
+# metric-independent)
+SCALING_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
 SCALING_TARGET = 0.8
 # hard wall-clock budget for the scaling section: extra adaptive pairs
 # are skipped past this point so a noisy host can't stall the bench
@@ -82,13 +82,19 @@ def _burn(_):
 
 def cpu_calibration() -> dict:
     """Pure-CPU parallel capacity of the host (no Spark): per-process
-    identical work at both parallelism levels."""
-    rates = {}
-    for n in (CORES_LOW, CORES_HIGH):
+    identical work at both parallelism levels.
+
+    Interleaved min-of-2 per level: a single contended window at either
+    level otherwise produces nonsense (a neighbor burst during the
+    low-proc sample reads as a supra-linear "hardware" speedup, which
+    then wrecks the vs-host normalization)."""
+    best = {CORES_LOW: float("inf"), CORES_HIGH: float("inf")}
+    for n in (CORES_LOW, CORES_HIGH, CORES_HIGH, CORES_LOW):
         t0 = time.monotonic()
         with mp.Pool(n) as p:
             p.map(_burn, range(n))
-        rates[n] = n / (time.monotonic() - t0)
+        best[n] = min(best[n], (time.monotonic() - t0))
+    rates = {n: n / best[n] for n in best}
     hw_speedup = rates[CORES_HIGH] / rates[CORES_LOW]
     return {
         "procs_low": CORES_LOW,
@@ -176,28 +182,34 @@ def scaling_runs(n_docs: int, reps: int) -> tuple[dict, dict, list[dict]]:
     either leg, and the symmetric min-of-N estimator keeps noise from
     biasing speedup in either direction. A short raw-CPU calibration runs
     adjacent to EACH pair so host capacity is sampled in the same windows
-    as the timed legs. If the min-estimate efficiency is still below
-    target after ``reps`` pairs, up to ``SCALING_MAX_REPS`` total pairs
-    are taken — extra symmetric samples only sharpen the min estimator on
-    both sides alike.
+    as the timed legs. The pair count is FIXED up front (optional stopping
+    on the measured efficiency would bias the report upward); the only
+    early exit is the metric-independent wall-clock budget.
     """
     lows, highs, calibs = [], [], []
     t0 = time.monotonic()
-    r = 0
-    while r < reps or (
-        r < SCALING_MAX_REPS
-        and time.monotonic() - t0 < SCALING_BUDGET_SECS
-        and min(l["secs"] for l in lows) / min(h["secs"] for h in highs)
-        < SCALING_TARGET * (CORES_HIGH / CORES_LOW)
-    ):
+    for r in range(reps):
+        if r > 0 and time.monotonic() - t0 > SCALING_BUDGET_SECS:
+            break  # metric-INDEPENDENT early exit: slow host, not a read of the result
         calibs.append(cpu_calibration())
-        lows.append(_leg_once(CORES_LOW, n_docs, check_identity=(r == 0)))
-        highs.append(_leg_once(CORES_HIGH, n_docs, check_identity=False))
-        r += 1
+        # alternate leg order per pair (low-first, then high-first, …) so a
+        # monotone host-load drift cancels instead of biasing one leg
+        order = (
+            (CORES_LOW, CORES_HIGH) if r % 2 == 0 else (CORES_HIGH, CORES_LOW)
+        )
+        pair: dict[int, dict] = {}
+        for cores in order:
+            pair[cores] = _leg_once(
+                cores, n_docs, check_identity=(r == 0 and cores == CORES_LOW)
+            )
+        lows.append(pair[CORES_LOW])
+        highs.append(pair[CORES_HIGH])
     low = min(lows, key=lambda x: x["secs"])
     high = min(highs, key=lambda x: x["secs"])
     low["byte_identity_pass_rate"] = lows[0].get("byte_identity_pass_rate")
     high["byte_identity_pass_rate"] = lows[0].get("byte_identity_pass_rate")
+    low["secs_all"] = [round(x["secs"], 3) for x in lows]
+    high["secs_all"] = [round(x["secs"], 3) for x in highs]
     return low, high, calibs
 
 
@@ -223,10 +235,34 @@ def main() -> None:
         low, high, calibs = scaling_runs(N_BENCH_DOCS, SCALING_REPS)
         speedup = low["secs"] / high["secs"]
         ideal = CORES_HIGH / CORES_LOW
-        # normalize by the BEST host window observed across the per-pair
-        # calibrations: conservative (a degraded calibration sample can
-        # only lower, never inflate, the vs-host number)
-        calib = max(calibs, key=lambda c: c["hw_speedup"])
+        # Secondary estimator: median of per-pair ratios. Robust to a
+        # single contended pair in a way min-of-N is not (a burst that
+        # hits one leg of one pair skews min-of-N only if that leg's min
+        # comes from the clean window while the other leg never saw one).
+        ratios = sorted(
+            l / h for l, h in zip(low["secs_all"], high["secs_all"])
+        )
+        n = len(ratios)
+        speedup_median = (
+            ratios[n // 2] if n % 2 else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+        )
+        # vs-host normalization: only SANE calibration windows qualify
+        # (a supra-linear "hardware" speedup means the low-proc sample
+        # itself was contention-distorted — dividing by it understates
+        # the pipeline). Among sane windows take the largest hw speedup:
+        # conservative, can only lower the vs-host number.
+        sane = [c for c in calibs if c["hw_speedup"] <= ideal * 1.02]
+        calib_distorted = not sane
+        calib = (
+            max(sane, key=lambda c: c["hw_speedup"])
+            if sane
+            else {
+                "procs_low": CORES_LOW,
+                "procs_high": CORES_HIGH,
+                "hw_speedup": ideal,
+                "hw_efficiency": 1.0,
+            }
+        )
         scaling = {
             "cores_low": CORES_LOW,
             "secs_low": round(low["secs"], 3),
@@ -236,12 +272,22 @@ def main() -> None:
             "docs_per_sec_high": round(high["docs_per_sec"], 1),
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / ideal, 3),
+            "speedup_median_of_pairs": round(speedup_median, 3),
+            "efficiency_median_of_pairs": round(speedup_median / ideal, 3),
             # pipeline speedup normalized by the host's raw-CPU speedup
             # sampled adjacent to each leg pair — self-corrects for
             # multi-tenant interference that hits both alike
             "efficiency_vs_host": round(speedup / calib["hw_speedup"], 3),
             "hw_calibration": calib,
+            "hw_calibration_distorted": calib_distorted,
             "hw_calibration_per_pair": [c["hw_speedup"] for c in calibs],
+            # noise diagnostics: every raw leg time, so a contended run
+            # is self-describing in the artifact instead of silently
+            # folding into one opaque ratio
+            "secs_low_all": low["secs_all"],
+            "secs_high_all": high["secs_all"],
+            "noise_spread_low": round(max(low["secs_all"]) / min(low["secs_all"]), 3),
+            "noise_spread_high": round(max(high["secs_all"]) / min(high["secs_all"]), 3),
             "pairs": len(calibs),
         }
         ext = high
@@ -302,9 +348,11 @@ def _write_bench_md(r: dict) -> None:
                 f"| local[{s['cores_high']}] extraction | {s['secs_high']} s ({s['docs_per_sec_high']} docs/sec) |",
                 f"| speedup {s['cores_low']}→{s['cores_high']} cores | {s['speedup']}× (ideal {s['cores_high']//s['cores_low']}×) |",
                 f"| **scaling efficiency** | **{s['efficiency']:.2f}** (target ≥0.8) |",
+                f"| efficiency (median of per-pair ratios) | {s['efficiency_median_of_pairs']:.2f} |",
                 f"| host raw-CPU speedup {hw['procs_low']}→{hw['procs_high']} procs | "
                 f"{hw['hw_speedup']}× (host ceiling {hw['hw_efficiency']:.2f}) |",
                 f"| efficiency vs host ceiling | {s['efficiency_vs_host']:.2f} |",
+                f"| per-leg raw seconds (noise diagnostic) | low {s['secs_low_all']} / high {s['secs_high_all']} |",
                 "",
                 "The host advertises 32 CPUs but sustains ~16 effective cores "
                 "(raw-CPU calibration above), so the two parallelism levels are "

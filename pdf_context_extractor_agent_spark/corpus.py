@@ -391,19 +391,41 @@ def render_pdfish(pages: list[Page]) -> bytes:
     return ("\n".join(out) + "\n").encode("utf-8")
 
 
-def render_minipdf_doc(pages: list[Page]) -> bytes:
+def render_minipdf_doc(pages: list[Page], cid: bool = False) -> bytes:
     """Render the content model as a structurally valid minimal PDF:
     same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
     ruling-line grids) but expressed in real PDF content-stream
-    operators (Tm/Td/Tj text, m-l-S rules) with bottom-left origin."""
-    from .kernels.minipdf_layout import PAGE_H, _escape, render_minipdf
+    operators (Tm/Td/Tj text, m-l-S rules) with bottom-left origin.
+
+    ``cid=True`` renders every show-string through an Identity-H Type0
+    font: text becomes 2-byte-CID hex strings (``<0001…> Tj``) whose
+    CIDs are an arbitrary (sorted-charset-index) permutation decoded
+    only via the embedded /ToUnicode CMap — so byte-identity on these
+    docs proves the kernel actually consults the CMap, the encoding
+    path every real CJK PDF takes (reference dep: pdfplumber,
+    src/pdf_reader.py:17-29)."""
+    from .kernels.minipdf_layout import PAGE_H, _escape, cid_hex, render_minipdf
+
+    cid_of: dict[str, int] = {}
+    if cid:
+        charset = sorted({c for page in pages for k, payload in page
+                          for s in (payload.split(" ") if k == "p"
+                                    else [c for r in payload for c in r])
+                          for c in s} | {" "})
+        # CID 0 is .notdef by convention; start at 1
+        cid_of = {c: i + 1 for i, c in enumerate(charset)}
+
+    def show(s: str) -> str:
+        return cid_hex(s, cid_of) if cid else f"({_escape(s)})"
+
+    font = "/F2" if cid else "/F1"
 
     streams = []
     for page in pages:
         ops: list[str] = []
 
         def text(x: int, ly: int, s: str) -> None:
-            ops.append(f"BT /F1 10 Tf 1 0 0 1 {x} {PAGE_H - ly} Tm ({_escape(s)}) Tj ET")
+            ops.append(f"BT {font} 10 Tf 1 0 0 1 {x} {PAGE_H - ly} Tm {show(s)} Tj ET")
 
         def seg(x1: int, ly1: int, x2: int, ly2: int) -> None:
             ops.append(f"{x1} {PAGE_H - ly1} m {x2} {PAGE_H - ly2} l S")
@@ -421,12 +443,12 @@ def render_minipdf_doc(pages: list[Page]) -> bytes:
                     jit = (wi * 7 + y) % 3 - 1
                     px, py = x, PAGE_H - (y + jit)
                     if wi == 0:
-                        parts.append(f"1 0 0 1 {px} {py} Tm ({_escape(word)}) Tj")
+                        parts.append(f"1 0 0 1 {px} {py} Tm {show(word)} Tj")
                     else:
-                        parts.append(f"{px - x_prev} {py - y_prev} Td ({_escape(word)}) Tj")
+                        parts.append(f"{px - x_prev} {py - y_prev} Td {show(word)} Tj")
                     x_prev, y_prev = px, py
                     x += (len(word) + 1) * _CHAR_W
-                ops.append("BT /F1 10 Tf " + " ".join(parts) + " ET")
+                ops.append(f"BT {font} 10 Tf " + " ".join(parts) + " ET")
                 y += 12
             else:
                 rows = payload
@@ -450,6 +472,13 @@ def render_minipdf_doc(pages: list[Page]) -> bytes:
                             text(cols_x[ci] + 2, cy, cell)
                 y = rows_y[-1] + 12
         streams.append("\n".join(ops))
+    if cid:
+        return render_minipdf(
+            streams,
+            cid_cmap={v: k for k, v in cid_of.items()},
+            # half the CID docs Flate their CMap stream (real writers do)
+            compress_cmap=(len(cid_of) % 2 == 0),
+        )
     return render_minipdf(streams)
 
 
@@ -462,7 +491,10 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
     if kind == 3:
         blob = render_pdfish(pages)
     elif kind == 4:
-        blob = render_minipdf_doc(pages)
+        # every third minipdf doc (i ≡ 4 mod 30) is CID-encoded through
+        # an Identity-H font + embedded ToUnicode CMap — byte-identity
+        # over the corpus therefore certifies the CID decode path
+        blob = render_minipdf_doc(pages, cid=(i % 30 == 4))
     else:
         blob = render_html(pages).encode("utf-8")
     return url, warc_ts, blob, render_text(pages), lang

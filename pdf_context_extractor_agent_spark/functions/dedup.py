@@ -82,7 +82,10 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
 
     rows = bands × docs; the self-join is an equi-join on
     (band_idx, band_hash) so only same-bucket docs ever meet. Output is
-    distinct unordered candidate pairs (a < b).
+    unordered candidate pairs (a < b), possibly repeated once per shared
+    band — intentionally NOT ``.distinct()``-ed: the verify step's
+    per-pair aggregation collapses duplicates, so deduping here would
+    spend a wide exchange on the pair set for nothing.
     """
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
     rows_per_band = len(mh_cols) // bands
@@ -105,26 +108,51 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact word-shingle Jaccard for candidate pairs (the verify step
-    after LSH): |A∩B| / |A∪B| via two semi-joins on the shingle table."""
-    a = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_a"))
-    b = a.select(F.col("doc_id").alias("doc_id_b"), F.col("sh_a").alias("sh_b"))
-    j = (
-        pairs.join(a, pairs["doc_a"] == a["doc_id"])
-        .join(b, pairs["doc_b"] == b["doc_id_b"])
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+    after LSH), counted at the SHINGLE level — no ``collect_set`` arrays
+    are ever built or shipped (a long near-dup-heavy document would
+    otherwise re-ship its whole shingle set once per candidate pair):
+
+    * pairs ⋈ shingles(doc_a)                — one row per (pair, a-shingle)
+    * left-⋈ shingles on (doc_b, shingle)    — marks the intersection
+    * groupBy(pair)                          — |A| and |A∩B| in one aggregation
+    * ⋈ tiny per-doc shingle-count dim       — |B|; J = |A∩B| / (|A|+|B|-|A∩B|)
+
+    Distinct-counting makes the aggregation idempotent under duplicated
+    candidate rows, so upstream LSH generators don't need a pair-set
+    ``.distinct()`` exchange — the per-pair groupBy here collapses
+    band-duplicates for free.
+    """
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("_shingle_b"))
+    marked = (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_doc_b"))
+            & (F.col("shingle") == F.col("_shingle_b")),
+            "left",
         )
+    )
+    agg = marked.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("shingle").alias("_n_a"),
+        F.countDistinct(
+            F.when(F.col("_shingle_b").isNotNull(), F.col("shingle"))
+        ).alias("_n_common"),
+    )
+    n_b = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("_n_b"))
+    j = agg.join(n_b, agg["doc_b"] == n_b["doc_id"]).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("_n_common")
+            / (F.col("_n_a") + F.col("_n_b") - F.col("_n_common"))
+        ).alias("jaccard"),
     )
     return j.withColumn("is_near_dup", F.col("jaccard") >= threshold)
 
@@ -192,7 +220,6 @@ def lsh_candidate_pairs_keyed(sigs: DataFrame, bands: int = 8) -> DataFrame:
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 

@@ -114,22 +114,54 @@ def repetition_features(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     * ``top_bigram_frac``     — occurrences of the most frequent word
                                 bigram / total bigrams
 
-    Quadratic in distinct bigrams PER ROW (documents are bounded); stays
-    inside whole-stage codegen with zero exchanges.
+    O(n log n) PER ROW (``array_sort`` + one linear fold): the most
+    frequent bigram's count equals the longest run of equal adjacent
+    elements in the SORTED bigram array, so a jumbo 10⁵-word document is
+    ~10⁶ comparisons in one task, not the 10¹⁰ of the naive
+    distinct×scan formulation — no straggler factory, and still zero
+    exchanges (the correct 100 TB shape for per-document quality
+    filtering is a narrow map, not explode+groupBy).
+
+    The word and bigram arrays are MATERIALIZED as intermediate columns
+    (separate projections) before anything iterates over them: an
+    expression-tree ``split()`` referenced inside a ``transform`` lambda
+    is re-evaluated per element (Catalyst does not CSE across lambda
+    invocations), which silently turns any downstream "linear" pass into
+    O(n²) — re-splitting a 10⁵-word text 10⁵ times pegged a single task
+    for 40+ minutes. CollapseProject keeps the split materialized
+    because it is non-cheap and multiply-referenced.
     """
-    w = _words(F.col(text_col))
-    bg = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.try_element_at(w, i), F.try_element_at(w, i + 1)),
+    ws = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
     )
-    top = F.array_max(
+    w = F.col("_w")
+    bgs = ws.withColumn(
+        "_bg",
         F.transform(
-            F.array_distinct(bg),
-            lambda d: F.size(F.filter(bg, lambda x: x == d)),
-        )
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(w, i), F.try_element_at(w, i + 1)
+            ),
+        ),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    bg = F.col("_bg")
+    top = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return bgs.select(
+        "doc_id",
         (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
         (top / F.size(bg)).alias("top_bigram_frac"),
     )

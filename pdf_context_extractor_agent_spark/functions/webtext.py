@@ -211,6 +211,13 @@ def main_content(
     The generic-web main-content pipeline: DOM block kernel (Arrow) →
     density classifier → ordered reassembly. One kernel pass, one
     window, one aggregation — all on the url key.
+
+    EVERY input url gets a row: documents whose HTML yields zero parsed
+    blocks (malformed input) surface as (n_blocks=0, main_text='')
+    rather than vanishing — the same null-visibility contract as the C4
+    filter's poison rows. The final left join is co-partitioned with the
+    aggregation's url shuffle, and only the bare url column rides on the
+    probe side.
     """
     from ..kernels.html_blocks import html_blocks
 
@@ -219,7 +226,7 @@ def main_content(
         max_link_density=max_link_density,
         min_words_good=min_words_good,
     )
-    return classified.groupBy("url").agg(
+    agg = classified.groupBy("url").agg(
         F.count("*").alias("n_blocks"),
         F.count(F.when(F.col("is_content"), 1)).alias("n_content_blocks"),
         F.array_join(
@@ -233,4 +240,10 @@ def main_content(
             ),
             "\n",
         ).alias("main_text"),
+    )
+    return pages_tbl.select("url").join(agg, "url", "left").select(
+        "url",
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_content_blocks", F.lit(0)).alias("n_content_blocks"),
+        F.coalesce("main_text", F.lit("")).alias("main_text"),
     )

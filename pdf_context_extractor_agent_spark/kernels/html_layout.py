@@ -217,12 +217,27 @@ def parse_doc(blob: bytes) -> list[dict]:
 # generative fuzz. Any exception falls back to html.parser.
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# markup declarations / PIs / CDATA: html.parser routes these to
+# handle_decl/handle_pi/unknown_decl (all no-ops here) — the fast path
+# must drop them too, not emit them as character data (arbitrary crawl
+# HTML starts with <!DOCTYPE html>)
+_DECL_RE = re.compile(
+    r"<!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA section (may contain '>')
+    r"|<![^>]*>"                  # declarations / doctypes / bogus comments —
+                                  # ends at the first '>', matching the stdlib
+                                  # fallback (which likewise leaves an internal
+                                  # subset's trailing ']>' as character data)
+    r"|<\?[^>]*>",                # processing instruction (ends at '>')
+    re.S | re.I,
+)
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>", re.S)
 _CLASS_ATTR_RE = re.compile(r"""class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
 def _fast_feed(parser: _LayoutParser, text: str) -> None:
     text = _COMMENT_RE.sub("", text)
+    if "<!" in text or "<?" in text:
+        text = _DECL_RE.sub("", text)
     lower = text.lower()
     pos = 0
     search = _TAG_RE.search

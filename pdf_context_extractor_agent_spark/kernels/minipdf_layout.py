@@ -23,10 +23,18 @@ reading order — is shared with the FPDF1 kernel
 (`pdfish_layout.assemble_pages`), so both formats satisfy the same
 byte-identity oracle.
 
+CID text (the encoding every real CJK PDF uses — reference dependency:
+pdfplumber, src/pdf_reader.py:17-29) is supported through the
+Identity-H + /ToUnicode path: hex show-strings ``<0001 0002> Tj`` carry
+2-byte CIDs, the page's /Resources /Font dict routes ``/Fx`` names to
+Type0 font objects, and each font's embedded /ToUnicode CMap stream
+(bfchar + bfrange, scalar and array forms, optionally Flate-compressed)
+maps CIDs to Unicode — including multi-code-unit UTF-16BE targets
+(surrogate pairs). ``Tf`` switches the active font mid-stream. Fonts
+without a ToUnicode CMap fall back to code=codepoint (true Identity).
+
 Simplifications vs full PDF (documented contract of the subset): one
-content stream per page in document order, text strings UTF-8 inside
-literal-string syntax (real CJK PDFs use CID font CMaps —
-encoding-layer work orthogonal to layout reconstruction).
+content stream per page in document order, literal strings UTF-8.
 """
 
 from __future__ import annotations
@@ -50,9 +58,10 @@ _STREAM_RE = re.compile(rb"<<((?:[^<>]|<<[^>]*>>)*?)>>\s*stream\r?\n(.*?)endstre
 # via match.lastindex — cheaper than re-inspecting the lexeme)
 _TOKEN_RE = re.compile(
     r"""(\((?:\\.|[^\\()])*\))   # 1: literal string
-      | ([-+]?\d+(?:\.\d+)?)     # 2: number
-      | (/[A-Za-z0-9]+)          # 3: name
-      | ([A-Za-z']{1,3}\*?)      # 4: operator
+      | (<[0-9A-Fa-f\s]*>)       # 2: hex string (CID show text)
+      | ([-+]?\d+(?:\.\d+)?)     # 3: number
+      | (/[A-Za-z0-9]+)          # 4: name
+      | ([A-Za-z']{1,3}\*?)      # 5: operator
     """,
     re.X,
 )
@@ -76,14 +85,20 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
-def _tokenize_stream(data: str) -> dict:
-    """One content stream → {runs, h, v} in layout (top-down) coords."""
+def _tokenize_stream(data: str, font_cmaps: dict[str, dict[int, str]] | None = None) -> dict:
+    """One content stream → {runs, h, v} in layout (top-down) coords.
+
+    ``font_cmaps`` maps resource names ("/F2") to ToUnicode CID→str
+    tables; ``Tf`` selects the active table, hex show-strings decode
+    through it (2-byte Identity-H codes, code=codepoint fallback).
+    """
     runs: list[tuple[int, int, str]] = []
     h_segs: list[tuple[int, int, int, int]] = []
     v_segs: list[tuple[int, int, int, int]] = []
     stack: list = []
     tx = ty = 0.0          # current text position (PDF coords)
     leading = 12.0         # TL text leading (T* / ' displacement)
+    cur_cmap: dict[int, str] | None = None
     path_pt: tuple[float, float] | None = None
     pending_seg: tuple[float, float, float, float] | None = None
 
@@ -96,30 +111,56 @@ def _tokenize_stream(data: str) -> dict:
             s = _unescape(s)
         return s
 
+    def hexs(tok: str) -> str:
+        """<XXXX…> hex string → text: 2-byte CIDs through the active
+        ToUnicode CMap; chr(code) when the font has no mapping (the
+        Identity interpretation). Odd final digit pads with 0 (spec)."""
+        hx = "".join(tok[1:-1].split())
+        if len(hx) % 2:
+            hx += "0"
+        bs = bytes.fromhex(hx)
+        out = []
+        for i in range(0, len(bs) - 1, 2):
+            code = (bs[i] << 8) | bs[i + 1]
+            mapped = cur_cmap.get(code) if cur_cmap else None
+            out.append(mapped if mapped is not None else chr(code))
+        return "".join(out)
+
+    def shown(tok: str) -> str:
+        return lit(tok) if tok[0] == "(" else hexs(tok)
+
     def show_top() -> None:
-        if stack and isinstance(stack[-1], str) and stack[-1].startswith("("):
-            runs.append((int(tx), flip(ty), lit(stack[-1])))
+        if stack and isinstance(stack[-1], str) and stack[-1][:1] in "(<":
+            runs.append((int(tx), flip(ty), shown(stack[-1])))
 
     for m in _TOKEN_RE.finditer(data):
         kind = m.lastindex
-        if kind == 2:  # number (the most frequent token)
-            stack.append(m.group(2))
+        if kind == 3:  # number (the most frequent token)
+            stack.append(m.group(3))
         elif kind == 1:  # literal string
             stack.append(m.group(1))
-        elif kind == 3:  # name
-            stack.append(None)
+        elif kind == 2:  # hex string
+            stack.append(m.group(2))
+        elif kind == 4:  # name (kept verbatim: Tf reads it)
+            stack.append(m.group(4))
         else:
-            tok = m.group(4)
+            tok = m.group(5)
             if tok == "Tj":
                 show_top()
+            elif tok == "Tf":
+                # /Fx size Tf — switch the active ToUnicode table
+                if len(stack) >= 2 and isinstance(stack[-2], str) and font_cmaps:
+                    cur_cmap = font_cmaps.get(stack[-2])
             elif tok == "TJ":
                 # [(a) -250 (b)] TJ — brackets are not tokens, so the
                 # stack holds the strings and kern numbers in order
                 parts: list[str] = []
                 for item in stack:
-                    if isinstance(item, str) and item.startswith("("):
-                        parts.append(lit(item))
-                    elif item is not None:
+                    if isinstance(item, str) and item[:1] in "(<":
+                        parts.append(shown(item))
+                    elif item is not None and not (
+                        isinstance(item, str) and item.startswith("/")
+                    ):
                         try:
                             if float(item) <= -KERN_SPACE:
                                 parts.append(" ")
@@ -198,20 +239,173 @@ def _decode_stream(obj_dict: bytes, data: bytes) -> str:
 
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_FONT_RES_RE = re.compile(rb"/Font\s*<<((?:[^<>]|<[^<][^>]*>)*)>>")
+_FONT_REF_RE = re.compile(rb"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+0\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+
+# ToUnicode CMap syntax (PDF 32000 §9.10.3): bfchar pairs and bfrange
+# triples, the range destination either a scalar start or an array
+_BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.S)
+_HEX_PAIR_RE = re.compile(r"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>")
+_BFRANGE_ITEM_RE = re.compile(
+    r"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*"
+    r"(?:<([0-9A-Fa-f\s]+)>|\[((?:\s*<[0-9A-Fa-f\s]+>)+)\s*\])"
+)
+
+
+def _parse_tounicode(text: str) -> dict[int, str]:
+    """ToUnicode CMap body → {CID: unicode string}. Destinations are
+    UTF-16BE hex (multi-code-unit targets — surrogate pairs — decode to
+    one Python string); bfrange scalar form increments the LAST code
+    unit across the range (spec behavior)."""
+    def _u(hx: str) -> str:
+        hx = "".join(hx.split())
+        try:
+            return bytes.fromhex(hx).decode("utf-16-be", errors="replace")
+        except ValueError:
+            return ""
+
+    def _code(hx: str) -> int:
+        return int("".join(hx.split()), 16)
+
+    cmap: dict[int, str] = {}
+    for block in _BFRANGE_RE.findall(text):
+        for lo_h, hi_h, dst_h, arr_h in _BFRANGE_ITEM_RE.findall(block):
+            lo, hi = _code(lo_h), _code(hi_h)
+            if arr_h:
+                dsts = re.findall(r"<([0-9A-Fa-f\s]+)>", arr_h)
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    cmap[lo + i] = _u(d)
+            else:
+                base = _u(dst_h)
+                if not base:
+                    continue
+                last = ord(base[-1])
+                for c in range(lo, min(hi, lo + 0xFFFF) + 1):
+                    cmap[c] = base[:-1] + chr(last + (c - lo))
+    for block in _BFCHAR_RE.findall(text):
+        for src, dst in _HEX_PAIR_RE.findall(block):
+            cmap[_code(src)] = _u(dst)
+    return cmap
+
+
+def _object_slice(blob: bytes, num: int) -> tuple[int, bytes] | None:
+    """(start offset, bytes) of ``num 0 obj … endobj``; None if absent.
+    The endobj bound is advisory only (stream bodies may contain the
+    literal) — callers that read streams re-bound via /Length."""
+    m = re.search(rb"(?<![0-9])" + str(num).encode() + rb"\s+0\s+obj\b", blob)
+    if m is None:
+        return None
+    end = blob.find(b"endobj", m.end())
+    return m.end(), blob[m.end(): end if end >= 0 else len(blob)]
+
+
+def _object_stream(blob: bytes, num: int) -> tuple[bytes, bytes] | None:
+    """(dict bytes, raw stream bytes) of object ``num``, /Length
+    authoritative when declared (binary data may contain 'endstream')."""
+    loc = _object_slice(blob, num)
+    if loc is None:
+        return None
+    start, _ = loc
+    m = _STREAM_RE.search(blob, start)
+    if m is None:
+        return None
+    obj_dict, data = m.group(1), m.group(2)
+    lm = _LENGTH_RE.search(obj_dict)
+    if lm:
+        n = int(lm.group(1))
+        data = blob[m.start(2): m.start(2) + n]
+    return obj_dict, data
+
+
+def _font_tounicode(blob: bytes, font_num: int) -> dict[int, str]:
+    """Resolve a font object's /ToUnicode CMap; {} when none declared
+    (simple fonts, or Identity without a mapping)."""
+    loc = _object_slice(blob, font_num)
+    if loc is None:
+        return {}
+    tm = _TOUNICODE_RE.search(loc[1])
+    if tm is None:
+        return {}
+    s = _object_stream(blob, int(tm.group(1)))
+    if s is None:
+        return {}
+    return _parse_tounicode(_decode_stream(*s))
+
+
+def _page_font_cmaps(blob: bytes, page_obj: bytes,
+                     cache: dict[int, dict[int, str]]) -> dict[str, dict[int, str]]:
+    """Page /Resources /Font dict → {"/Fx": cmap} for fonts that carry a
+    ToUnicode table (fonts without one stay absent → Identity path)."""
+    fm = _FONT_RES_RE.search(page_obj)
+    if fm is None:
+        return {}
+    out: dict[str, dict[int, str]] = {}
+    for name, fnum in _FONT_REF_RE.findall(fm.group(1)):
+        fnum = int(fnum)
+        if fnum not in cache:
+            cache[fnum] = _font_tounicode(blob, fnum)
+        if cache[fnum]:
+            out["/" + name.decode("ascii")] = cache[fnum]
+    return out
 
 
 def parse_minipdf(blob: bytes) -> list[dict]:
-    """PDF bytes → per-page structs via the shared layout reconstruction."""
+    """PDF bytes → per-page structs via the shared layout reconstruction.
+
+    Structured path: walk /Type /Page objects in document order and
+    resolve each page's /Contents stream by object reference — so
+    non-content streams (ToUnicode CMaps, XObjects) are never mistaken
+    for pages — threading the page's font CMaps into the tokenizer.
+    Blobs without a resolvable page tree (truncated or hand-rolled
+    fragments) fall back to scanning every stream as a page.
+    """
     pages_raw = []
-    for m in _STREAM_RE.finditer(blob):
-        obj_dict, data = m.group(1), m.group(2)
-        lm = _LENGTH_RE.search(obj_dict)
-        if lm:
-            # authoritative byte count: binary (Flate) data may contain
-            # the literal 'endstream', which the regex would stop at
-            n = int(lm.group(1))
-            data = blob[m.start(2): m.start(2) + n]
-        pages_raw.append(_tokenize_stream(_decode_stream(obj_dict, data)))
+    page_objs: list[tuple[int | None, bytes]] = []
+    for m in _PAGE_OBJ_RE.finditer(blob):
+        end = blob.find(b"endobj", m.start())
+        obj = blob[m.start(): end if end >= 0 else len(blob)]
+        cm = _CONTENTS_RE.search(obj)
+        page_objs.append((int(cm.group(1)) if cm else None, obj))
+
+    structured = bool(page_objs) and all(c is not None for c, _ in page_objs)
+    if structured:
+        font_cache: dict[int, dict[int, str]] = {}
+        for contents_num, obj in page_objs:
+            s = _object_stream(blob, contents_num)
+            if s is None:
+                structured = False
+                pages_raw = []
+                break
+            cmaps = _page_font_cmaps(blob, obj, font_cache)
+            pages_raw.append(
+                _tokenize_stream(_decode_stream(*s), cmaps or None)
+            )
+
+    if not structured:
+        pos = 0
+        while True:
+            # manual scan (not finditer): after a /Length override the true
+            # stream end can lie PAST the regex's lazy 'endstream' match, and
+            # a resumed finditer would re-enter the residual binary bytes —
+            # where a spurious '<<...>>stream' can emit a garbage page
+            m = _STREAM_RE.search(blob, pos)
+            if m is None:
+                break
+            obj_dict, data = m.group(1), m.group(2)
+            pos = m.end()
+            lm = _LENGTH_RE.search(obj_dict)
+            if lm:
+                # authoritative byte count: binary (Flate) data may contain
+                # the literal 'endstream', which the regex would stop at
+                n = int(lm.group(1))
+                data = blob[m.start(2): m.start(2) + n]
+                end = blob.find(b"endstream", m.start(2) + n)
+                pos = end + len(b"endstream") if end >= 0 else len(blob)
+            pages_raw.append(_tokenize_stream(_decode_stream(obj_dict, data)))
+
     rotations = _page_rotations(blob)
     if len(rotations) == len(pages_raw):  # malformed trees default to 0
         for p, r in zip(pages_raw, rotations):
@@ -227,17 +421,96 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def cid_hex(s: str, cid_of: dict[str, int]) -> str:
+    """Text → ``<XXXX…>`` Identity-H hex show-string via a char→CID map."""
+    return "<" + "".join(f"{cid_of[c]:04X}" for c in s) + ">"
+
+
+def tounicode_cmap(cmap: dict[int, str]) -> str:
+    """{CID: unicode} → a ToUnicode CMap stream body. Contiguous
+    CID-runs whose (single-BMP-char) targets are also contiguous
+    compress to bfrange entries; everything else is bfchar — so a
+    generated document exercises both parser paths. Blocks are capped at
+    100 entries (spec limit)."""
+    def _hx(s: str) -> str:
+        return s.encode("utf-16-be").hex().upper()
+
+    ranges: list[tuple[int, int, str]] = []       # (lo, hi, dst_start)
+    chars: list[tuple[int, str]] = []
+    for cid in sorted(cmap):
+        dst = cmap[cid]
+        if (
+            ranges
+            and ranges[-1][1] == cid - 1
+            and len(ranges[-1][2]) == 1
+            and len(dst) == 1
+            and ord(dst) == ord(ranges[-1][2]) + (cid - ranges[-1][0])
+            and (cid & 0xFF) != 0  # don't span the low-byte wrap
+        ):
+            lo, _, d0 = ranges[-1]
+            ranges[-1] = (lo, cid, d0)
+        elif len(dst) == 1:
+            ranges.append((cid, cid, dst))
+        else:
+            chars.append((cid, dst))
+    # singleton "ranges" read better (and parse) as bfchar entries
+    chars.extend((lo, d) for lo, hi, d in ranges if lo == hi)
+    ranges = [r for r in ranges if r[0] != r[1]]
+    chars.sort()
+
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    for i in range(0, len(ranges), 100):
+        chunk = ranges[i:i + 100]
+        parts.append(f"{len(chunk)} beginbfrange")
+        for lo, hi, d0 in chunk:
+            parts.append(f"<{lo:04X}> <{hi:04X}> <{_hx(d0)}>")
+        parts.append("endbfrange")
+    for i in range(0, len(chars), 100):
+        chunk = chars[i:i + 100]
+        parts.append(f"{len(chunk)} beginbfchar")
+        for cid, d in chunk:
+            parts.append(f"<{cid:04X}> <{_hx(d)}>")
+        parts.append("endbfchar")
+    parts += [
+        "endcmap",
+        "CMapName currentdict /CMap defineresource pop",
+        "end",
+        "end",
+    ]
+    return "\n".join(parts)
+
+
 def render_minipdf(
     pages_streams: list[str],
     rotations: list[int] | None = None,
     compress: bool = False,
+    cid_cmap: dict[int, str] | None = None,
+    compress_cmap: bool = False,
 ) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
     (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
     ``rotations`` optionally sets per-page /Rotate entries; ``compress``
-    Flate-encodes the content streams (real-world writers' default)."""
+    Flate-encodes the content streams (real-world writers' default).
+    ``cid_cmap`` ({CID: unicode}) adds an Identity-H Type0 font ``/F2``
+    with an embedded /ToUnicode CMap stream (Flate'd when
+    ``compress_cmap``) — content streams may then show text as
+    ``/F2 … Tf <hex> Tj`` (see ``cid_hex``)."""
     objects: list[bytes] = []
     n_pages = len(pages_streams)
+    f1_num = 3 + 2 * n_pages
+    font_res = f"/F1 {f1_num} 0 R"
+    if cid_cmap is not None:
+        font_res += f" /F2 {f1_num + 1} 0 R"
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
@@ -247,7 +520,7 @@ def render_minipdf(
         objects.append(
             (
                 f"<< /Type /Page /Parent 2 0 R {rot_entry}/MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-                f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 {3 + 2 * n_pages} 0 R >> >> >>"
+                f"/Contents {4 + 2 * i} 0 R /Resources << /Font << {font_res} >> >> >>"
             ).encode()
         )
         data = content.encode("utf-8")
@@ -262,6 +535,24 @@ def render_minipdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(data), data)
             )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if cid_cmap is not None:
+        objects.append(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Identity-H "
+                f"/Encoding /Identity-H /ToUnicode {f1_num + 2} 0 R >>"
+            ).encode()
+        )
+        cm = tounicode_cmap(cid_cmap).encode("utf-8")
+        if compress_cmap:
+            cm = zlib.compress(cm)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(cm), cm)
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cm), cm)
+            )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

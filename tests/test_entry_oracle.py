@@ -55,6 +55,27 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    # The driver's hash compare stringifies values exactly, so an int64-vs-float64
+    # dtype split (e.g. DuckDB HUGEINT window sums materializing as float64) is a
+    # hash mismatch even when every value agrees.  Mirror that strictness here:
+    # require matching dtype *kind* per column whenever neither side carries nulls
+    # (nulls legitimately promote pandas ints to float64 on either side).
+    for col in sdf.columns:
+        s, o = sdf[col], odf[col]
+        if s.isna().any() or o.isna().any():
+            continue
+        sk = "i" if s.dtype.kind in "iu" else s.dtype.kind
+        ok = "i" if o.dtype.kind in "iu" else o.dtype.kind
+        if ok == "f" and sk == "i" and (o == o.astype("int64")).all():
+            pytest.fail(
+                f"{name}.{col}: oracle float64 vs spark int64 with integral values "
+                "— cast the oracle column (driver hash would mismatch)"
+            )
+        if sk == "f" and ok == "i" and (s == s.astype("int64")).all():
+            pytest.fail(
+                f"{name}.{col}: spark float64 vs oracle int64 with integral values "
+                "— align the Spark column type (driver hash would mismatch)"
+            )
     s_rows, o_rows = _normalize(sdf), _normalize(odf)
     diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
     assert not diffs, f"{name}: first value diffs {diffs[:3]}"

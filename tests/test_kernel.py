@@ -277,6 +277,14 @@ def test_fast_feed_matches_html_parser_events():
         '<html><nav class="TopNav">skip</nav><div CLASS="page"><p>t</p></div></html>',
         "<html><style>p:before { content: '<'; }</style><p>after</p></html>",
         "<html><p>unterminated",
+        # markup declarations must be dropped, not emitted as text:
+        # arbitrary crawl HTML starts with a doctype, and the stdlib
+        # fallback routes these to handle_decl/handle_pi/unknown_decl
+        "<!DOCTYPE html><html><p>doc</p></html>",
+        "<!doctype HTML puBlic 'x'><html><p>lower</p></html>",
+        "<?xml version='1.0'?><html><p>pi</p></html>",
+        "<html><![CDATA[<p>not text</p>]]><p>kept</p></html>",
+        "<!DOCTYPE html [<!ENTITY e 'v'>]><html><p>subset</p></html>",
     ]
     for i in range(60):
         from pdf_context_extractor_agent_spark.corpus import make_doc
@@ -336,6 +344,103 @@ def test_minipdf_flate_streams():
     packed = parse_minipdf(packed_blob)
     assert plain == packed
     assert plain[0]["page_text"] == "alpha beta\ngamma"
+
+
+def test_minipdf_length_override_resumes_past_true_endstream():
+    """When a /Length override extends past the lazy regex's 'endstream'
+    match, the scan must resume PAST the true stream end — not inside
+    the residual binary bytes, where a spurious '<<...>>stream' would
+    emit a garbage page."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import parse_minipdf
+
+    payload = b"BT /F1 10 Tf 1 0 0 1 20 772 Tm (real) Tj ET\n"
+    # binary residue that (1) contains a literal 'endstream' early, so
+    # the lazy match under-reads, and (2) past it, bytes shaped like a
+    # fresh stream object that a naively-resumed finditer would emit
+    residue = (
+        b"\x00endstream\x01<< /Fake 1 >>\nstream\n"
+        b"BT /F1 10 Tf 1 0 0 1 20 772 Tm (GHOST) Tj ET\nendstream"
+    )
+    data = payload + residue
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\ntrailer\n"
+    )
+    pages = parse_minipdf(blob)
+    assert len(pages) == 1, [p["page_text"] for p in pages]
+
+
+def test_minipdf_cid_identity_h_tounicode():
+    """CID text path (the encoding real CJK PDFs use): hex show-strings
+    whose 2-byte CIDs are an arbitrary permutation resolve through the
+    embedded /ToUnicode CMap — CJK, a non-BMP char (surrogate-pair
+    UTF-16BE destination), plain vs Flate-compressed CMap stream, and
+    per-stream font switching (/F1 literal + /F2 CID)."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        cid_hex,
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    s = "你好 世界 \U0001D11E!"
+    cid_of = {c: i + 1 for i, c in enumerate(sorted(set(s)))}
+    cmap = {v: k for k, v in cid_of.items()}
+    stream = "BT /F2 10 Tf 1 0 0 1 20 772 Tm " + cid_hex(s, cid_of) + " Tj ET"
+    for compress_cmap in (False, True):
+        blob = render_minipdf([stream], cid_cmap=cmap, compress_cmap=compress_cmap)
+        pages = parse_minipdf(blob)
+        # the ToUnicode CMap stream must not be mistaken for a page
+        assert len(pages) == 1, [p["page_text"] for p in pages]
+        assert pages[0]["page_text"] == s
+
+    mixed = (
+        "BT /F1 10 Tf 1 0 0 1 20 772 Tm (ascii line) Tj ET\n"
+        "BT /F2 10 Tf 1 0 0 1 20 752 Tm " + cid_hex("你好", cid_of) + " Tj ET"
+    )
+    blob = render_minipdf([mixed], cid_cmap=cmap)
+    assert parse_minipdf(blob)[0]["page_text"] == "ascii line\n你好"
+
+
+def test_tounicode_bfrange_forms():
+    """Both bfrange destination forms (scalar start with last-code-unit
+    increment; explicit array) and bfchar parse to the same table shape."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        _parse_tounicode,
+        tounicode_cmap,
+    )
+
+    got = _parse_tounicode(
+        "1 beginbfrange\n<0001> <0003> [<0041> <0058> <005A>]\nendbfrange"
+    )
+    assert got == {1: "A", 2: "X", 3: "Z"}
+    got = _parse_tounicode("1 beginbfrange\n<0010> <0012> <0061>\nendbfrange")
+    assert got == {0x10: "a", 0x11: "b", 0x12: "c"}
+    got = _parse_tounicode("1 beginbfchar\n<0007> <D834DD1E>\nendbfchar")
+    assert got == {7: "\U0001D11E"}
+    # writer→parser roundtrip: contiguous runs emit bfrange, the rest bfchar
+    cmap = {i: chr(0x40 + i) for i in range(1, 6)} | {9: "你", 10: "\U0001D11E"}
+    body = tounicode_cmap(cmap)
+    assert "beginbfrange" in body and "beginbfchar" in body
+    assert _parse_tounicode(body) == cmap
+
+
+def test_minipdf_cid_corpus_byte_identity():
+    """Corpus CID docs (kind 4, i ≡ 4 mod 30) stay byte-identical —
+    their CIDs are a sorted-charset permutation, so identity is only
+    possible if the kernel consults the embedded CMap."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    seen_cid = seen_plain = 0
+    for i in (4, 34, 64, 14, 24):
+        _, _, blob, text, _ = make_doc(i)
+        if b"Identity-H" in blob:
+            seen_cid += 1
+        else:
+            seen_plain += 1
+        got = "\n".join(p["page_text"] for p in parse_doc(blob))
+        assert got == text, i
+    assert seen_cid >= 2 and seen_plain >= 1
 
 
 def test_page_decomposition_identical_output(spark):

@@ -243,6 +243,27 @@ def test_repetition_features(spark):
     assert r[2].distinct_word_ratio == 1.0 and r[2].top_bigram_frac == 1.0
 
 
+def test_repetition_features_jumbo_doc_linear(spark):
+    """A 10⁵-word document must complete in bounded time (the naive
+    distinct×scan formulation is O(n²) ≈ 10¹⁰ comparisons and would hang
+    a single task; the sorted-run-length fold is O(n log n))."""
+    import time
+
+    from pdf_context_extractor_agent_spark.functions.quality import repetition_features
+
+    n = 100_000
+    # worst case for the old algorithm: mostly-distinct bigrams, plus a
+    # known repeated bigram planted 50 times
+    words = [f"w{i}" for i in range(n)] + ["rep", "pair"] * 50
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    t0 = time.monotonic()
+    row = repetition_features(docs).collect()[0]
+    elapsed = time.monotonic() - t0
+    total_bg = len(words) - 1
+    assert abs(row.top_bigram_frac - 50 / total_bg) < 1e-12
+    assert elapsed < 60, f"jumbo repetition took {elapsed:.1f}s — not linear"
+
+
 def test_pii_mask_and_counts(spark):
     import pyspark.sql.functions as F
 

@@ -80,6 +80,25 @@ def test_classify_blocks(blocks_df):
     assert out[7].label == "bad"
 
 
+def test_main_content_zero_block_doc_stays_visible(spark):
+    """A document whose HTML yields zero parsed blocks must still get a
+    row (n_blocks=0, main_text='') — the same null-visibility contract
+    as the C4 filter's poison rows — instead of vanishing from output."""
+    pages = spark.createDataFrame(
+        [("u_ok", b"<html><p>" + b"good words here " * 10 + b"</p></html>"),
+         ("u_empty", b""),
+         ("u_junk", b"%PDF-truncated junk, no streams")],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in main_content(pages).collect()}
+    assert set(rows) == {"u_ok", "u_empty", "u_junk"}
+    for u in ("u_empty", "u_junk"):
+        assert rows[u].n_blocks == 0
+        assert rows[u].n_content_blocks == 0
+        assert rows[u].main_text == ""
+    assert rows["u_ok"].n_blocks >= 1
+
+
 def test_main_content_end_to_end(spark):
     html = (
         "<html><body>"
