@@ -161,3 +161,174 @@ def to_excel_ordered(parsed: DataFrame, path: str, url: str) -> bool:
         for col, width in zip("ABCDEFG", (15, 15, 20, 20, 15, 15, 10)):
             ws.column_dimensions[col].width = width
     return True
+
+
+# ---------------------------------------------------------------------------
+# S7b: the reference's NOTES workbook (tools/export_notes_to_excel.py)
+# — TOC sheet + one content sheet per level-1 note. The walk is pure
+# Python over collected note dicts so the workbook structure is golden-
+# testable without openpyxl; the actual .xlsx write is a guarded
+# presentation step like `to_excel_ordered`.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def sanitize_sheet_name(name: str, max_length: int = 31) -> str:
+    """Excel sheet-name rules + the reference's cleanup
+    (export_notes_to_excel.py:56-75): strip forbidden chars, drop a
+    leading "N、 " numbering prefix, truncate with an ellipsis."""
+    name = _re.sub(r"[\\/*?:\[\]]", "", name)
+    name = _re.sub(r"^\d+、\s*", "", name)
+    if len(name) > max_length - 3:
+        name = name[: max_length - 3] + "..."
+    return name
+
+
+def _note_sheet_name(note: dict) -> str:
+    return f"{note['number']}_{sanitize_sheet_name(note['title'])}"
+
+
+def notes_toc_rows(notes: list[dict]) -> list[dict]:
+    """TOC sheet rows (export_notes_to_excel.py:80-155): one row per
+    level-1 note — number, full title, page, sub-note count, table count
+    (own + sub-notes'), target sheet name. Sub-notes here are matched by
+    NUMBER PREFIX ("6.1" under "6"), exactly as the reference's TOC does
+    (":121-123") — the content sheets use the positional rule instead.
+    """
+    level1 = [n for n in notes if n["level"] == 1]
+    rows = []
+    for idx, note in enumerate(level1, 1):
+        subs = [
+            n for n in notes
+            if n["level"] == 2 and n["number"].startswith(note["number"] + ".")
+        ]
+        table_count = (note.get("table_count") or 0) + sum(
+            s.get("table_count") or 0 for s in subs
+        )
+        rows.append({
+            "序号": note["number"],
+            "标题": note["full_title"],
+            "页码": note["page"],
+            "子项数量": len(subs),
+            "表格数量": table_count,
+            "工作表名称": _note_sheet_name(note),
+        })
+    return rows
+
+
+def positional_sub_notes(note: dict, all_notes: list[dict]) -> list[dict]:
+    """The reference's position-based parent↔child rule
+    (export_notes_to_excel.py:199-240), used for content sheets because
+    extracted numbering may be unreliable: a level-2 note belongs to
+    level-1 `note` iff it sits after it and before the NEXT level-1
+    title — same-page ordering by document position (page, y), cross-
+    page membership at page granularity (an L2 on the next L1's page is
+    excluded even if positioned above it, mirroring the reference).
+    ``all_notes`` must be sorted by document position."""
+    level1 = [n for n in all_notes if n["level"] == 1]
+    idx = next(
+        (i for i, n in enumerate(level1)
+         if n["number"] == note["number"] and n["page"] == note["page"]),
+        None,
+    )
+    next_l1_page = (
+        level1[idx + 1]["page"] if idx is not None and idx + 1 < len(level1) else None
+    )
+    pos = {id(n): i for i, n in enumerate(all_notes)}
+    note_pos = pos.get(id(note))
+    out = []
+    for n in all_notes:
+        if n["level"] != 2 or n["page"] < note["page"]:
+            continue
+        if next_l1_page is not None and n["page"] >= next_l1_page:
+            continue
+        if n["page"] == note["page"]:
+            if note_pos is not None and pos[id(n)] > note_pos:
+                out.append(n)
+        else:
+            out.append(n)
+    return out
+
+
+def note_content_rows(note: dict, level: int) -> list[list]:
+    """One note's rows inside a content sheet
+    (export_notes_to_excel.py:294-336): a header row (层级, full title,
+    page, text), then per table a "表格 N" caption row followed by the
+    table grid shifted one column right (tables start at column B)."""
+    level_text = "一级" if level == 1 else "二级"
+    rows: list[list] = [
+        [level_text, note["full_title"], note["page"], note.get("text") or "[无文本内容]"]
+    ]
+    for table_idx, table in enumerate(note.get("tables") or [], 1):
+        rows.append([f"表格 {table_idx}", "", "", ""])
+        for r in table:
+            rows.append([""] + list(r))
+        rows.append([])  # the reference leaves blank rows between tables
+        rows.append([])
+    return rows
+
+
+def note_sheet(note: dict, all_notes: list[dict]) -> dict:
+    """One level-1 note's content sheet: title-info block text
+    (export_notes_to_excel.py:251-292), the 4-column content header, the
+    note's own rows, then its positional sub-notes' rows."""
+    level_text = "一级标题" if note["level"] == 1 else "二级标题"
+    info_text = (
+        f"注释标题：{note['full_title']}\n"
+        f"页码：{note['page']}\n"
+        f"层级：{level_text}\n"
+        f"包含表格：{note.get('table_count') or 0}个"
+    )
+    rows = [["层级", "标题", "页码", "内容"]]
+    rows += note_content_rows(note, level=1)
+    for sub in positional_sub_notes(note, all_notes):
+        rows += note_content_rows(sub, level=2)
+    return {"name": _note_sheet_name(note), "info_text": info_text, "rows": rows}
+
+
+def notes_workbook_structure(notes: list[dict]) -> dict:
+    """Full workbook structure: TOC + one sheet per level-1 note, notes
+    pre-sorted by document position. Pure data — the golden-test target
+    and the single source the guarded Excel writer renders."""
+    notes = sorted(notes, key=lambda n: (n["page"], n.get("y") or 0))
+    return {
+        "toc": notes_toc_rows(notes),
+        "sheets": [
+            note_sheet(n, notes) for n in notes if n["level"] == 1
+        ],
+    }
+
+
+def notes_to_excel(notes_df: DataFrame, path: str, url: str) -> bool:
+    """Reference tools/export_notes_to_excel.py for one document:
+    目录 sheet + per-L1-note sheets (title info block, content header,
+    note + positional sub-note rows, captioned tables). Requires
+    openpyxl; returns False when unavailable (this container)."""
+    try:
+        from openpyxl import Workbook
+    except Exception:
+        return False
+
+    notes = [  # pragma: no cover (openpyxl absent in CI container)
+        r.asDict(recursive=True)
+        for r in notes_df.filter(F.col("url") == url).orderBy("page", "y").collect()
+    ]
+    wb = Workbook()  # pragma: no cover
+    structure = notes_workbook_structure(notes)  # pragma: no cover
+    ws = wb.active  # pragma: no cover
+    ws.title = "目录"  # pragma: no cover
+    headers = ["序号", "标题", "页码", "子项数量", "表格数量", "工作表名称"]  # pragma: no cover
+    ws.append(headers)  # pragma: no cover
+    for row in structure["toc"]:  # pragma: no cover
+        ws.append([row[h] for h in headers])
+    ws.freeze_panes = "A2"  # pragma: no cover
+    for sheet in structure["sheets"]:  # pragma: no cover
+        cs = wb.create_sheet(title=sheet["name"])
+        cs.append([sheet["info_text"]])
+        for row in sheet["rows"]:
+            cs.append(row)
+        for col, width in zip("ABCD", (8, 35, 8, 80)):
+            cs.column_dimensions[col].width = width
+    wb.save(path)  # pragma: no cover
+    return True  # pragma: no cover

@@ -109,3 +109,87 @@ def test_merge_cross_page_notes(spark):
     assert out["2"].is_complete is False
     assert out["1"].text == "p1 body" and out["1"].is_complete is True
     assert out["3"].text == "p2 body" and out["3"].is_complete is True
+
+
+def test_notes_workbook_structure_golden():
+    """Golden structure of the notes workbook walk (reference
+    tools/export_notes_to_excel.py): TOC rows with prefix-matched sub
+    counts, sheet names sanitized, content sheets with positional
+    sub-note attachment and captioned tables shifted one column right."""
+    from pdf_context_extractor_agent_spark.sources.sinks import (
+        notes_workbook_structure,
+        sanitize_sheet_name,
+    )
+
+    notes = [
+        {"number": "1", "level": 1, "title": "货币资金", "full_title": "1、 货币资金",
+         "page": 1, "y": 10.0, "text": "cash text",
+         "tables": [[["项目", "金额"], ["库存现金", "5.00"]]], "table_count": 1},
+        {"number": "1.1", "level": 2, "title": "库存现金", "full_title": "1.1 库存现金",
+         "page": 1, "y": 40.0, "text": "sub text", "tables": [], "table_count": 0},
+        # an L2 whose NUMBER claims note 1 but which sits after L1 #2 —
+        # the TOC counts it under 1 (prefix rule), the content sheet
+        # attaches it to 2 (positional rule): both reference behaviors
+        {"number": "1.9", "level": 2, "title": "错位子项", "full_title": "1.9 错位子项",
+         "page": 2, "y": 30.0, "text": "stray", "tables": [], "table_count": 0},
+        {"number": "2", "level": 1, "title": "应收账款", "full_title": "2、 应收账款",
+         "page": 2, "y": 10.0, "text": "ar text", "tables": [], "table_count": 0},
+    ]
+    wb = notes_workbook_structure(notes)
+
+    assert [r["序号"] for r in wb["toc"]] == ["1", "2"]
+    assert wb["toc"][0]["子项数量"] == 2          # prefix rule: 1.1 AND 1.9
+    assert wb["toc"][0]["表格数量"] == 1
+    assert wb["toc"][0]["工作表名称"] == "1_货币资金"
+    assert wb["toc"][1]["子项数量"] == 0
+
+    s1, s2 = wb["sheets"]
+    assert s1["name"] == "1_货币资金"
+    assert "注释标题：1、 货币资金" in s1["info_text"]
+    assert "包含表格：1个" in s1["info_text"]
+    assert s1["rows"][0] == ["层级", "标题", "页码", "内容"]
+    assert s1["rows"][1] == ["一级", "1、 货币资金", 1, "cash text"]
+    assert s1["rows"][2] == ["表格 1", "", "", ""]
+    assert s1["rows"][3] == ["", "项目", "金额"]      # tables start at col B
+    assert s1["rows"][4] == ["", "库存现金", "5.00"]
+    # positional: only 1.1 attaches to note 1 (1.9 is past L1 #2's page)
+    l2_rows_s1 = [r for r in s1["rows"] if r and r[0] == "二级"]
+    assert [r[1] for r in l2_rows_s1] == ["1.1 库存现金"]
+    # ...and 1.9 lands on sheet 2 despite its number
+    l2_rows_s2 = [r for r in s2["rows"] if r and r[0] == "二级"]
+    assert [r[1] for r in l2_rows_s2] == ["1.9 错位子项"]
+
+    # sheet-name sanitization parity
+    assert sanitize_sheet_name("3、 很长" + "字" * 40) .endswith("...")
+    assert len(sanitize_sheet_name("字" * 64)) <= 31
+    assert sanitize_sheet_name("a/b*c?d[e]") == "abcde"
+
+
+def test_notes_workbook_from_pipeline(spark, page_df):
+    """End-to-end: extract_notes on a corpus doc feeds the workbook walk
+    (one sheet per L1 note, every sheet name Excel-legal)."""
+    from pdf_context_extractor_agent_spark.sources.sinks import (
+        notes_to_excel,
+        notes_workbook_structure,
+    )
+
+    url = page_df.select("url").first().url
+    notes = [
+        r.asDict(recursive=True)
+        for r in extract_notes(page_df.filter(F.col("url") == url)).collect()
+    ]
+    assert notes, "fixture doc has no notes"
+    wb = notes_workbook_structure(notes)
+    n_l1 = sum(1 for n in notes if n["level"] == 1)
+    assert len(wb["toc"]) == n_l1
+    assert len(wb["sheets"]) == n_l1
+    for s in wb["sheets"]:
+        assert len(s["name"]) <= 31 and not set(s["name"]) & set(r'\/*?:[]')
+        assert s["rows"][0] == ["层级", "标题", "页码", "内容"]
+    # writer degrades gracefully without openpyxl (this container)
+    import importlib.util
+    has_openpyxl = importlib.util.find_spec("openpyxl") is not None
+    result = notes_to_excel(
+        extract_notes(page_df.filter(F.col("url") == url)), "/tmp/_notes_wb.xlsx", url
+    )
+    assert result is has_openpyxl
