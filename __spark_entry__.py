@@ -627,6 +627,73 @@ def _q_main_content(spark, sf):
     )
 
 
+def _q_lm_score(spark, sf):
+    """CCNet-style bigram-LM quality scoring: train the MLE model on
+    the corpus (one shuffle on the n-gram key), score every doc, bucket
+    by perplexity. Integer count sums are exact cross-engine evidence;
+    the float score is rounded like every other aggregate here."""
+    from pdf_context_extractor_agent_spark.functions.lm import lm_doc_scores
+
+    s = lm_doc_scores(_t(spark, sf, "documents"), buckets=4)
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_pair_cnt",
+        "sum_first_cnt",
+        F.round("avg_logp", 5).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+        "lm_bucket",
+    )
+
+
+def _q_doc_freq(spark, sf):
+    """Corpus vocabulary stats: per-word document frequency + smoothed
+    IDF, top 100 by DF (word tie-break)."""
+    from pdf_context_extractor_agent_spark.functions.lm import doc_frequency
+
+    d = doc_frequency(_t(spark, sf, "documents"))
+    return (
+        d.select("word", "df", F.round("idf", 5).alias("idf"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(100)
+    )
+
+
+def _synth_url() -> F.Column:
+    """Deterministic messy URL per document (the documents table has no
+    url column): mixed-case host, www + cdn labels, tracking params
+    interleaved with real ones, fragment — identical string built on
+    the DuckDB side."""
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("https://WWW.cdn."), F.col("source"), F.lit(".COM/A/"), d,
+        F.lit("/page?utm_source=feed&id="), d, F.lit("&ref=rss&x=Y#sec"),
+    )
+
+
+def _q_url_canon(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn("url", _synth_url())
+    return docs.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+def _q_domain_stats(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.urls import domain_stats
+
+    docs = _t(spark, sf, "documents").withColumn("url", _synth_url())
+    return domain_stats(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -667,6 +734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
+        "q_lm_score": _q_lm_score,
+        "q_doc_freq": _q_doc_freq,
+        "q_url_canon": _q_url_canon,
+        "q_domain_stats": _q_domain_stats,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -972,6 +1043,112 @@ WITH words AS (
                          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                          '\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g')) AS masked_md5
             FROM d""",
+        "q_lm_score": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(w[1:len(w)-1]) AS w1,
+                     unnest(w[2:len(w)]) AS w2
+              FROM w),
+            pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY w1, w2),
+            fc AS (SELECT w1, sum(pair_cnt) AS first_cnt FROM pc GROUP BY w1),
+            model AS (
+              SELECT pc.w1, pc.w2, pair_cnt, first_cnt,
+                     ln(pair_cnt::DOUBLE / first_cnt) AS logp
+              FROM pc JOIN fc USING (w1)),
+            per_doc AS (
+              SELECT doc_id,
+                     count(*) AS n_bigrams,
+                     sum(pair_cnt)::BIGINT AS sum_pair_cnt,
+                     sum(first_cnt)::BIGINT AS sum_first_cnt,
+                     avg(logp) AS raw_logp
+              FROM bg JOIN model USING (w1, w2)
+              GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, sum_pair_cnt, sum_first_cnt,
+                   round(raw_logp, 5) AS avg_logp,
+                   round(exp(-raw_logp), 4) AS ppl,
+                   ntile(4) OVER (ORDER BY round(raw_logp, 5) DESC, doc_id) AS lm_bucket
+            FROM per_doc""",
+        "q_doc_freq": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))) AS word
+              FROM documents),
+            dfreq AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT word, df,
+                   round(ln((1 + n_docs)::DOUBLE / (1 + df)), 5) AS idf
+            FROM dfreq, n
+            ORDER BY df DESC, word
+            LIMIT 100""",
+        "q_url_canon": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://WWW.cdn.' || source || '.COM/A/' || doc_id::VARCHAR
+                       || '/page?utm_source=feed&id=' || doc_id::VARCHAR
+                       || '&ref=rss&x=Y#sec' AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id, url,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+                                   || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
+                                 '^([a-z]+://)www\.', '\1'),
+                               '#.*$', ''),
+                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                           '\?&+', '?'),
+                         '&&+', '&', 'g'),
+                       '[?&]+$', '') AS canon_url,
+                     regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                                    '^www\.', '') AS host
+              FROM u)
+            SELECT doc_id, canon_url, host,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+            FROM c""",
+        "q_domain_stats": r"""
+            WITH u AS (
+              SELECT doc_id, text, source,
+                     'https://WWW.cdn.' || source || '.COM/A/' || doc_id::VARCHAR
+                       || '/page?utm_source=feed&id=' || doc_id::VARCHAR
+                       || '&ref=rss&x=Y#sec' AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+                                   || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
+                                 '^([a-z]+://)www\.', '\1'),
+                               '#.*$', ''),
+                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                           '\?&+', '?'),
+                         '&&+', '&', 'g'),
+                       '[?&]+$', '') AS canon_url,
+                     regexp_extract(
+                       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                                      '^www\.', ''),
+                       '([^.]+\.[^.]+)$', 1) AS domain,
+                     length(coalesce(text, '')) AS text_len
+              FROM u)
+            SELECT domain,
+                   count(*) AS n_pages,
+                   count(DISTINCT canon_url) AS n_canon_urls,
+                   sum(text_len)::BIGINT AS text_chars
+            FROM c
+            GROUP BY domain""",
         "q_chunk_dedup": f"""
             WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
             pos AS (

@@ -1,0 +1,135 @@
+"""Unit tests for the bigram-LM scorer (functions/lm.py) and URL
+canonicalization (functions/urls.py) — hand-computed fixtures; the
+cross-engine oracle parity lives in test_entry_oracle.py
+(q_lm_score / q_doc_freq / q_url_canon / q_domain_stats)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_context_extractor_agent_spark.functions.lm import (
+    bigram_lm,
+    doc_bigrams,
+    doc_frequency,
+    lm_doc_scores,
+)
+from pdf_context_extractor_agent_spark.functions.urls import (
+    canonicalize_url,
+    domain_stats,
+    registered_domain,
+    url_host,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b a b"),      # bigrams: ab ba ab
+            (1, "a b c"),        # ab bc
+            (2, "solo"),         # no bigrams
+            (3, ""),             # no bigrams
+            (4, None),           # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_bigrams_instances(docs):
+    rows = {(r.doc_id, r.w1, r.w2) for r in doc_bigrams(docs).collect()}
+    # instance counts: doc 0 emits (a,b) twice — check the full multiset
+    all_rows = [(r.doc_id, r.w1, r.w2) for r in doc_bigrams(docs).collect()]
+    assert sorted(all_rows) == [
+        (0, "a", "b"), (0, "a", "b"), (0, "b", "a"),
+        (1, "a", "b"), (1, "b", "c"),
+    ]
+    assert (2, "solo", None) not in rows  # short docs emit nothing
+
+
+def test_bigram_lm_mle_probabilities(docs):
+    model = {(r.w1, r.w2): r for r in bigram_lm(doc_bigrams(docs)).collect()}
+    # corpus: C(a,b)=3 C(b,a)=1 C(b,c)=1 ; C(a,.)=3 C(b,.)=2
+    ab = model[("a", "b")]
+    assert (ab.pair_cnt, ab.first_cnt) == (3, 3)
+    assert ab.logp == pytest.approx(0.0)
+    ba = model[("b", "a")]
+    assert (ba.pair_cnt, ba.first_cnt) == (1, 2)
+    assert ba.logp == pytest.approx(math.log(0.5))
+
+
+def test_lm_doc_scores_avg_and_buckets(docs):
+    out = {r.doc_id: r for r in lm_doc_scores(docs, buckets=2).collect()}
+    assert set(out) == {0, 1}  # sub-two-token docs have no score
+    # doc 0: logp(ab)+logp(ab)+logp(ba) = 0 + 0 + ln(.5) over 3
+    assert out[0].avg_logp == pytest.approx(math.log(0.5) / 3)
+    assert out[0].n_bigrams == 3
+    # doc 1: (ln(1) + ln(.5)) / 2
+    assert out[1].avg_logp == pytest.approx(math.log(0.5) / 2)
+    assert out[1].ppl == pytest.approx(math.exp(-out[1].avg_logp))
+    # doc 0 is more fluent (higher avg logp) -> bucket 1
+    assert out[0].lm_bucket == 1 and out[1].lm_bucket == 2
+
+
+def test_doc_frequency_smoothed_idf(docs):
+    d = {r.word: r for r in doc_frequency(docs).collect()}
+    assert d["a"].df == 2 and d["solo"].df == 1
+    # 5 docs total (empty/null text tokenizes to [''] -> word '')
+    assert d["a"].n_docs == 5
+    assert d["a"].idf == pytest.approx(math.log(6 / 3))
+
+
+URL_CASES = [
+    (
+        "https://WWW.Example.COM/Path/Page?utm_source=x&id=7&ref=rss#frag",
+        "https://example.com/Path/Page?id=7",
+        "example.com",
+        "example.com",
+    ),
+    (
+        "http://cdn.news.example.co/a?fbclid=abc123",
+        "http://cdn.news.example.co/a",
+        "cdn.news.example.co",
+        "example.co",
+    ),
+    (
+        "https://site.org/q?id=1&gclid=z&x=2",
+        "https://site.org/q?id=1&x=2",
+        "site.org",
+        "site.org",
+    ),
+    ("https://plain.net/doc", "https://plain.net/doc", "plain.net", "plain.net"),
+]
+
+
+@pytest.mark.parametrize("raw,canon,host,domain", URL_CASES)
+def test_canonicalize_url(spark, raw, canon, host, domain):
+    row = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(
+            canonicalize_url(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+            registered_domain(F.col("url")).alias("d"),
+        )
+        .first()
+    )
+    assert (row.c, row.h, row.d) == (canon, host, domain)
+
+
+def test_domain_stats_counts_canonical_urls(spark):
+    pages = spark.createDataFrame(
+        [
+            # same page twice via tracking-param variants -> 1 canon url
+            ("https://www.a.com/x?utm_source=1", "hello"),
+            ("https://a.com/x", "world!"),
+            ("https://b.org/y", "text"),
+        ],
+        "url string, text string",
+    )
+    out = {r.domain: r for r in domain_stats(pages).collect()}
+    assert out["a.com"].n_pages == 2
+    assert out["a.com"].n_canon_urls == 1
+    assert out["a.com"].text_chars == 11
+    assert out["b.org"].n_pages == 1
