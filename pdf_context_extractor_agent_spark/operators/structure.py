@@ -77,59 +77,65 @@ def _hit_structs(name0: Column, name1: Column, statement_types: tuple[str, ...])
     markers match column 0 only (:357-366).
 
     Every anchor pattern (and all but income's wildcard end pattern) is
-    ^-anchored on a literal character, so a name can only match if its
-    FIRST character is one of the banks' first literal chars — a
-    one-char ``isin`` guard short-circuits the ~70-regex bank for the
-    vast majority of rows (hundreds of millions of regex evaluations
-    saved per corpus pass). Wildcard-prefixed patterns are evaluated
-    outside the guard.
-    """
-    guarded: list[Column] = []
-    unguarded: list[Column] = []
-    trigger_chars: set[str] = set()
+    ^-anchored on a literal character, so a name can only match a
+    pattern whose first literal char equals the name's first char. That
+    makes the bank DISPATCHABLE: a ~22-way CASE on substring(name, 1, 1)
+    jumps straight to the ≤4-pattern bucket sharing that first char, so
+    each row evaluates its bucket only — instead of the full ~50-pattern
+    bank behind a single coarse any-char trigger (which ~40% of corpus
+    rows pass, since item names and anchors draw from the same leading
+    characters). Wildcard-prefixed (unguardable) patterns are evaluated
+    on every row, outside the dispatch.
 
-    guardable = _guardable
+    Duplicate (stmt, kind, ord) hits — from name0/name1 both matching,
+    or the guarded/unguarded split — merge downstream (``amins`` keeps
+    the first row per ord; end hits take the min), so per-name split
+    emission is safe.
+    """
+    buckets: dict[str, list[tuple[str, str, int, bool, str]]] = {}
+    unguarded: list[tuple[str, str, int, bool, str]] = []
     for stmt in statement_types:
         for anchor_ord, (_name, required, pats) in enumerate(_ANCHOR_SPEC[stmt]):
-            cond_g = F.lit(False)
-            cond_u = F.lit(False)
-            any_g = any_u = False
             for p in pats:
-                if guardable(p):
-                    cond_g = cond_g | fast_match(name0, p) | fast_match(name1, p)
-                    trigger_chars.add(p[1])
-                    any_g = True
-                else:
-                    cond_u = cond_u | fast_match(name0, p) | fast_match(name1, p)
-                    any_u = True
-            # duplicate (stmt, 'a', ord) hits merge downstream (amins
-            # keeps the min row per ord), so split emission is safe
-            if any_g:
-                guarded.append(_hit(stmt, "a", anchor_ord, required, cond_g))
-            if any_u:
-                unguarded.append(_hit(stmt, "a", anchor_ord, required, cond_u))
-        cond_g = F.lit(False)
-        cond_u = F.lit(False)
-        any_g = any_u = False
+                entry = (stmt, "a", anchor_ord, required, p)
+                (buckets.setdefault(p[1], []) if _guardable(p) else unguarded).append(entry)
         for p in STATEMENT_END_PATTERNS[stmt]:
-            if guardable(p):
-                cond_g = cond_g | fast_match(name0, p)
-                trigger_chars.add(p[1])
-                any_g = True
-            else:
-                cond_u = cond_u | fast_match(name0, p)
-                any_u = True
-        if any_g:
-            guarded.append(_hit(stmt, "e", -1, False, cond_g))
-        if any_u:
-            unguarded.append(_hit(stmt, "e", -1, False, cond_u))
+            entry = (stmt, "e", -1, False, p)
+            (buckets.setdefault(p[1], []) if _guardable(p) else unguarded).append(entry)
 
-    chars = sorted(trigger_chars)
-    trigger = F.substring(name0, 1, 1).isin(chars) | F.substring(name1, 1, 1).isin(chars)
-    guarded_arr = F.when(trigger, F.array(*guarded)).otherwise(F.array().cast(_HIT_TYPE))
-    if unguarded:
-        return F.array_compact(F.concat(guarded_arr, F.array(*unguarded)))
-    return F.array_compact(guarded_arr)
+    empty = F.array().cast(_HIT_TYPE)
+
+    def dispatch(name: Column, anchors_only: bool) -> Column:
+        first = F.substring(name, 1, 1)
+        chain: Column | None = None
+        for c in sorted(buckets):
+            hits = [
+                _hit(stmt, kind, ord_, req, fast_match(name, p))
+                for (stmt, kind, ord_, req, p) in buckets[c]
+                # end markers match column 0 only
+                if not (anchors_only and kind == "e")
+            ]
+            if not hits:
+                continue
+            arr = F.array(*hits)
+            chain = F.when(first == c, arr) if chain is None else chain.when(first == c, arr)
+        return chain.otherwise(empty) if chain is not None else empty
+
+    parts = [dispatch(name0, anchors_only=False), dispatch(name1, anchors_only=True)]
+    for stmt, kind, ord_, req, p in unguarded:
+        cond = (
+            fast_match(name0, p)
+            if kind == "e"
+            else fast_match(name0, p) | fast_match(name1, p)
+        )
+        parts.append(F.array(_hit(stmt, kind, ord_, req, cond)))
+    # non-hits stay as NULL entries, dropped by the caller AFTER explode:
+    # array_compact desugars to the higher-order ArrayFilter, a
+    # CodegenFallback expression that would knock this ENTIRE bank
+    # projection off whole-stage codegen (~6× slower interpreted eval of
+    # every pattern predicate); a scalar h IS NOT NULL filter post-
+    # explode keeps the stage fully codegen'd
+    return F.concat(*parts)
 
 
 def identify_structures(
@@ -151,11 +157,25 @@ def identify_structures(
     row_text = nonempty_row_text(F.col("cells"))
     hdr_flag = fast_match(row_text, HEADER_MUST_MATCH) & fast_match(row_text, HEADER_ALSO_MATCH)
 
-    hits = clean_rows.select(
-        "url",
-        "row_idx",
-        F.explode(_hit_structs_cached(tuple(statement_types))).alias("h"),
-    ).select("url", "row_idx", "h.stmt", "h.kind", "h.ord", "h.req")
+    hits = (
+        # two-step on purpose: the bank array is evaluated in its own
+        # Project (whole-stage codegen SPLITS big projections into
+        # many small methods), and the Generate explodes a plain
+        # column reference. Inlining the bank into explode(...) itself
+        # would blow Janino's 64KB method limit inside Generate's
+        # doConsume — the stage then silently falls back to interpreted
+        # eval, ~6× slower on this hottest projection of the pipeline.
+        clean_rows.select(
+            "url",
+            "row_idx",
+            _hit_structs_cached(tuple(statement_types)).alias("harr"),
+        )
+        .select("url", "row_idx", F.explode("harr").alias("h"))
+        # the bank emits NULL entries for non-hits (keeps the projection
+        # codegen-able, see _hit_structs); drop them scalar-wise here
+        .filter(F.col("h").isNotNull())
+        .select("url", "row_idx", "h.stmt", "h.kind", "h.ord", "h.req")
+    )
 
     per_stmt = hits.groupBy("url", "stmt").agg(
         F.collect_list(F.struct("kind", "ord", "req", "row_idx")).alias("hs")

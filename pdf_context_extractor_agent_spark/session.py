@@ -55,6 +55,19 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-XX:ActiveProcessorCount={os.environ.get('SPARK_GRAFT_EFFECTIVE_CPUS', '16')}",
         )
+        # Every explode() in this engine generates from a COMPUTED array
+        # (pattern-hit banks, shingle sets, line splits), not a stored
+        # column. InferFiltersFromGenerate would copy that whole array
+        # expression into a pre-Generate filter — evaluating the most
+        # expensive projections of the pipeline twice per row for a
+        # skip-empty-arrays optimization that never fires here (the hit
+        # bank emits a constant-arity array). Excluding the rule keeps
+        # single evaluation; correctness is unaffected (the filter it
+        # infers is redundant with Generate's own empty-array handling).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         # broadcast threshold: the pattern/anchor dimension tables are
         # a few KB; the default 10MB is fine, stated here for intent.
