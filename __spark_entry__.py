@@ -694,6 +694,29 @@ def _q_domain_stats(spark, sf):
     return domain_stats(docs)
 
 
+_MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
+
+
+def _q_stratified_sample(spark, sf):
+    """Data-mixing sample: deterministic per-language quotas (md5-keyed
+    uniform, reproducible on any engine, zero shuffle)."""
+    from pdf_context_extractor_agent_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(_t(spark, sf, "documents"), _MIX_RATES).select(
+        "doc_id", "lang", "u"
+    )
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: fraction of each document's distinct
+    word 3-grams appearing in the held-out set (doc_id % 97 == 0)."""
+    from pdf_context_extractor_agent_spark.functions.sampling import ngram_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_decontaminate(docs, bench, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -724,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "q_dedup_exact": _q_dedup_exact,
         "q_fingerprint": _q_fingerprint,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_decontaminate": _q_decontaminate,
         "q_token_counts": _q_token_counts,
         "q_lang_scores": _q_lang_scores,
         "q_quality": _q_quality,
@@ -965,6 +990,25 @@ WITH words AS (
             SELECT md5({norm}) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
         "q_fingerprint": f"SELECT doc_id, md5({norm}) AS fp_md5 FROM documents",
+        "q_stratified_sample": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     round((('0x' || substr(md5('mix-v1:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                            / 4294967296.0), 6) AS u
+              FROM documents)
+            SELECT doc_id, lang, u FROM d
+            WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8
+                                WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.6
+                                ELSE 0.0 END""",
+        "q_decontaminate": f"""
+            {shingle_cte},
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            tot AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id),
+            hit AS (SELECT s.doc_id, count(*) AS n_hit
+                    FROM sh s JOIN bench b USING (shingle) GROUP BY s.doc_id)
+            SELECT t.doc_id, t.n_ngrams, coalesce(h.n_hit, 0) AS n_hit,
+                   round(coalesce(h.n_hit, 0)::DOUBLE / t.n_ngrams, 6) AS contamination
+            FROM tot t LEFT JOIN hit h USING (doc_id)""",
         "q_token_counts": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -304,8 +304,16 @@ def main() -> None:
             "scaling_docs": N_SCALING_DOCS,
         }
         # full-capacity throughput leg: peak docs/sec + byte identity at
-        # the host's honest core count, on the full-size corpus
-        ext = _leg_once(CORES_FULL, N_BENCH_DOCS, check_identity=True)
+        # the host's honest core count, on the full-size corpus.
+        # Best-of-2: unlike the scaling legs this number has no min-of-N
+        # protection, and a single contended window would otherwise
+        # publish a 3× understated throughput (observed: 553 vs 1800
+        # docs/sec for the same code minutes apart).
+        full_runs = [
+            _leg_once(CORES_FULL, N_BENCH_DOCS, check_identity=(i == 0)) for i in range(2)
+        ]
+        ext = min(full_runs, key=lambda x: x["secs"])
+        ext["byte_identity_pass_rate"] = full_runs[0].get("byte_identity_pass_rate")
         ext["cores"] = CORES_FULL
     else:
         stop_spark()

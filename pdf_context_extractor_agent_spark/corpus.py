@@ -391,7 +391,8 @@ def render_pdfish(pages: list[Page]) -> bytes:
     return ("\n".join(out) + "\n").encode("utf-8")
 
 
-def render_minipdf_doc(pages: list[Page], cid: bool = False) -> bytes:
+def render_minipdf_doc(pages: list[Page], cid: bool = False,
+                       mixed_codespace: bool = False) -> bytes:
     """Render the content model as a structurally valid minimal PDF:
     same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
     ruling-line grids) but expressed in real PDF content-stream
@@ -403,20 +404,45 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False) -> bytes:
     only via the embedded /ToUnicode CMap — so byte-identity on these
     docs proves the kernel actually consults the CMap, the encoding
     path every real CJK PDF takes (reference dep: pdfplumber,
-    src/pdf_reader.py:17-29)."""
+    src/pdf_reader.py:17-29).
+
+    ``mixed_codespace=True`` (implies cid) additionally declares a
+    1-byte <00><7F> + 2-byte <8140><FFFF> codespace — the shape every
+    real GBK/Big5-style CJK encoding has: ASCII chars become PERMUTED
+    1-byte codes (xor-scrambled, so identity cannot fake the decode)
+    and CJK chars 2-byte codes from 0x8140 up; byte-identity then
+    certifies the kernel's variable-byte codespacerange walk."""
     from .kernels.minipdf_layout import PAGE_H, _escape, cid_hex, render_minipdf
 
     cid_of: dict[str, int] = {}
-    if cid:
+    nbytes_of: dict[str, int] | None = None
+    codespace: list[tuple[int, int, int]] | None = None
+    if cid or mixed_codespace:
+        cid = True
         charset = sorted({c for page in pages for k, payload in page
                           for s in (payload.split(" ") if k == "p"
                                     else [c for r in payload for c in r])
                           for c in s} | {" "})
-        # CID 0 is .notdef by convention; start at 1
-        cid_of = {c: i + 1 for i, c in enumerate(charset)}
+        if mixed_codespace:
+            codespace = [(1, 0x00, 0x7F), (2, 0x8140, 0xFFFF)]
+            nbytes_of = {}
+            wide = 0
+            for c in charset:
+                if ord(c) < 0x80:
+                    # bijective 7-bit scramble: decode MUST go through
+                    # the CMap, not code==codepoint identity
+                    cid_of[c] = (ord(c) ^ 0x15) & 0x7F
+                    nbytes_of[c] = 1
+                else:
+                    cid_of[c] = 0x8140 + wide
+                    nbytes_of[c] = 2
+                    wide += 1
+        else:
+            # CID 0 is .notdef by convention; start at 1
+            cid_of = {c: i + 1 for i, c in enumerate(charset)}
 
     def show(s: str) -> str:
-        return cid_hex(s, cid_of) if cid else f"({_escape(s)})"
+        return cid_hex(s, cid_of, nbytes_of) if cid else f"({_escape(s)})"
 
     font = "/F2" if cid else "/F1"
 
@@ -478,6 +504,7 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False) -> bytes:
             cid_cmap={v: k for k, v in cid_of.items()},
             # half the CID docs Flate their CMap stream (real writers do)
             compress_cmap=(len(cid_of) % 2 == 0),
+            cid_codespace=codespace,
         )
     return render_minipdf(streams)
 
@@ -492,9 +519,13 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
         blob = render_pdfish(pages)
     elif kind == 4:
         # every third minipdf doc (i ≡ 4 mod 30) is CID-encoded through
-        # an Identity-H font + embedded ToUnicode CMap — byte-identity
-        # over the corpus therefore certifies the CID decode path
-        blob = render_minipdf_doc(pages, cid=(i % 30 == 4))
+        # an Identity-H font + embedded ToUnicode CMap, and every sixth
+        # (i ≡ 34 mod 60) uses a mixed 1-/2-byte codespace — byte-
+        # identity over the corpus therefore certifies both the CID
+        # decode path and the variable-byte codespacerange walk
+        blob = render_minipdf_doc(
+            pages, cid=(i % 30 == 4), mixed_codespace=(i % 60 == 34)
+        )
     else:
         blob = render_html(pages).encode("utf-8")
     return url, warc_ts, blob, render_text(pages), lang

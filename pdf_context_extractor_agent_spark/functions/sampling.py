@@ -1,0 +1,95 @@
+"""Training-data mixing and benchmark decontamination.
+
+The two operations every corpus-assembly pipeline runs after cleaning
+and dedup (reference scope: the repo's curation layer; these have no
+single-document analog in /root/reference — they exist because the
+engine's target is corpus assembly at 10^12 documents):
+
+* **stratified sampling** — deterministic per-stratum quota sampling
+  ("data mixing": keep 30% of English, 100% of code, 5% of boilerplate).
+  A seeded md5 over the document key gives a reproducible uniform in
+  [0, 1): the SAME document is kept or dropped in every rerun, on any
+  engine, with zero shuffle — the filter lives at the scan, so at
+  100 TB this is a column-pruned pushed-down pass, not a job.
+
+* **n-gram decontamination** — flag documents sharing word n-grams with
+  a benchmark/eval set (the Lee/Brown-style contamination audit). The
+  benchmark side is tiny (thousands of docs) → its distinct-shingle dim
+  broadcasts; the corpus side is one explode + two partial-aggregated
+  groupBys on doc_id. Nothing all-pairs, nothing python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def deterministic_uniform(key: Column, salt: str) -> Column:
+    """Reproducible uniform [0, 1) from a key: first 8 hex chars of
+    md5(salt:key) over 2^32. Engine-agnostic (the DuckDB oracle uses
+    the identical formula), stable across reruns and cluster sizes —
+    the property that makes sampling decisions auditable."""
+    h = F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8)
+    return F.conv(h, 16, 10).cast("double") / F.lit(float(1 << 32))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Per-stratum quota sampling: keep a row iff its deterministic
+    uniform falls under its stratum's rate (strata absent from
+    ``rates`` are dropped — rate 0). Adds the draw as ``u`` so the
+    decision is auditable downstream."""
+    u = deterministic_uniform(F.col(key_col), salt)
+    rate: Column = F.lit(0.0)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return docs.withColumn("u", F.round(u, 6)).filter(F.col("u") < rate)
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination against a benchmark set: the fraction
+    of the document's distinct word n-grams that appear in ANY
+    benchmark document. Returns every input document (0.0 when clean).
+
+    Plan shape: corpus shingles explode once; the benchmark's distinct
+    shingle dim is small by construction (eval sets are thousands of
+    docs) and broadcast-joins against it; two groupBys on the already-
+    partitioned doc key. At 10^12 docs the corpus side never carries
+    document text past the shingle projection.
+    """
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    bench_sh = (
+        shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_ngrams"), 6).alias("contamination"),
+        )
+    )

@@ -85,12 +85,13 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
-def _tokenize_stream(data: str, font_cmaps: dict[str, dict[int, str]] | None = None) -> dict:
+def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) -> dict:
     """One content stream → {runs, h, v} in layout (top-down) coords.
 
-    ``font_cmaps`` maps resource names ("/F2") to ToUnicode CID→str
-    tables; ``Tf`` selects the active table, hex show-strings decode
-    through it (2-byte Identity-H codes, code=codepoint fallback).
+    ``font_cmaps`` maps resource names ("/F2") to (ToUnicode CID→str
+    table, codespace ranges); ``Tf`` selects the active table, hex
+    show-strings decode through it (variable-byte codespace-driven
+    codes, code=codepoint fallback).
     """
     runs: list[tuple[int, int, str]] = []
     h_segs: list[tuple[int, int, int, int]] = []
@@ -98,7 +99,7 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, dict[int, str]] | None = N
     stack: list = []
     tx = ty = 0.0          # current text position (PDF coords)
     leading = 12.0         # TL text leading (T* / ' displacement)
-    cur_cmap: dict[int, str] | None = None
+    cur_cmap: CMapTable | None = None
     path_pt: tuple[float, float] | None = None
     pending_seg: tuple[float, float, float, float] | None = None
 
@@ -112,18 +113,34 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, dict[int, str]] | None = N
         return s
 
     def hexs(tok: str) -> str:
-        """<XXXX…> hex string → text: 2-byte CIDs through the active
-        ToUnicode CMap; chr(code) when the font has no mapping (the
-        Identity interpretation). Odd final digit pads with 0 (spec)."""
+        """<XXXX…> hex string → text, decoded through the active font's
+        codespace ranges (variable byte length: e.g. 1-byte ASCII +
+        2-byte CID regions) and its ToUnicode CMap; chr(code) when a
+        code has no mapping (the Identity interpretation). Odd final
+        digit pads with 0 (spec). Unmatched byte sequences consume the
+        shortest declared code length — the spec's error recovery."""
         hx = "".join(tok[1:-1].split())
         if len(hx) % 2:
             hx += "0"
         bs = bytes.fromhex(hx)
+        cmap, ranges = cur_cmap if cur_cmap else ({}, _DEFAULT_CODESPACE)
+        min_n = ranges[0][0]
         out = []
-        for i in range(0, len(bs) - 1, 2):
-            code = (bs[i] << 8) | bs[i + 1]
-            mapped = cur_cmap.get(code) if cur_cmap else None
+        i, L = 0, len(bs)
+        while i < L:
+            code, used = None, None
+            for n, lo, hi in ranges:
+                if i + n <= L:
+                    c = int.from_bytes(bs[i:i + n], "big")
+                    if lo <= c <= hi:
+                        code, used = c, n
+                        break
+            if used is None:
+                used = min(min_n, L - i)
+                code = int.from_bytes(bs[i:i + used], "big")
+            mapped = cmap.get(code)
             out.append(mapped if mapped is not None else chr(code))
+            i += used
         return "".join(out)
 
     def shown(tok: str) -> str:
@@ -247,6 +264,7 @@ _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 # ToUnicode CMap syntax (PDF 32000 §9.10.3): bfchar pairs and bfrange
 # triples, the range destination either a scalar start or an array
 _BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.S)
+_CODESPACE_RE = re.compile(r"begincodespacerange(.*?)endcodespacerange", re.S)
 _BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.S)
 _HEX_PAIR_RE = re.compile(r"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>")
 _BFRANGE_ITEM_RE = re.compile(
@@ -255,11 +273,24 @@ _BFRANGE_ITEM_RE = re.compile(
 )
 
 
-def _parse_tounicode(text: str) -> dict[int, str]:
-    """ToUnicode CMap body → {CID: unicode string}. Destinations are
-    UTF-16BE hex (multi-code-unit targets — surrogate pairs — decode to
-    one Python string); bfrange scalar form increments the LAST code
-    unit across the range (spec behavior)."""
+# an Identity-H CMap without an explicit codespacerange: uniform
+# 2-byte codes (PDF 32000 §9.7.5.2)
+_DEFAULT_CODESPACE: tuple[tuple[int, int, int], ...] = ((2, 0x0000, 0xFFFF),)
+
+# (cid→unicode map, codespace ranges (nbytes, lo, hi) sorted shortest-first)
+CMapTable = tuple  # tuple[dict[int, str], tuple[tuple[int, int, int], ...]]
+
+
+def _parse_tounicode(text: str) -> CMapTable:
+    """ToUnicode CMap body → ({CID: unicode string}, codespace ranges).
+
+    Destinations are UTF-16BE hex (multi-code-unit targets — surrogate
+    pairs — decode to one Python string); bfrange scalar form increments
+    the LAST code unit across the range (spec behavior). Codespace
+    ranges carry the BYTE LENGTH of each code region (§9.7.6.2) —
+    real CJK encodings mix 1-byte ASCII codes with 2-byte CID codes, so
+    show-string decoding must be range-driven, not fixed-width; absent
+    ranges default to uniform 2-byte Identity-H."""
     def _u(hx: str) -> str:
         hx = "".join(hx.split())
         try:
@@ -288,7 +319,13 @@ def _parse_tounicode(text: str) -> dict[int, str]:
     for block in _BFCHAR_RE.findall(text):
         for src, dst in _HEX_PAIR_RE.findall(block):
             cmap[_code(src)] = _u(dst)
-    return cmap
+    ranges: list[tuple[int, int, int]] = []
+    for block in _CODESPACE_RE.findall(text):
+        for lo_h, hi_h in _HEX_PAIR_RE.findall(block):
+            nbytes = max(1, len("".join(lo_h.split())) // 2)
+            ranges.append((nbytes, _code(lo_h), _code(hi_h)))
+    ranges.sort()
+    return cmap, tuple(ranges) or _DEFAULT_CODESPACE
 
 
 def _object_slice(blob: bytes, num: int) -> tuple[int, bytes] | None:
@@ -320,34 +357,38 @@ def _object_stream(blob: bytes, num: int) -> tuple[bytes, bytes] | None:
     return obj_dict, data
 
 
-def _font_tounicode(blob: bytes, font_num: int) -> dict[int, str]:
-    """Resolve a font object's /ToUnicode CMap; {} when none declared
-    (simple fonts, or Identity without a mapping)."""
+_EMPTY_CMAP: CMapTable = ({}, _DEFAULT_CODESPACE)
+
+
+def _font_tounicode(blob: bytes, font_num: int) -> CMapTable:
+    """Resolve a font object's /ToUnicode CMap; empty table when none
+    declared (simple fonts, or Identity without a mapping)."""
     loc = _object_slice(blob, font_num)
     if loc is None:
-        return {}
+        return _EMPTY_CMAP
     tm = _TOUNICODE_RE.search(loc[1])
     if tm is None:
-        return {}
+        return _EMPTY_CMAP
     s = _object_stream(blob, int(tm.group(1)))
     if s is None:
-        return {}
+        return _EMPTY_CMAP
     return _parse_tounicode(_decode_stream(*s))
 
 
 def _page_font_cmaps(blob: bytes, page_obj: bytes,
-                     cache: dict[int, dict[int, str]]) -> dict[str, dict[int, str]]:
-    """Page /Resources /Font dict → {"/Fx": cmap} for fonts that carry a
-    ToUnicode table (fonts without one stay absent → Identity path)."""
+                     cache: dict[int, CMapTable]) -> dict[str, CMapTable]:
+    """Page /Resources /Font dict → {"/Fx": cmap table} for fonts that
+    carry a ToUnicode table or non-default codespace (fonts with
+    neither stay absent → Identity path)."""
     fm = _FONT_RES_RE.search(page_obj)
     if fm is None:
         return {}
-    out: dict[str, dict[int, str]] = {}
+    out: dict[str, CMapTable] = {}
     for name, fnum in _FONT_REF_RE.findall(fm.group(1)):
         fnum = int(fnum)
         if fnum not in cache:
             cache[fnum] = _font_tounicode(blob, fnum)
-        if cache[fnum]:
+        if cache[fnum][0] or cache[fnum][1] != _DEFAULT_CODESPACE:
             out["/" + name.decode("ascii")] = cache[fnum]
     return out
 
@@ -372,7 +413,7 @@ def parse_minipdf(blob: bytes) -> list[dict]:
 
     structured = bool(page_objs) and all(c is not None for c, _ in page_objs)
     if structured:
-        font_cache: dict[int, dict[int, str]] = {}
+        font_cache: dict[int, CMapTable] = {}
         for contents_num, obj in page_objs:
             s = _object_stream(blob, contents_num)
             if s is None:
@@ -421,19 +462,40 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def cid_hex(s: str, cid_of: dict[str, int]) -> str:
-    """Text → ``<XXXX…>`` Identity-H hex show-string via a char→CID map."""
-    return "<" + "".join(f"{cid_of[c]:04X}" for c in s) + ">"
+def cid_hex(s: str, cid_of: dict[str, int], nbytes_of: dict[str, int] | None = None) -> str:
+    """Text → ``<XXXX…>`` hex show-string via a char→CID map.
+    ``nbytes_of`` gives each char's code byte length (mixed-codespace
+    encodings); absent → uniform 2-byte Identity-H."""
+    if nbytes_of is None:
+        return "<" + "".join(f"{cid_of[c]:04X}" for c in s) + ">"
+    return "<" + "".join(f"{cid_of[c]:0{2 * nbytes_of[c]}X}" for c in s) + ">"
 
 
-def tounicode_cmap(cmap: dict[int, str]) -> str:
+def tounicode_cmap(
+    cmap: dict[int, str],
+    codespace: list[tuple[int, int, int]] | None = None,
+) -> str:
     """{CID: unicode} → a ToUnicode CMap stream body. Contiguous
     CID-runs whose (single-BMP-char) targets are also contiguous
     compress to bfrange entries; everything else is bfchar — so a
     generated document exercises both parser paths. Blocks are capped at
-    100 entries (spec limit)."""
+    100 entries (spec limit). ``codespace`` emits explicit
+    codespacerange entries (nbytes, lo, hi) — mixed 1-/2-byte regions —
+    and each bf entry's source hex is formatted at its region's byte
+    width; absent → the uniform 2-byte Identity-H declaration."""
     def _hx(s: str) -> str:
         return s.encode("utf-16-be").hex().upper()
+
+    cs = codespace or [(2, 0x0000, 0xFFFF)]
+
+    def _w(code: int) -> int:
+        for n, lo, hi in cs:
+            if lo <= code <= hi:
+                return n
+        return 2
+
+    def _src(code: int) -> str:
+        return f"{code:0{2 * _w(code)}X}"
 
     ranges: list[tuple[int, int, str]] = []       # (lo, hi, dst_start)
     chars: list[tuple[int, str]] = []
@@ -446,6 +508,7 @@ def tounicode_cmap(cmap: dict[int, str]) -> str:
             and len(dst) == 1
             and ord(dst) == ord(ranges[-1][2]) + (cid - ranges[-1][0])
             and (cid & 0xFF) != 0  # don't span the low-byte wrap
+            and _w(cid) == _w(ranges[-1][0])  # nor a codespace width change
         ):
             lo, _, d0 = ranges[-1]
             ranges[-1] = (lo, cid, d0)
@@ -465,21 +528,21 @@ def tounicode_cmap(cmap: dict[int, str]) -> str:
         "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
         "/CMapName /Adobe-Identity-UCS def",
         "/CMapType 2 def",
-        "1 begincodespacerange",
-        "<0000> <FFFF>",
+        f"{len(cs)} begincodespacerange",
+        *[f"<{lo:0{2 * n}X}> <{hi:0{2 * n}X}>" for n, lo, hi in cs],
         "endcodespacerange",
     ]
     for i in range(0, len(ranges), 100):
         chunk = ranges[i:i + 100]
         parts.append(f"{len(chunk)} beginbfrange")
         for lo, hi, d0 in chunk:
-            parts.append(f"<{lo:04X}> <{hi:04X}> <{_hx(d0)}>")
+            parts.append(f"<{_src(lo)}> <{_src(hi)}> <{_hx(d0)}>")
         parts.append("endbfrange")
     for i in range(0, len(chars), 100):
         chunk = chars[i:i + 100]
         parts.append(f"{len(chunk)} beginbfchar")
         for cid, d in chunk:
-            parts.append(f"<{cid:04X}> <{_hx(d)}>")
+            parts.append(f"<{_src(cid)}> <{_hx(d)}>")
         parts.append("endbfchar")
     parts += [
         "endcmap",
@@ -496,6 +559,7 @@ def render_minipdf(
     compress: bool = False,
     cid_cmap: dict[int, str] | None = None,
     compress_cmap: bool = False,
+    cid_codespace: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
     (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
@@ -542,7 +606,7 @@ def render_minipdf(
                 f"/Encoding /Identity-H /ToUnicode {f1_num + 2} 0 R >>"
             ).encode()
         )
-        cm = tounicode_cmap(cid_cmap).encode("utf-8")
+        cm = tounicode_cmap(cid_cmap, cid_codespace).encode("utf-8")
         if compress_cmap:
             cm = zlib.compress(cm)
             objects.append(

@@ -409,38 +409,77 @@ def test_tounicode_bfrange_forms():
         tounicode_cmap,
     )
 
+    default_cs = ((2, 0x0000, 0xFFFF),)
     got = _parse_tounicode(
         "1 beginbfrange\n<0001> <0003> [<0041> <0058> <005A>]\nendbfrange"
     )
-    assert got == {1: "A", 2: "X", 3: "Z"}
+    assert got == ({1: "A", 2: "X", 3: "Z"}, default_cs)
     got = _parse_tounicode("1 beginbfrange\n<0010> <0012> <0061>\nendbfrange")
-    assert got == {0x10: "a", 0x11: "b", 0x12: "c"}
+    assert got == ({0x10: "a", 0x11: "b", 0x12: "c"}, default_cs)
     got = _parse_tounicode("1 beginbfchar\n<0007> <D834DD1E>\nendbfchar")
-    assert got == {7: "\U0001D11E"}
-    # writer→parser roundtrip: contiguous runs emit bfrange, the rest bfchar
+    assert got == ({7: "\U0001D11E"}, default_cs)
+    # writer→parser roundtrip: contiguous runs emit bfrange, the rest
+    # bfchar; the writer's codespace declaration parses back verbatim
     cmap = {i: chr(0x40 + i) for i in range(1, 6)} | {9: "你", 10: "\U0001D11E"}
     body = tounicode_cmap(cmap)
     assert "beginbfrange" in body and "beginbfchar" in body
-    assert _parse_tounicode(body) == cmap
+    assert _parse_tounicode(body) == (cmap, default_cs)
+    cs = [(1, 0x00, 0x7F), (2, 0x8140, 0xFFFF)]
+    body = tounicode_cmap({0x01: "A", 0x8140: "你"}, cs)
+    assert _parse_tounicode(body) == (
+        {0x01: "A", 0x8140: "你"},
+        tuple(sorted(cs)),
+    )
 
 
 def test_minipdf_cid_corpus_byte_identity():
     """Corpus CID docs (kind 4, i ≡ 4 mod 30) stay byte-identical —
     their CIDs are a sorted-charset permutation, so identity is only
-    possible if the kernel consults the embedded CMap."""
+    possible if the kernel consults the embedded CMap. The i ≡ 34 mod
+    60 docs additionally use a mixed 1-/2-byte codespace with
+    xor-scrambled 1-byte ASCII codes — identity on those certifies the
+    variable-byte codespacerange walk."""
     from pdf_context_extractor_agent_spark.corpus import make_doc
     from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
 
-    seen_cid = seen_plain = 0
-    for i in (4, 34, 64, 14, 24):
+    seen_cid = seen_plain = seen_mixed = 0
+    for i in (4, 34, 64, 94, 14, 24):
         _, _, blob, text, _ = make_doc(i)
-        if b"Identity-H" in blob:
+        if b"begincodespacerange" in blob and b"<00> <7F>" in blob:
+            seen_mixed += 1
+        elif b"Identity-H" in blob:
             seen_cid += 1
         else:
             seen_plain += 1
         got = "\n".join(p["page_text"] for p in parse_doc(blob))
         assert got == text, i
-    assert seen_cid >= 2 and seen_plain >= 1
+    assert seen_cid >= 2 and seen_plain >= 1 and seen_mixed >= 2
+
+
+def test_minipdf_mixed_codespace_decoding():
+    """Variable-byte codespacerange: 1-byte <00><7F> + 2-byte
+    <8140><FFFF> regions in one show-string, permuted on BOTH widths so
+    code==codepoint identity cannot fake either path; bytes outside any
+    range consume the shortest declared width (spec error recovery)."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    # 'A'->code 0x01, 'b'->0x02 (1-byte); '资'->0x8140, '产'->0x8141 (2-byte)
+    cmap = {0x01: "A", 0x02: "b", 0x8140: "资", 0x8141: "产"}
+    codespace = [(1, 0x00, 0x7F), (2, 0x8140, 0xFFFF)]
+    stream = "BT /F2 10 Tf 1 0 0 1 20 772 Tm <018140814102> Tj ET"
+    blob = render_minipdf([stream], cid_cmap=cmap, cid_codespace=codespace)
+    assert b"begincodespacerange" in blob and b"<00> <7F>" in blob
+    pages = parse_minipdf(blob)
+    assert pages[0]["page_text"] == "A资产b"
+
+    # unmatched lead byte (0x7F∉cmap but in 1-byte range → chr fallback;
+    # 0x80 outside every range → shortest-width recovery consumes 1 byte)
+    stream2 = "BT /F2 10 Tf 1 0 0 1 20 772 Tm <7F8001> Tj ET"
+    blob2 = render_minipdf([stream2], cid_cmap=cmap, cid_codespace=codespace)
+    assert parse_minipdf(blob2)[0]["page_text"] == "\x7f\x80A"
 
 
 def test_page_decomposition_identical_output(spark):
