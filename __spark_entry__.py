@@ -453,6 +453,17 @@ def _q_embed_topk(spark, sf):
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
 
 
+def _q_ivf_topk(spark, sf):
+    """IVF ANN: strided data-derived centroids, nprobe=4 cells scanned,
+    exact cosine within — the partition-pruned index layout for
+    10^12-vector search."""
+    from pdf_context_extractor_agent_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ivf_topk(emb, [float(x) for x in qrow[0]], k=10, stride=97, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # kernel-path / LSH queries (rows-only checks: xxhash64 & Arrow kernels
 # have no DuckDB twin)
@@ -748,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": _q_dedup_exact,
         "q_fingerprint": _q_fingerprint,
         "q_stratified_sample": _q_stratified_sample,
+        "q_ivf_topk": _q_ivf_topk,
         "q_decontaminate": _q_decontaminate,
         "q_token_counts": _q_token_counts,
         "q_lang_scores": _q_lang_scores,
@@ -1329,6 +1341,38 @@ WITH words AS (
             FROM buckets l JOIN buckets r
               ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             WHERE {cos_expr.format(a='l.embedding', b='r.embedding')} >= 0.5""",
+        "q_ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+                      FROM embeddings WHERE vec_id % 97 = 0),
+            scored AS (
+              SELECT e.vec_id, c.cent_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))), 4) AS ccos
+              FROM embeddings e, cents c),
+            assign AS (
+              SELECT vec_id, cent_id AS cell FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) AS rn
+                FROM scored) WHERE rn = 1),
+            probes AS (
+              SELECT cent_id AS cell FROM (
+                SELECT c.cent_id,
+                       round(list_dot_product(c.cvec::DOUBLE[], q.qv::DOUBLE[])
+                             / (sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))
+                                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS qcos
+                FROM cents c, q)
+              ORDER BY qcos DESC, cell LIMIT 4)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings e
+            JOIN assign a USING (vec_id)
+            JOIN probes p ON a.cell = p.cell, q
+            ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         "q_embed_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

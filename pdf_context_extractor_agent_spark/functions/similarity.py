@@ -132,3 +132,71 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_index(
+    emb: DataFrame,
+    stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with DATA-DERIVED deterministic centroids:
+    every ``stride``-th vector is a centroid (k-means training needs
+    RNG state; strided selection is seedless and engine-agnostic, and
+    swapping in trained centroids later changes no plan shape). Each
+    vector keeps its max-cosine cell, tie-broken toward the lower
+    centroid id.
+
+    Scale shape: the centroid dim is tiny (corpus/stride rows) and
+    broadcasts; assignment is one narrow pass. At 10^12 vectors the
+    ``cell`` column becomes the partition/bucket key of the stored
+    index table, so a query scans nprobe cells instead of the corpus.
+    """
+    cents = emb.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cent_id",
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("cvec").cast("array<double>")),
+            4,
+        ).alias("ccos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid"))).alias("m")
+    )
+    return emb.join(
+        best.select(id_col, (-F.col("m.nid")).alias("cell")), id_col
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    stride: int = 97,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: rank centroids by query cosine, scan only the best
+    ``nprobe`` cells, exact top-k within. Fully declarative — the probe
+    set is a broadcast dim, never a driver collect."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    idx = ivf_index(emb, stride, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    probes = (
+        cents.select(
+            "cell",
+            F.round(cosine(F.col("cvec").cast("array<double>"), q), 4).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = idx.join(F.broadcast(probes), "cell")
+    return brute_force_topk(cand, query, k, id_col, vec_col)

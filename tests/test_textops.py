@@ -105,6 +105,24 @@ def test_ann_matches_brute_force_top1(spark):
     assert ann.vec_id == 7    # the query's own bucket contains itself
 
 
+def test_ivf_topk_self_match_and_pruning(spark):
+    from pdf_context_extractor_agent_spark.functions.similarity import ivf_index, ivf_topk
+    from pdf_context_extractor_agent_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    top = ivf_topk(emb, q, k=3, stride=29, nprobe=3).collect()
+    # the query vector's own cell is always among the probed cells
+    assert top[0].vec_id == 7 and top[0].cos_sim == 1.0
+    # every vector lands in exactly one cell, cells come from the centroid set
+    idx = ivf_index(emb, stride=29)
+    n = emb.count()
+    assert idx.count() == n
+    cents = {r.vec_id for r in emb.filter(F.col("vec_id") % 29 == 0).collect()}
+    cells = {r.cell for r in idx.select("cell").distinct().collect()}
+    assert cells <= cents
+
+
 def test_cosine_near_dup_pairs(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])],
