@@ -192,26 +192,32 @@ def identify_structures(
     df = per_stmt.join(per_url, "url")
 
     e = _si_exprs(tuple(statement_types))
-    df = df.withColumn("amins", e["amins"])
-    df = (
-        df.withColumn("found_total", e["found_total"])
-        .withColumn("found_required", e["found_required"])
-        .withColumn("first_anchor", e["first_anchor"])
-        .withColumn("last_anchor", e["last_anchor"])
-        .withColumn("order_ok", e["order_ok"])
-        .withColumn("req_anchors", e["counts_required"])
-        .withColumn("tot_anchors", e["counts_total"])
+    # single withColumns per dependency layer: every chained withColumn
+    # re-analyzes the (large) logical plan JVM-side — on the full
+    # pipeline these chains were ~0.3 s of serial driver time per build
+    df = df.withColumns({"amins": e["amins"]})
+    df = df.withColumns(
+        {
+            "found_total": e["found_total"],
+            "found_required": e["found_required"],
+            "first_anchor": e["first_anchor"],
+            "last_anchor": e["last_anchor"],
+            "order_ok": e["order_ok"],
+            "req_anchors": e["counts_required"],
+            "tot_anchors": e["counts_total"],
+        }
     )
-    df = df.withColumn(
-        "is_valid", (F.col("found_required") == F.col("req_anchors")) & F.col("order_ok")
-    ).withColumn(
-        "confidence",
-        F.when(
-            F.col("found_required") < F.col("req_anchors"),
-            F.col("found_total") / F.col("req_anchors"),
-        )
-        .when(~F.col("order_ok"), F.lit(0.5))
-        .otherwise(F.col("found_total") / F.col("tot_anchors")),
+    df = df.withColumns(
+        {
+            "is_valid": (F.col("found_required") == F.col("req_anchors"))
+            & F.col("order_ok"),
+            "confidence": F.when(
+                F.col("found_required") < F.col("req_anchors"),
+                F.col("found_total") / F.col("req_anchors"),
+            )
+            .when(~F.col("order_ok"), F.lit(0.5))
+            .otherwise(F.col("found_total") / F.col("tot_anchors")),
+        }
     )
 
     return df.select(

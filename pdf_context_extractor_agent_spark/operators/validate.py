@@ -343,9 +343,14 @@ def validation_summary(
     out = (
         parsing_info.join(agg, ["url", "statement_type"], "left")
         .join(completeness_df, ["url", "statement_type"], "left")
-        .withColumn("errors", F.coalesce("errors", F.lit(0)))
-        .withColumn("warnings", F.coalesce("warnings", F.lit(0)))
-        .withColumn("completeness_score", F.coalesce("completeness_score", F.lit(0.0)))
-        .withColumn("is_valid", F.col("errors") == 0)
+        # one withColumns: chained withColumn re-analyzes the big plan
+        .withColumns(
+            {
+                "errors": F.coalesce("errors", F.lit(0)),
+                "warnings": F.coalesce("warnings", F.lit(0)),
+                "completeness_score": F.coalesce("completeness_score", F.lit(0.0)),
+            }
+        )
+        .withColumns({"is_valid": F.col("errors") == 0})
     )
     return out
