@@ -728,6 +728,23 @@ def _q_decontaminate(spark, sf):
     return ngram_decontaminate(docs, bench, n=3)
 
 
+def _q_dup_clusters(spark, sf):
+    """Fuzzy-dedup endgame: md5-LSH near-dup pairs → connected
+    components (alternating large-star/small-star, Kiveris et al.
+    SoCC'14) → one canonical doc per duplicate cluster. The step the
+    reference never needs at single-node scale but a 10^12-doc corpus
+    cannot skip: pairwise near-dup verdicts alone over-delete
+    (A~B, B~C but A!~C) unless resolved into clusters first."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_md5_pipeline,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_md5_pipeline(docs, threshold=0.5).filter("is_near_dup")
+    return dedup_clusters(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -768,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_pii_scrub": _q_pii_scrub,
         "q_chunk_dedup": _q_chunk_dedup,
+        "q_dup_clusters": _q_dup_clusters,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -1309,6 +1327,40 @@ WITH words AS (
             SELECT doc_a, doc_b, round({jacc}, 6) AS jaccard,
                    {jacc} >= 0.5 AS is_near_dup
             FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id""",
+        # transitive closure stands in for the engine's star-contraction
+        # loop: same components, oracle-scale only (closure is O(|C|^2)
+        # per component — fine at sf0.01, never the 100 TB plan)
+        "q_dup_clusters": f"""
+            {shingle_cte.replace("WITH words", "WITH RECURSIVE words", 1)},
+            sigs AS (SELECT doc_id, {mh_sig} FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, band_idx, {band_key} AS band_key
+              FROM sigs CROSS JOIN (VALUES {band_vals}) b(band_idx)),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+            sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+            near AS (
+              SELECT doc_a, doc_b
+              FROM pairs JOIN sets x ON doc_a = x.doc_id
+                         JOIN sets y ON doc_b = y.doc_id
+              WHERE {jacc} >= 0.5),
+            bidir AS (SELECT doc_a AS u, doc_b AS v FROM near
+                      UNION ALL SELECT doc_b, doc_a FROM near),
+            reach AS (
+              SELECT u AS node, u AS comp FROM bidir
+              UNION
+              SELECT b.u AS node, r.comp FROM bidir b JOIN reach r ON b.v = r.node),
+            comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+            lab AS (
+              SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comps c ON d.doc_id = c.node)
+            SELECT doc_id, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size,
+                   doc_id = component AS is_canonical
+            FROM lab""",
         "q_simhash_md5": f"""
             WITH words AS (
               SELECT doc_id, md5(unnest(string_split({norm}, ' '))) AS h FROM documents),

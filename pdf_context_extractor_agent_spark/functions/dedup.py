@@ -425,3 +425,119 @@ def chunk_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             " ",
         ).alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the undirected near-dup pair graph via
+    alternating large-star / small-star contractions (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Returns ``(node, component)`` for every node that appears in
+    ``edges``; ``component`` is the minimum node id of the component.
+    Isolated nodes never enter the edge list — callers that need full
+    coverage left-join back to the universe (see ``dedup_clusters``).
+
+    Scale notes (the reason this shape, not label propagation):
+
+    * Each round is two window-min shuffles plus a ``distinct`` over a
+      two-long-column edge list — bytes-per-row is constant no matter
+      how big the documents behind the ids are.
+    * Convergence is O(log^2 n) rounds on ANY graph shape; plain
+      min-label propagation is O(diameter), which a chain of pairwise
+      near-dups (common in crawl snapshots: page_1 ~ page_2 ~ ...)
+      degrades to thousands of shuffles.
+    * High-degree hubs (one boilerplate page near-dup with millions)
+      are exactly what large-star flattens first, so dup-cluster skew
+      self-heals instead of serializing into one task.
+    * ``localCheckpoint`` truncates the iterative lineage each round;
+      on a real cluster swap in ``spark.sparkContext.setCheckpointDir``
+      + ``.checkpoint()`` for executor-loss resilience.
+
+    The per-round convergence probe is one tiny ``agg`` action
+    (count + hash-sum fingerprint) — the only driver-side data is two
+    scalars per round.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    # invariant maintained throughout: u > v (child above parent-candidate)
+    prev = None
+    for _ in range(max_iter):
+        # large-star: around each center, point every STRICTLY LARGER
+        # neighbor at min(neighborhood ∪ {center})
+        bid = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        ls = (
+            bid.select("u", "v", F.least(F.min("v").over(w), F.col("u")).alias("m"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges oriented u > v already; point every smaller
+        # neighbor AND the center at min(neighborhood)
+        sm = ls.select("u", "v", F.min("v").over(Window.partitionBy("u")).alias("m"))
+        e = (
+            sm.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        cur = (fp["n"], str(fp["h"]))
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint is a star forest: e = (child, root); roots label themselves
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return children.union(roots).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters and elect one
+    canonical document (min id) per cluster.
+
+    → ``(doc_id, component, cluster_size, is_canonical)`` for EVERY
+    input doc — singletons are their own component — so a training-data
+    pipeline filters ``is_canonical`` to keep exactly one copy per
+    cluster. The join back to ``docs`` carries only ids; document
+    bodies never enter the component computation.
+    """
+    comp = connected_components(pairs, src, dst, max_iter)
+    out = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component")
+    return out.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
