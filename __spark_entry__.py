@@ -745,6 +745,38 @@ def _q_dup_clusters(spark, sf):
     return dedup_clusters(docs, pairs)
 
 
+def _q_classifier_score(spark, sf):
+    """Linear bag-of-words classifier apply (fastText/CCNet quality-
+    filter shape): broadcast the (term, weight) model onto the exploded
+    term stream, one partial-agg mean per doc. Weights are md5-derived
+    exact multiples of 2^-16 so sums are cross-engine exact."""
+    from pdf_context_extractor_agent_spark.functions.classify import (
+        apply_linear_model,
+        vocabulary_model,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = apply_linear_model(docs, vocabulary_model(docs))
+    return out.select(
+        "doc_id", "n_terms", F.round("margin", 6).alias("margin"), "label"
+    )
+
+
+def _q_nfc_normalize(spark, sf):
+    """Unicode NFC normalization (Arrow-batched pandas UDF): a
+    decomposed 'cafe\\u0301' suffix is appended so the oracle check
+    exercises real composition, not an ASCII identity."""
+    from pdf_context_extractor_agent_spark.functions.webtext import nfc_normalize
+
+    docs = _t(spark, sf, "documents")
+    dirty = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+    return docs.select(
+        "doc_id",
+        F.md5(nfc_normalize(dirty)).alias("norm_md5"),
+        F.length(nfc_normalize(dirty)).alias("n_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -786,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": _q_pii_scrub,
         "q_chunk_dedup": _q_chunk_dedup,
         "q_dup_clusters": _q_dup_clusters,
+        "q_classifier_score": _q_classifier_score,
+        "q_nfc_normalize": _q_nfc_normalize,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -823,6 +857,9 @@ WITH words AS (
   FROM words
 )"""
     lang_tokens = r"greatest(len(string_split_regex(trim(text), '\s+')), 1)"
+
+    def _nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substring(md5(term), {i}, 1)) - 1)"
 
     def hits(words: list[str]) -> str:
         pat = r"\b(" + "|".join(words) + r")\b"
@@ -1327,6 +1364,27 @@ WITH words AS (
             SELECT doc_a, doc_b, round({jacc}, 6) AS jaccard,
                    {jacc} >= 0.5 AS is_near_dup
             FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id""",
+        # weight = first 16 bits of md5(term) / 2^16 - 0.5 — exact
+        # multiples of 2^-16, so the per-doc sums are order-independent
+        # exact doubles on both engines
+        "q_classifier_score": f"""
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split({norm}, ' ')) AS term
+              FROM documents),
+            wt AS (
+              SELECT doc_id,
+                     (({_nib(1)}*4096 + {_nib(2)}*256 + {_nib(3)}*16 + {_nib(4)})::DOUBLE
+                      / 65536.0 - 0.5) AS weight
+              FROM terms)
+            SELECT doc_id, count(*) AS n_terms,
+                   round(sum(weight) / count(*), 6) AS margin,
+                   sum(weight) / count(*) > 0 AS label
+            FROM wt GROUP BY doc_id""",
+        "q_nfc_normalize": """
+            SELECT doc_id,
+                   md5(nfc_normalize(text || ' cafe' || chr(769))) AS norm_md5,
+                   length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars
+            FROM documents""",
         # transitive closure stands in for the engine's star-contraction
         # loop: same components, oracle-scale only (closure is O(|C|^2)
         # per component — fine at sf0.01, never the 100 TB plan)
