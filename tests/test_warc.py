@@ -1,0 +1,94 @@
+"""WARC ingestion source — Common-Crawl-style archives → pages table."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pdf_context_extractor_agent_spark.corpus import make_doc
+from pdf_context_extractor_agent_spark.kernels import extract_pages
+from pdf_context_extractor_agent_spark.sources.warc import (
+    build_warc_bytes,
+    iter_warc_records,
+    read_warc,
+    warc_to_pages,
+)
+
+TS = "2017-03-22T17:00:23Z"
+
+
+def _records():
+    return [
+        ("http://example.com/a", TS, b"<html><body>alpha</body></html>"),
+        ("http://example.com/b", TS, b"<html><body>beta</body></html>"),
+    ]
+
+
+def test_iter_warc_records_plain():
+    data = build_warc_bytes(_records())
+    got = list(iter_warc_records(data))
+    assert [(u, b) for u, _, b in got] == [(u, b) for u, _, b in _records()]
+    assert got[0][1] == dt.datetime(2017, 3, 22, 17, 0, 23)
+
+
+def test_iter_warc_skips_non_page_records():
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://x/\r\n"
+        b"WARC-Date: " + TS.encode() + b"\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
+    )
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    data = info + req + build_warc_bytes(_records()[:1])
+    got = list(iter_warc_records(data))
+    assert len(got) == 1 and got[0][0] == "http://example.com/a"
+
+
+def test_iter_warc_truncated_tail_stops_cleanly():
+    data = build_warc_bytes(_records())
+    assert len(list(iter_warc_records(data[: len(data) - 20]))) == 1
+
+
+def test_resource_records_body_is_block():
+    data = build_warc_bytes(_records()[:1], with_http_headers=False)
+    (url, _, body), = iter_warc_records(data)
+    assert body == _records()[0][2]
+
+
+def test_read_warc_gzip_members_roundtrip(spark, tmp_path):
+    plain = tmp_path / "a.warc"
+    gz = tmp_path / "b.warc.gz"
+    plain.write_bytes(build_warc_bytes(_records()[:1]))
+    gz.write_bytes(build_warc_bytes(_records()[1:], member_gzip=True))
+    df = read_warc(spark, str(tmp_path) + "/*")
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"http://example.com/a", "http://example.com/b"}
+    assert bytes(rows["http://example.com/a"]["html"]) == _records()[0][2]
+    assert bytes(rows["http://example.com/b"]["html"]) == _records()[1][2]
+    assert rows["http://example.com/a"]["warc_ts"] is not None
+    assert rows["http://example.com/b"]["warc_file"].endswith("b.warc.gz")
+
+
+def test_warc_ingest_feeds_extraction_kernel(spark, tmp_path):
+    """End-to-end: corpus doc → WARC archive → read_warc →
+    warc_to_pages → layout kernel, byte-identical to the direct path."""
+    url, ts, html, text, lang = make_doc(0)
+    iso = "2020-01-02T03:04:05Z"
+    (tmp_path / "c.warc.gz").write_bytes(
+        build_warc_bytes([(url, iso, html)], member_gzip=True)
+    )
+    pages = warc_to_pages(read_warc(spark, str(tmp_path / "c.warc.gz")))
+    via_warc = (
+        extract_pages(pages).orderBy("page").select("page", "page_text").collect()
+    )
+    direct = (
+        extract_pages(
+            spark.createDataFrame(
+                [(url, ts, html, text, lang)],
+                "url string, warc_ts timestamp, html binary, text string, lang string",
+            )
+        )
+        .orderBy("page")
+        .select("page", "page_text")
+        .collect()
+    )
+    assert [tuple(r) for r in via_warc] == [tuple(r) for r in direct]
