@@ -728,6 +728,29 @@ def _q_decontaminate(spark, sf):
     return ngram_decontaminate(docs, bench, n=3)
 
 
+SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_assign_splits(spark, sf):
+    """Deterministic train/val/test assignment: the md5-keyed draw
+    lands in cumulative-fraction intervals — stable across reruns and
+    engines, so eval membership never drifts between corpus rebuilds."""
+    from pdf_context_extractor_agent_spark.functions.sampling import assign_splits
+
+    return assign_splits(_t(spark, sf, "documents"), SPLIT_FRACS).select(
+        "doc_id", "u", "split"
+    )
+
+
+def _q_pack_sequences(spark, sf):
+    """Concat-and-chunk packing stats at context length 2048: which
+    training windows each doc lands in (two-phase prefix sum — local
+    cumsum + partition-offset broadcast, never a global-order window)."""
+    from pdf_context_extractor_agent_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), budget_tokens=2048)
+
+
 def _q_dup_clusters(spark, sf):
     """Fuzzy-dedup endgame: md5-LSH near-dup pairs → connected
     components (alternating large-star/small-star, Kiveris et al.
@@ -820,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": _q_dup_clusters,
         "q_classifier_score": _q_classifier_score,
         "q_nfc_normalize": _q_nfc_normalize,
+        "q_assign_splits": _q_assign_splits,
+        "q_pack_sequences": _q_pack_sequences,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -857,6 +882,13 @@ WITH words AS (
   FROM words
 )"""
     lang_tokens = r"greatest(len(string_split_regex(trim(text), '\s+')), 1)"
+
+    acc = 0.0
+    cases = []
+    for sname, sfrac in SPLIT_FRACS.items():
+        acc += float(sfrac)
+        cases.append(f"WHEN u < {acc!r} THEN '{sname}'")
+    _split_cases = " ".join(cases)
 
     def _nib(i: int) -> str:
         return f"(strpos('0123456789abcdef', substring(md5(term), {i}, 1)) - 1)"
@@ -1364,6 +1396,35 @@ WITH words AS (
             SELECT doc_a, doc_b, round({jacc}, 6) AS jaccard,
                    {jacc} >= 0.5 AS is_near_dup
             FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id""",
+        # split bounds embed the engine's exact float accumulation
+        # (repr), so the boundary is bit-identical on both engines
+        "q_assign_splits": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     round((('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                            / 4294967296.0), 6) AS u
+              FROM documents)
+            SELECT doc_id, u,
+                   CASE {_split_cases} ELSE 'rest' END AS split
+            FROM d""",
+        # budget 2048 = 2^11: the float division in floor() is exact,
+        # so the window ids match bit-for-bit across engines
+        "q_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT AS end_offset
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   (end_offset - n_tokens)::BIGINT AS start_offset,
+                   floor((end_offset - n_tokens) / 2048.0)::BIGINT AS first_seq,
+                   floor(greatest(end_offset - 1, end_offset - n_tokens) / 2048.0)::BIGINT AS last_seq,
+                   (floor(greatest(end_offset - 1, end_offset - n_tokens) / 2048.0)
+                    - floor((end_offset - n_tokens) / 2048.0) + 1)::BIGINT AS n_seqs
+            FROM c""",
         # weight = first 16 bits of md5(term) / 2^16 - 0.5 — exact
         # multiples of 2^-16, so the per-doc sums are order-independent
         # exact doubles on both engines

@@ -93,3 +93,99 @@ def ngram_decontaminate(
             F.round(F.col("n_hit") / F.col("n_ngrams"), 6).alias("contamination"),
         )
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each document's seeded
+    uniform draw lands in one of the cumulative-fraction intervals
+    (fractions must sum to ≤1; any remainder is labeled ``rest``).
+
+    Keyed on the document id — stable across reruns, cluster sizes and
+    engines, so val/test membership never drifts between corpus
+    rebuilds (the property that keeps eval sets honest). Zero shuffle:
+    the label is one projected expression at the scan.
+    """
+    u = F.round(deterministic_uniform(F.col(key_col), salt), 6)
+    expr: Column = F.lit("rest")
+    bounds = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += float(frac)
+        bounds.append((name, acc))
+    # compare on the ROUNDED draw (same contract as stratified_sample)
+    # so the audited `u` column alone reproduces the decision
+    for name, hi in reversed(bounds):
+        expr = F.when(F.col("u") < F.lit(hi), F.lit(name)).otherwise(expr)
+    return docs.withColumn("u", u).withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing stats: documents are laid out
+    end-to-end in ``id_col`` order and cut into fixed ``budget_tokens``
+    context windows (the GPT-style packing that wastes zero tokens and
+    lets documents straddle window boundaries).
+
+    → ``(doc_id, n_tokens, start_offset, first_seq, last_seq, n_seqs)``
+    — which training sequences each document lands in, and how many
+    windows it spans. The corpus-level ``max(last_seq)+1`` is "how many
+    sequences does this corpus yield at context length L".
+
+    The global prefix sum is the classic TWO-PHASE scan, never a
+    global-ordered window (``Window.orderBy`` with no partition key
+    collapses every row into ONE task — the exact single-task
+    bottleneck this engine exists to avoid): range-partition by the
+    order key, cumsum WITHIN each partition in parallel, then add each
+    partition's starting offset from a partition-totals dim that has
+    one row per partition and broadcasts for free. In production the
+    order key is the curated shard layout, already range-clustered, so
+    phase one is a co-located scan.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ranged = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("n_tokens"))
+        .repartitionByRange("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    loc = ranged.withColumn("_local_end", F.sum("n_tokens").over(wloc))
+    # one row per partition → the offsets window is trivially tiny
+    wtot = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        loc.groupBy("_pid")
+        .agg(F.max("_local_end").alias("_ptotal"))
+        .withColumn("_offset", F.coalesce(F.sum("_ptotal").over(wtot), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    out = loc.join(F.broadcast(offsets), "_pid").withColumn(
+        "end_offset", F.col("_local_end") + F.col("_offset")
+    )
+    start = F.col("end_offset") - F.col("n_tokens")
+    b = F.lit(budget_tokens)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / b).alias("first_seq"),
+        # a doc's last token sits at end_offset-1; empty docs stay in
+        # the window they start in
+        F.floor(F.greatest(F.col("end_offset") - 1, start) / b).alias("last_seq"),
+        (
+            F.floor(F.greatest(F.col("end_offset") - 1, start) / b)
+            - F.floor(start / b)
+            + 1
+        ).alias("n_seqs"),
+    )

@@ -291,13 +291,20 @@ def validation_checks(slots: DataFrame) -> DataFrame:
     )
 
 
-def completeness(slots: DataFrame, spark) -> DataFrame:
-    """V4/V9/V13 essential-item scores per (url, statement_type)."""
-    # balance: substring match over asset+liability sections only
-    ess_b = spark.createDataFrame(
+@lru_cache(maxsize=4)
+def _essential_balance_dim(spark) -> DataFrame:
+    # session-keyed: createDataFrame is ~0.15 s of driver round-trips
+    # per plan build otherwise (the dim itself never changes)
+    return spark.createDataFrame(
         [("balance_sheet", e) for e in ESSENTIAL_ITEMS["balance_sheet"]],
         "statement_type string, essential string",
     )
+
+
+def completeness(slots: DataFrame, spark) -> DataFrame:
+    """V4/V9/V13 essential-item scores per (url, statement_type)."""
+    # balance: substring match over asset+liability sections only
+    ess_b = _essential_balance_dim(spark)
     b = (
         slots.filter(
             (F.col("statement_type") == "balance_sheet")

@@ -10,6 +10,9 @@ Examples:
     # demo on the synthetic corpus
     python scripts/run_pipeline.py --demo-docs 500 --output /tmp/out
 
+    # ingest Common-Crawl-style WARC archives directly
+    python scripts/run_pipeline.py --input-warc '/data/crawl/*.warc.gz' --output /data/out
+
     # resumable incremental run with lineage metrics
     python scripts/run_pipeline.py --input /data/pages --output /data/out --resume
 
@@ -36,6 +39,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages table path (parquet or Iceberg)")
+    ap.add_argument("--input-warc", help="ingest WARC archives (glob) instead of a pages table")
     ap.add_argument("--demo-docs", type=int, help="generate a synthetic corpus instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--cores", type=int, default=None)
@@ -49,8 +53,8 @@ def main() -> int:
                     help="split oversized HTML docs at page boundaries before "
                          "the kernel (page-level skew decomposition)")
     args = ap.parse_args()
-    if not args.input and not args.demo_docs:
-        ap.error("one of --input / --demo-docs is required")
+    if not args.input and not args.demo_docs and not args.input_warc:
+        ap.error("one of --input / --input-warc / --demo-docs is required")
 
     from pyspark.sql import functions as F
 
@@ -61,13 +65,21 @@ def main() -> int:
     from pdf_context_extractor_agent_spark.plans import parse_statements
     from pdf_context_extractor_agent_spark.session import get_spark
     from pdf_context_extractor_agent_spark.sources import read_pages, skew_partitioned
+    from pdf_context_extractor_agent_spark.sources.warc import read_warc, warc_to_pages
     from pdf_context_extractor_agent_spark.sources.sinks import write_parsed_json
 
     spark = get_spark(app_name="run_pipeline", cores=args.cores)
     t0 = time.monotonic()
-    pages = (
-        pages_df(spark, args.demo_docs) if args.demo_docs else read_pages(spark, args.input)
-    )
+    if args.demo_docs:
+        pages = pages_df(spark, args.demo_docs)
+    elif args.input_warc:
+        # materialize the ingest once: the skew lanes and downstream
+        # consumers each trigger a scan, and re-gunzipping archives per
+        # scan is pure waste (at production scale the ingest writes the
+        # Iceberg pages table first; persist is the CLI-scale analog)
+        pages = warc_to_pages(read_warc(spark, args.input_warc)).persist()
+    else:
+        pages = read_pages(spark, args.input)
     # dense salted partitions + one-doc partitions for jumbo documents
     pages = skew_partitioned(pages)
 

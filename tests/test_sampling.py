@@ -3,6 +3,8 @@
 import pyspark.sql.functions as F
 
 from pdf_context_extractor_agent_spark.functions.sampling import (
+    assign_splits,
+    pack_sequences,
     deterministic_uniform,
     ngram_decontaminate,
     stratified_sample,
@@ -61,3 +63,63 @@ def test_ngram_decontaminate_math(spark):
     assert out[2]["n_hit"] == 0 and out[2]["contamination"] == 0.0
     # doc 3: 3 distinct 3-grams, hit = {"the quick brown"}
     assert out[3]["n_ngrams"] == 3 and out[3]["n_hit"] == 1
+
+
+def test_assign_splits_deterministic_partition(spark):
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        # the audited u column alone reproduces the decision
+        if r["u"] < 0.9:
+            assert r["split"] == "train"
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 1600 and counts["val"] > 40 and counts["test"] > 40
+    # rerun → identical assignment (no RNG anywhere)
+    again = {r["doc_id"]: r["split"] for r in assign_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_assign_splits_remainder_labeled_rest(spark):
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = assign_splits(docs, {"train": 0.5})
+    labels = {r["split"] for r in out.collect()}
+    assert labels == {"train", "rest"}
+
+
+def test_pack_sequences_offsets_are_global_prefix_sums(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 * (i + 1)))) for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(7)
+    out = {r["doc_id"]: r for r in pack_sequences(docs, budget_tokens=64).collect()}
+    off = 0
+    for i in range(40):
+        n = 10 * (i + 1)
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == off
+        assert r["first_seq"] == off // 64
+        assert r["last_seq"] == (off + n - 1) // 64
+        assert r["n_seqs"] == (off + n - 1) // 64 - off // 64 + 1
+        off += n
+
+
+def test_pack_sequences_row_window_is_partitioned(spark):
+    """The per-row cumsum window must carry the _pid partition key —
+    a global-order window would funnel the whole corpus into one task
+    (the offsets window is global but runs over the tiny
+    one-row-per-partition dim, which is the point of the design)."""
+    import re
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = pack_sequences(docs, 16)._jdf.queryExecution().executedPlan().toString()
+    # row-level cumsum: partitioned by _pid, ordered by doc_id
+    assert re.search(r"windowspecdefinition\(_pid#\d+, doc_id#\d+L ASC", plan), plan
+    # and NO window globally ordered by doc_id (no partition key)
+    assert not re.search(r"windowspecdefinition\(doc_id#\d+L ASC", plan), plan

@@ -92,3 +92,25 @@ def test_warc_ingest_feeds_extraction_kernel(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in via_warc] == [tuple(r) for r in direct]
+
+
+def test_warc_fuzz_roundtrip_and_garbage_tolerance():
+    """Property: build_warc_bytes(records) → iter_warc_records recovers
+    exactly the response/resource records, for arbitrary binary bodies
+    (including bodies that embed WARC/CRLF markers); garbage prefixes
+    between records are skipped."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(50):
+        n = rng.randrange(1, 6)
+        recs = []
+        for i in range(n):
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+            if rng.random() < 0.3:
+                body += b"\r\n\r\nWARC/1.0\r\n"  # adversarial: marker inside body
+            recs.append((f"http://f{trial}.test/{i}", TS, body))
+        http = rng.random() < 0.5
+        data = build_warc_bytes(recs, member_gzip=False, with_http_headers=http)
+        got = list(iter_warc_records(data))
+        assert [(u, b) for u, _, b in got] == [(u, b) for u, _, b in recs]
