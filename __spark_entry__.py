@@ -728,6 +728,25 @@ def _q_decontaminate(spark, sf):
     return ngram_decontaminate(docs, bench, n=3)
 
 
+def _q_curation_verdicts(spark, sf):
+    """The full curation assembly line in ONE relation: quality gate →
+    exact dedup → MinHash-LSH near-dup → cluster resolution, with the
+    per-document audit verdict (why each doc survived or dropped).
+    Every stage is individually oracle-checked elsewhere; this query
+    value-checks their COMPOSITION."""
+    from pdf_context_extractor_agent_spark.plans.curate import curate
+
+    out = curate(_t(spark, sf, "documents"), gates={"min_words": 40})
+    return out["verdicts"].select(
+        "doc_id",
+        F.array_join("gate_reasons", ",").alias("gate_reasons"),
+        "exact_dup",
+        "near_dup_shadowed",
+        "component",
+        "kept",
+    )
+
+
 SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -845,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": _q_nfc_normalize,
         "q_assign_splits": _q_assign_splits,
         "q_pack_sequences": _q_pack_sequences,
+        "q_curation_verdicts": _q_curation_verdicts,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -1396,6 +1416,72 @@ WITH words AS (
             SELECT doc_a, doc_b, round({jacc}, 6) AS jaccard,
                    {jacc} >= 0.5 AS is_near_dup
             FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id""",
+        # the whole curation composition: gate → exact dedup (clean docs
+        # only) → LSH pairs (survivors only) → recursive-CTE components
+        "q_curation_verdicts": f"""
+            {shingle_cte.replace("WITH words", "WITH RECURSIVE words", 1)},
+            bg AS (
+              SELECT doc_id, w,
+                     list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                    i -> concat_ws(' ', w[i], w[i + 1])) AS bg
+              FROM words),
+            rep AS (
+              SELECT doc_id,
+                     len(list_distinct(w))::DOUBLE / len(w) AS dwr,
+                     list_max(list_transform(list_distinct(bg),
+                                             d -> len(list_filter(bg, x -> x = d))))::DOUBLE
+                       / len(bg) AS tbf
+              FROM bg),
+            qf AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words
+                   FROM documents),
+            gate AS (
+              SELECT q.doc_id,
+                     coalesce(array_to_string(
+                       (CASE WHEN q.n_words < 40 THEN ['too_short'] ELSE []::VARCHAR[] END)
+                       || (CASE WHEN q.n_words > 200000 THEN ['too_long'] ELSE []::VARCHAR[] END)
+                       || (CASE WHEN r.dwr < 0.2 THEN ['low_diversity'] ELSE []::VARCHAR[] END)
+                       || (CASE WHEN r.tbf > 0.5 THEN ['repetitive'] ELSE []::VARCHAR[] END),
+                       ','), '') AS gate_reasons
+              FROM qf q JOIN rep r USING (doc_id)),
+            clean AS (SELECT doc_id FROM gate WHERE gate_reasons = ''),
+            ex AS (
+              SELECT d.doc_id,
+                     d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5({norm})) AS exact_dup
+              FROM documents d JOIN clean USING (doc_id)),
+            survivors AS (SELECT doc_id FROM ex WHERE NOT exact_dup),
+            ssh AS (SELECT sh.* FROM sh JOIN survivors USING (doc_id)),
+            sigs AS (SELECT doc_id, {mh_sig} FROM ssh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, band_idx, {band_key} AS band_key
+              FROM sigs CROSS JOIN (VALUES {band_vals}) b(band_idx)),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+            sets AS (SELECT doc_id, list(shingle) AS s FROM ssh GROUP BY doc_id),
+            near AS (
+              SELECT doc_a, doc_b
+              FROM pairs JOIN sets x ON doc_a = x.doc_id
+                         JOIN sets y ON doc_b = y.doc_id
+              WHERE {jacc} >= 0.5),
+            bidir AS (SELECT doc_a AS u, doc_b AS v FROM near
+                      UNION ALL SELECT doc_b, doc_a FROM near),
+            reach AS (
+              SELECT u AS node, u AS comp FROM bidir
+              UNION
+              SELECT b.u AS node, r2.comp FROM bidir b JOIN reach r2 ON b.v = r2.node),
+            comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+            lab AS (
+              SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component
+              FROM survivors s LEFT JOIN comps c ON s.doc_id = c.node)
+            SELECT g.doc_id, g.gate_reasons,
+                   coalesce(e.exact_dup, false) AS exact_dup,
+                   coalesce(l.component <> l.doc_id, false) AS near_dup_shadowed,
+                   l.component,
+                   g.gate_reasons = '' AND NOT coalesce(e.exact_dup, false)
+                     AND NOT coalesce(l.component <> l.doc_id, false) AS kept
+            FROM gate g LEFT JOIN ex e USING (doc_id) LEFT JOIN lab l USING (doc_id)""",
         # split bounds embed the engine's exact float accumulation
         # (repr), so the boundary is bit-identical on both engines
         "q_assign_splits": f"""
