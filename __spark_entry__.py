@@ -747,6 +747,74 @@ def _q_curation_verdicts(spark, sf):
     )
 
 
+def _cmp_inputs(spark, sf):
+    """Two deterministic column-map relations + a headers relation
+    derived from `documents` — synthetic analyzer outputs whose
+    divergences are arithmetic in doc_id, so the comparator algebra
+    (null-safe diff, cell attach, summary, resolution) is fully
+    oracle-checkable. The REAL analyzer integration (header_maps twice)
+    is certified by tests/test_compare.py."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("item_col"),
+        ((F.col("doc_id") + 1) % 4).cast("int").alias("cur_col"),
+        ((F.col("doc_id") + 2) % 4).cast("int").alias("prev_col"),
+        F.when(
+            F.col("doc_id") % 3 == 0, ((F.col("doc_id") + 3) % 4).cast("int")
+        ).alias("note_col"),
+    )
+    alt = base.withColumns(
+        {
+            "cur_col": F.when(
+                F.col("doc_id") % 5 == 0, ((F.col("cur_col") + 1) % 4).cast("int")
+            ).otherwise(F.col("cur_col")),
+            "prev_col": F.when(
+                F.col("doc_id") % 11 == 0, F.lit(None).cast("int")
+            ).otherwise(F.col("prev_col")),
+            "note_col": F.when(
+                F.col("doc_id") % 7 == 0, F.lit(None).cast("int")
+            ).otherwise(F.col("note_col")),
+        }
+    )
+    headers = docs.select(
+        "doc_id", F.slice(F.split(F.trim("text"), r"\s+"), 1, 4).alias("cells")
+    )
+    return base, alt, headers
+
+
+def _q_result_compare(spark, sf):
+    from pdf_context_extractor_agent_spark.operators.compare import compare_column_maps
+
+    base, alt, headers = _cmp_inputs(spark, sf)
+    return compare_column_maps(base, alt, headers, keys=("doc_id",))["differences"]
+
+
+def _q_resolve_choices(spark, sf):
+    from pdf_context_extractor_agent_spark.operators.compare import (
+        compare_column_maps,
+        resolve_choices,
+    )
+
+    base, alt, _ = _cmp_inputs(spark, sf)
+    cmp = compare_column_maps(base, alt, keys=("doc_id",))
+    choices = (
+        base.filter((F.col("doc_id") % 13 == 0) | (F.col("doc_id") % 17 == 0))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("right"))
+            .otherwise(F.lit("skip"))
+            .alias("choice"),
+        )
+    )
+    res = resolve_choices(
+        base, alt, cmp["summary"], policy="left", choices=choices, keys=("doc_id",)
+    )
+    return res["choices_log"].join(
+        cmp["summary"].select("doc_id", "is_match", "summary"), "doc_id"
+    ).select("doc_id", "n_diff", "choice", "choice_source", "is_match", "summary")
+
+
 SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -865,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assign_splits": _q_assign_splits,
         "q_pack_sequences": _q_pack_sequences,
         "q_curation_verdicts": _q_curation_verdicts,
+        "q_result_compare": _q_result_compare,
+        "q_resolve_choices": _q_resolve_choices,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -1482,6 +1552,102 @@ WITH words AS (
                    g.gate_reasons = '' AND NOT coalesce(e.exact_dup, false)
                      AND NOT coalesce(l.component <> l.doc_id, false) AS kept
             FROM gate g LEFT JOIN ex e USING (doc_id) LEFT JOIN lab l USING (doc_id)""",
+        # result comparator: null-safe role diff + header-cell attach
+        "q_result_compare": """
+            WITH base AS (
+              SELECT doc_id,
+                     (doc_id % 4)::INT AS item_col,
+                     ((doc_id + 1) % 4)::INT AS cur_col,
+                     ((doc_id + 2) % 4)::INT AS prev_col,
+                     CASE WHEN doc_id % 3 = 0 THEN ((doc_id + 3) % 4)::INT END AS note_col
+              FROM documents),
+            alt AS (
+              SELECT doc_id, item_col,
+                     CASE WHEN doc_id % 5 = 0 THEN ((cur_col + 1) % 4)::INT ELSE cur_col END AS cur_col,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL ELSE prev_col END AS prev_col,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL ELSE note_col END AS note_col
+              FROM base),
+            hdr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')[1:4] AS cells
+                    FROM documents),
+            long AS (
+              SELECT b.doc_id, r.role AS column_type,
+                     CASE r.role WHEN 'item_name' THEN b.item_col
+                                 WHEN 'current_period' THEN b.cur_col
+                                 WHEN 'previous_period' THEN b.prev_col
+                                 ELSE b.note_col END AS left_index,
+                     CASE r.role WHEN 'item_name' THEN a.item_col
+                                 WHEN 'current_period' THEN a.cur_col
+                                 WHEN 'previous_period' THEN a.prev_col
+                                 ELSE a.note_col END AS right_index
+              FROM base b JOIN alt a USING (doc_id)
+              CROSS JOIN (VALUES ('item_name'), ('current_period'),
+                                 ('previous_period'), ('note')) r(role)),
+            d AS (SELECT * FROM long WHERE left_index IS DISTINCT FROM right_index),
+            c AS (SELECT d.*, h.cells[left_index + 1] AS left_cell,
+                         h.cells[right_index + 1] AS right_cell
+                  FROM d JOIN hdr h USING (doc_id))
+            SELECT doc_id, column_type, left_index, right_index, left_cell, right_cell,
+                   concat(column_type, ': left ',
+                          CASE WHEN left_index IS NULL THEN 'unmatched'
+                               ELSE concat('col ', left_index, ' (''',
+                                           coalesce(left_cell, ''), ''')') END,
+                          ', right ',
+                          CASE WHEN right_index IS NULL THEN 'unmatched'
+                               ELSE concat('col ', right_index, ' (''',
+                                           coalesce(right_cell, ''), ''')') END
+                   ) AS description
+            FROM c""",
+        # choice resolution: auto-accept > replayed history > policy
+        "q_resolve_choices": """
+            WITH base AS (
+              SELECT doc_id,
+                     (doc_id % 4)::INT AS item_col,
+                     ((doc_id + 1) % 4)::INT AS cur_col,
+                     ((doc_id + 2) % 4)::INT AS prev_col,
+                     CASE WHEN doc_id % 3 = 0 THEN ((doc_id + 3) % 4)::INT END AS note_col
+              FROM documents),
+            alt AS (
+              SELECT doc_id, item_col,
+                     CASE WHEN doc_id % 5 = 0 THEN ((cur_col + 1) % 4)::INT ELSE cur_col END AS cur_col,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL ELSE prev_col END AS prev_col,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL ELSE note_col END AS note_col
+              FROM base),
+            long AS (
+              SELECT b.doc_id,
+                     CASE r.role WHEN 'item_name' THEN b.item_col
+                                 WHEN 'current_period' THEN b.cur_col
+                                 WHEN 'previous_period' THEN b.prev_col
+                                 ELSE b.note_col END AS left_index,
+                     CASE r.role WHEN 'item_name' THEN a.item_col
+                                 WHEN 'current_period' THEN a.cur_col
+                                 WHEN 'previous_period' THEN a.prev_col
+                                 ELSE a.note_col END AS right_index
+              FROM base b JOIN alt a USING (doc_id)
+              CROSS JOIN (VALUES ('item_name'), ('current_period'),
+                                 ('previous_period'), ('note')) r(role)),
+            s AS (
+              SELECT doc_id,
+                     count(left_index)::BIGINT AS n_left,
+                     count(right_index)::BIGINT AS n_right,
+                     sum(CASE WHEN left_index IS DISTINCT FROM right_index
+                              THEN 1 ELSE 0 END)::BIGINT AS n_diff
+              FROM long GROUP BY doc_id),
+            ch AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN 'right' ELSE 'skip' END AS choice
+              FROM base WHERE doc_id % 13 = 0 OR doc_id % 17 = 0)
+            SELECT s.doc_id, s.n_diff,
+                   CASE WHEN s.n_diff = 0 THEN 'left'
+                        ELSE coalesce(ch.choice, 'left') END AS choice,
+                   CASE WHEN s.n_diff = 0 THEN 'auto'
+                        WHEN ch.choice IS NOT NULL THEN 'history'
+                        ELSE 'policy' END AS choice_source,
+                   s.n_diff = 0 AS is_match,
+                   CASE WHEN s.n_diff = 0
+                        THEN concat('match: ', s.n_left, ' columns')
+                        ELSE concat('mismatch: left ', s.n_left, ', right ', s.n_right,
+                                    ', ', s.n_diff, ' differences') END AS summary
+            FROM s LEFT JOIN ch USING (doc_id)""",
         # split bounds embed the engine's exact float accumulation
         # (repr), so the boundary is bit-identical on both engines
         "q_assign_splits": f"""

@@ -7,6 +7,11 @@ are the designated per-document layout-analysis kernels.
 """
 
 from .boundary import balance_boundaries, prune_rows_to_boundary  # noqa: F401
+from .compare import (  # noqa: F401
+    choice_statistics,
+    compare_column_maps,
+    resolve_choices,
+)
 from .merge import merged_clean_rows, rows_long, tables_long  # noqa: F401
 from .structure import identify_structures  # noqa: F401
 from .match import match_items  # noqa: F401
