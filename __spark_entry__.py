@@ -747,6 +747,24 @@ def _q_curation_verdicts(spark, sf):
     )
 
 
+def _q_dup_spans(spark, sf):
+    """Substring-level exact dedup: duplicated k-token window spans
+    (canonical occurrence exempt), merged to maximal intervals."""
+    from pdf_context_extractor_agent_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), k=8)
+
+
+def _q_remove_dup_spans(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return remove_duplicate_spans(docs, duplicate_spans(docs, k=8))
+
+
 def _cmp_inputs(spark, sf):
     """Two deterministic column-map relations + a headers relation
     derived from `documents` — synthetic analyzer outputs whose
@@ -935,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_verdicts": _q_curation_verdicts,
         "q_result_compare": _q_result_compare,
         "q_resolve_choices": _q_resolve_choices,
+        "q_dup_spans": _q_dup_spans,
+        "q_remove_dup_spans": _q_remove_dup_spans,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -1552,6 +1572,74 @@ WITH words AS (
                    g.gate_reasons = '' AND NOT coalesce(e.exact_dup, false)
                      AND NOT coalesce(l.component <> l.doc_id, false) AS kept
             FROM gate g LEFT JOIN ex e USING (doc_id) LEFT JOIN lab l USING (doc_id)""",
+        # duplicate k-token window spans, canonical occurrence exempt,
+        # gaps-and-islands merge to maximal intervals
+        "q_dup_spans": f"""
+            WITH words AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+            occ0 AS (
+              SELECT doc_id,
+                     unnest([struct_pack(pos := i - 1,
+                                         h := md5(array_to_string(w[i:i+7], ' ')))
+                             FOR i IN generate_series(1, len(w) - 7)]) AS o
+              FROM words WHERE len(w) >= 8),
+            occ AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM occ0),
+            marked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS cnt,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM occ),
+            dup AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged)
+            SELECT doc_id, min(pos)::INT AS span_start, (max(pos) + 8)::INT AS span_end,
+                   count(*)::BIGINT AS n_windows
+            FROM isl GROUP BY doc_id, island""",
+        "q_remove_dup_spans": f"""
+            WITH words AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+            occ0 AS (
+              SELECT doc_id,
+                     unnest([struct_pack(pos := i - 1,
+                                         h := md5(array_to_string(w[i:i+7], ' ')))
+                             FOR i IN generate_series(1, len(w) - 7)]) AS o
+              FROM words WHERE len(w) >= 8),
+            occ AS (SELECT doc_id, o.pos AS pos, o.h AS h FROM occ0),
+            marked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS cnt,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM occ),
+            dup AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+              FROM isl GROUP BY doc_id, island),
+            sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+                   FROM spans GROUP BY doc_id),
+            j AS (SELECT w.doc_id, w.w, coalesce(sp.sps, []) AS sps
+                  FROM words w LEFT JOIN sp USING (doc_id)),
+            kept AS (
+              SELECT doc_id, w,
+                     [w[i] FOR i IN generate_series(1, len(w))
+                      IF len([x FOR x IN sps IF i - 1 >= x.s AND i - 1 < x.e]) = 0] AS kw
+              FROM j)
+            SELECT doc_id, coalesce(array_to_string(kw, ' '), '') AS clean_text,
+                   (len(w) - len(kw))::BIGINT AS n_removed_tokens
+            FROM kept""",
         # result comparator: null-safe role diff + header-cell attach
         "q_result_compare": """
             WITH base AS (

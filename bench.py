@@ -13,8 +13,10 @@ scaling evidence (N vs 4N cores standing in for N vs 4N executors —
 this sandbox has no real cluster). A raw-CPU calibration documents the
 host's actual parallel capacity: the box advertises 32 CPUs but
 delivers ~16 effective cores (32-process runs slow each process ~2×),
-so the scaling legs use local[4] vs local[16], both inside the host's
-honest capacity. Also rewrites BENCH.md with the scaling table.
+so the scaling legs use local[2] vs local[8], both inside the host's
+honest capacity; the separate peak-throughput leg uses all advertised
+cores (oversubscription overlaps stage tails — measured fastest).
+Also rewrites BENCH.md with the scaling table.
 
 Usage: python bench.py [--quick] [--no-scaling]
 """
@@ -46,7 +48,14 @@ DO_SCALING = "--no-scaling" not in sys.argv
 # still reports peak throughput + byte identity.
 CORES_LOW = int(os.environ.get("SPARK_GRAFT_CORES_LOW", "2"))
 CORES_HIGH = int(os.environ.get("SPARK_GRAFT_CORES_HIGH", "8"))
-CORES_FULL = int(os.environ.get("SPARK_GRAFT_EFFECTIVE_CPUS", "16"))
+# Full-capacity throughput leg: all ADVERTISED cores, not the ~16
+# effective ones — measured head-to-head (60k docs, interleaved
+# best-of-2 each): local[32] 32.3 s vs local[16] 41.5 s. Oversubscribing
+# threads lets another task's CPU burst fill a stalled sibling's slot
+# and overlaps stage tails, so the peak-throughput leg benefits even
+# though per-thread scaling flattens past ~16.
+CORES_FULL = int(os.environ.get("SPARK_GRAFT_EFFECTIVE_CPUS", str(CPUS)))
+FULL_LEG_REPS = int(os.environ.get("SPARK_GRAFT_FULL_REPS", "3"))
 # throughput-leg corpus: 120k docs ≈ 1 GB, sized so the full-capacity
 # leg's parallel work dominates its ~10-20s of fixed stage/barrier cost
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000" if QUICK else "120000"))
@@ -303,14 +312,15 @@ def main() -> None:
             "pairs": len(calibs),
             "scaling_docs": N_SCALING_DOCS,
         }
-        # full-capacity throughput leg: peak docs/sec + byte identity at
-        # the host's honest core count, on the full-size corpus.
-        # Best-of-2: unlike the scaling legs this number has no min-of-N
-        # protection, and a single contended window would otherwise
-        # publish a 3× understated throughput (observed: 553 vs 1800
-        # docs/sec for the same code minutes apart).
+        # full-capacity throughput leg: peak docs/sec + byte identity on
+        # the full-size corpus. Best-of-N: unlike the scaling legs this
+        # number has no min-of-N protection, and a single contended
+        # window would otherwise publish a 2-3× understated throughput
+        # (observed: 553 vs 1800 docs/sec for the same code minutes
+        # apart, and 71.3 vs 32.3 s back-to-back at local[32]).
         full_runs = [
-            _leg_once(CORES_FULL, N_BENCH_DOCS, check_identity=(i == 0)) for i in range(2)
+            _leg_once(CORES_FULL, N_BENCH_DOCS, check_identity=(i == 0))
+            for i in range(max(1, FULL_LEG_REPS))
         ]
         ext = min(full_runs, key=lambda x: x["secs"])
         ext["byte_identity_pass_rate"] = full_runs[0].get("byte_identity_pass_rate")
@@ -341,6 +351,7 @@ def main() -> None:
             "bytes_per_sec": round(ext["bytes_per_sec"], 1),
             "plan_build_secs": round(ext.get("plan_build_secs", 0.0), 2),
             "byte_identity_pass_rate": ext.get("byte_identity_pass_rate"),
+            "cores": ext.get("cores", CPUS),
         },
         "scaling": scaling,
         "cpus": CPUS,
@@ -387,7 +398,10 @@ def _write_bench_md(r: dict) -> None:
                 "noise alone (stage-level event-log audit shows ~97% core "
                 "utilization, i.e. no pipeline serialization). Peak throughput "
                 "and byte identity come from the separate full-capacity "
-                "local[16] leg in the table header above.",
+                f"local[{r['extraction'].get('cores', CORES_FULL)}] leg in the "
+                "table header above (all advertised cores: oversubscription "
+                "overlaps stage tails and wins ~28% over local[16], measured "
+                "head-to-head).",
                 "",
                 "Methodology: legs are interleaved (low, high, low, high) with the "
                 f"SAME rep count on both sides and min-of-{s.get('pairs', SCALING_REPS)} per leg — the box is "

@@ -541,3 +541,102 @@ def dedup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN detection (substring-level dedup): any k-token
+# window whose text recurs anywhere in the corpus marks its tokens as
+# duplicated, except in the one canonical (lowest doc_id, pos)
+# occurrence — the "keep one copy of every repeated substring" policy
+# of suffix-array training-data dedup, re-expressed as linear window
+# hashing. The heavy relation is (doc_id, pos, 16-byte digest) — one
+# row per TOKEN — shuffled once on the digest; bodies never move.
+# Overlapping windows then merge into maximal spans with one
+# gaps-and-islands window pass on the doc key.
+# ---------------------------------------------------------------------------
+
+def _window_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, h): md5 of every overlapping k-token window."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    df = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("w")
+    ).filter(F.size("w") >= k)
+    # w is a materialized column (NOT an expression re-evaluated inside
+    # the lambda — the repetition_features O(n²) lesson)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("w") - k),
+        lambda i: F.md5(F.array_join(F.slice("w", i + 1, k), " ")),
+    )
+    return df.select("doc_id", F.posexplode(wins).alias("pos", "h"))
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A window occurrence is removable when its k-token text occurs ≥2
+    times corpus-wide and it is not the canonical (min (doc_id, pos))
+    occurrence. Overlapping/adjacent removable windows merge:
+    → ``(doc_id, span_start, span_end, n_windows)`` with token-index
+    bounds, end exclusive.
+    """
+    occ = _window_occurrences(docs, id_col, text_col, k)
+    canon = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    dup = (
+        occ.join(canon.filter(F.col("cnt") >= 2), "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "_new", F.coalesce((F.col("pos") > F.lag("pos").over(w) + k).cast("int"), F.lit(1))
+    ).withColumn("_island", F.sum("_new").over(w))
+    return isl.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).drop("_island")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild each document's normalized text with duplicated spans cut
+    out (canonical copies survive — they are not in ``spans``).
+
+    → input keys + ``clean_text`` + ``n_removed_tokens``. The span list
+    rides a per-doc array (spans per doc are few after merging); the
+    token filter is one indexed-lambda projection, linear per doc.
+    """
+    sp = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans")
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    out = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("w"))
+        .join(sp, "doc_id", "left")
+        .withColumn("_spans", F.coalesce("_spans", F.array().cast(
+            "array<struct<span_start:int,span_end:int>>")))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter("w", lambda x, i: ~covered(i))
+    return out.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

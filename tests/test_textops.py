@@ -356,3 +356,49 @@ def test_fast_match_equals_rlike_for_every_bank_pattern(spark):
         mismatches = mismatches + F.when(~eq, 1).otherwise(0)
     total = probe_df.agg(F.sum(mismatches)).first()[0]
     assert total == 0
+
+
+def test_duplicate_spans_canonical_exempt_and_merge(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    # k=3: doc 0 holds the canonical copy of "a b c d"; doc 1 repeats it
+    # inside unique framing; doc 2 is entirely unique
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d zero only tail here"),
+            (1, "one unique a b c d another tail"),
+            (2, "totally distinct words without repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: r for r in duplicate_spans(docs, k=3).collect()}
+    # windows "a b c" and "b c d" (doc1 pos 2,3) are dups of doc0 pos 0,1;
+    # overlapping → ONE merged span covering tokens 2..6
+    assert set(spans) == {1}
+    s = spans[1]
+    assert (s.span_start, s.span_end, s.n_windows) == (2, 6, 2)
+
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, duplicate_spans(docs, k=3)).collect()
+    }
+    assert out[0].clean_text == "a b c d zero only tail here"  # canonical kept
+    assert out[0].n_removed_tokens == 0
+    assert out[1].clean_text == "one unique another tail"
+    assert out[1].n_removed_tokens == 4
+    assert out[2].n_removed_tokens == 0
+
+
+def test_duplicate_spans_within_single_doc(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import duplicate_spans
+
+    # same phrase twice in ONE doc: second occurrence flagged, first kept
+    docs = spark.createDataFrame(
+        [(7, "p q r filler words here p q r")], "doc_id long, text string"
+    )
+    spans = duplicate_spans(docs, k=3).collect()
+    assert len(spans) == 1
+    assert (spans[0].span_start, spans[0].span_end) == (6, 9)
