@@ -705,6 +705,22 @@ def _q_domain_stats(spark, sf):
     return domain_stats(docs)
 
 
+_BLOCKLIST = ["src3.com", "cdn.src7.com", "tracker.src7.com", "SRC12.com "]
+
+
+def _q_blocklist(spark, sf):
+    """UT1-style domain blocklist verdicts: registered-domain entries
+    block whole subtrees, host entries block exactly; the trailing
+    entry exercises case/whitespace normalization."""
+    from pdf_context_extractor_agent_spark.functions.urls import blocklist_filter
+
+    docs = _t(spark, sf, "documents").withColumn("url", _synth_url())
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry string")
+    return blocklist_filter(docs, bl).select(
+        "doc_id", "host", "is_blocked", "blocked_by"
+    )
+
+
 _MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
 
 
@@ -962,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_freq": _q_doc_freq,
         "q_url_canon": _q_url_canon,
         "q_domain_stats": _q_domain_stats,
+        "q_blocklist": _q_blocklist,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -1367,6 +1384,30 @@ WITH words AS (
             SELECT doc_id, canon_url, host,
                    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
             FROM c""",
+        "q_blocklist": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://WWW.cdn.' || source || '.COM/A/' || doc_id::VARCHAR
+                       || '/page?utm_source=feed&id=' || doc_id::VARCHAR
+                       || '&ref=rss&x=Y#sec' AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                                    '^www\.', '') AS host
+              FROM u),
+            bl(raw) AS (VALUES ('src3.com'), ('cdn.src7.com'),
+                               ('tracker.src7.com'), ('SRC12.com ')),
+            e AS (SELECT DISTINCT lower(trim(raw)) AS e FROM bl)
+            SELECT h.doc_id, h.host,
+                   coalesce(bool_or(h.host = e.e OR ends_with(h.host, '.' || e.e)), false)
+                     AS is_blocked,
+                   min(CASE WHEN h.host = e.e OR ends_with(h.host, '.' || e.e)
+                            THEN e.e END) AS blocked_by
+            FROM h LEFT JOIN e
+              ON regexp_extract(h.host, '([^.]+\.[^.]+)$', 1)
+               = regexp_extract(e.e, '([^.]+\.[^.]+)$', 1)
+            GROUP BY h.doc_id, h.host""",
         "q_domain_stats": r"""
             WITH u AS (
               SELECT doc_id, text, source,

@@ -133,3 +133,26 @@ def test_domain_stats_counts_canonical_urls(spark):
     assert out["a.com"].n_canon_urls == 1
     assert out["a.com"].text_chars == 11
     assert out["b.org"].n_pages == 1
+
+
+def test_blocklist_filter_suffix_boundary(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("https://ads.example.com/x",),       # exact entry host
+            ("https://sub.ads.example.com/y",),   # under the entry
+            ("https://badads.example.com/z",),    # suffix WITHOUT dot boundary
+            ("https://example.com/w",),           # parent of the entry
+            ("https://clean.org/v",),             # unrelated domain
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame([("ads.example.com",)], "entry string")
+    out = {r.host: r for r in blocklist_filter(pages, bl).collect()}
+    assert out["ads.example.com"].is_blocked
+    assert out["sub.ads.example.com"].is_blocked
+    assert out["sub.ads.example.com"].blocked_by == "ads.example.com"
+    assert not out["badads.example.com"].is_blocked
+    assert not out["example.com"].is_blocked
+    assert not out["clean.org"].is_blocked
