@@ -84,6 +84,8 @@ def curate(
     near_dup_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
 ) -> dict[str, DataFrame]:
     """Full curation run. Returns:
 
@@ -92,8 +94,27 @@ def curate(
                      near-dup verdicts, final ``kept`` flag (the audit
                      trail; at 10^12 docs this is the relation that
                      answers "why did my page disappear")
+
+    ``blocklist`` (optional, a relation of ``entry`` host patterns)
+    prepends a URL/domain filter: blocked documents pick up a
+    ``blocked_domain`` gate reason — first in the line because it costs
+    one broadcast join on the already-computed host, so it prunes
+    before any text is even tokenized.
     """
     gated = quality_gate(docs, gates, id_col, text_col)
+    if blocklist is not None:
+        from ..functions.urls import blocklist_filter
+
+        verdict = blocklist_filter(
+            docs.select(id_col, url_col), blocklist, url_col=url_col
+        ).select(id_col, "is_blocked")
+        gated = gated.join(verdict, id_col, "left").withColumn(
+            "gate_reasons",
+            F.when(
+                F.coalesce("is_blocked", F.lit(False)),
+                F.concat(F.array(F.lit("blocked_domain")), F.col("gate_reasons")),
+            ).otherwise(F.col("gate_reasons")),
+        ).drop("is_blocked")
     clean = gated.filter(F.size("gate_reasons") == 0)
 
     ex = exact_dedup(clean.select(id_col, text_col), id_col, text_col)
