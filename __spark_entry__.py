@@ -763,6 +763,16 @@ def _q_curation_verdicts(spark, sf):
     )
 
 
+def _q_script_features(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.quality import script_features
+
+    return script_features(_t(spark, sf, "documents")).select(
+        "doc_id", "latin_frac", "han_frac", "kana_frac", "hangul_frac",
+        "cyrillic_frac", "arabic_frac", "greek_frac", "digit_frac",
+        "main_script", "script_other_frac",
+    )
+
+
 def _q_dup_spans(spark, sf):
     """Substring-level exact dedup: duplicated k-token window spans
     (canonical occurrence exempt), merged to maximal intervals."""
@@ -971,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resolve_choices": _q_resolve_choices,
         "q_dup_spans": _q_dup_spans,
         "q_remove_dup_spans": _q_remove_dup_spans,
+        "q_script_features": _q_script_features,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -1613,6 +1624,49 @@ WITH words AS (
                    g.gate_reasons = '' AND NOT coalesce(e.exact_dup, false)
                      AND NOT coalesce(l.component <> l.doc_id, false) AS kept
             FROM gate g LEFT JOIN ex e USING (doc_id) LEFT JOIN lab l USING (doc_id)""",
+        # script-composition ratios: identical code-point class ranges
+        # on both regex engines; sum order in other_frac mirrors the
+        # engine's fold order exactly (IEEE addition is order-sensitive)
+        "q_script_features": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     greatest(length(regexp_replace(text, '\s+', '', 'g')), 1)::DOUBLE AS base,
+                     len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS n_latin,
+                     len(regexp_extract_all(text, '[一-鿿㐀-䶿]')) AS n_han,
+                     len(regexp_extract_all(text, '[぀-ヿ]')) AS n_kana,
+                     len(regexp_extract_all(text, '[가-힯ᄀ-ᇿ]')) AS n_hangul,
+                     len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS n_cyrillic,
+                     len(regexp_extract_all(text, '[؀-ۿ]')) AS n_arabic,
+                     len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS n_greek,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     n_latin / base AS latin, n_han / base AS han,
+                     n_kana / base AS kana, n_hangul / base AS hangul,
+                     n_cyrillic / base AS cyrillic, n_arabic / base AS arabic,
+                     n_greek / base AS greek, n_digit / base AS digit
+              FROM c)
+            SELECT doc_id,
+                   round(latin, 6) AS latin_frac, round(han, 6) AS han_frac,
+                   round(kana, 6) AS kana_frac, round(hangul, 6) AS hangul_frac,
+                   round(cyrillic, 6) AS cyrillic_frac, round(arabic, 6) AS arabic_frac,
+                   round(greek, 6) AS greek_frac, round(digit, 6) AS digit_frac,
+                   list_max([
+                     struct_pack(frac := arabic, script := 'arabic'),
+                     struct_pack(frac := cyrillic, script := 'cyrillic'),
+                     struct_pack(frac := digit, script := 'digit'),
+                     struct_pack(frac := greek, script := 'greek'),
+                     struct_pack(frac := han, script := 'han'),
+                     struct_pack(frac := hangul, script := 'hangul'),
+                     struct_pack(frac := kana, script := 'kana'),
+                     struct_pack(frac := latin, script := 'latin')
+                   ]).script AS main_script,
+                   round(greatest(0.0,
+                     1.0 - (0.0 + latin + han + kana + hangul
+                            + cyrillic + arabic + greek + digit)), 6)
+                     AS script_other_frac
+            FROM r""",
         # duplicate k-token window spans, canonical occurrence exempt,
         # gaps-and-islands merge to maximal intervals
         "q_dup_spans": f"""

@@ -189,3 +189,67 @@ def mask_pii(text: Column) -> Column:
     for pat, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition (CCNet-style): the fraction of characters
+# in each major script. Script ratios are what cleanly separates
+# zh/ja/ko/ru/ar text where Latin marker-word densities say nothing,
+# and they catch mixed-script spam (Latin text stuffed with CJK SEO
+# tokens). Pure regexp_count projections — zero shuffle, codegen'd.
+# Explicit code-point ranges (not \p{script=...}) so the Java and RE2
+# engines count identically.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RANGES = {
+    # BMP ranges; the main blocks per script, enough for ratio features
+    "latin": r"A-Za-zÀ-ɏ",
+    "han": r"一-鿿㐀-䶿",
+    "kana": r"぀-ヿ",
+    "hangul": r"가-힯ᄀ-ᇿ",
+    "cyrillic": r"Ѐ-ӿ",
+    "arabic": r"؀-ۿ",
+    "greek": r"Ͱ-Ͽ",
+    "digit": r"0-9",
+}
+
+
+def script_ratios(text: Column) -> dict[str, Column]:
+    """script → fraction of (non-space) characters in that script."""
+    base = F.greatest(
+        F.length(F.regexp_replace(text, r"\s+", "")), F.lit(1)
+    ).cast("double")
+    return {
+        name: F.regexp_count(text, F.lit(f"[{rng}]")) / base
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+
+
+def script_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document script-composition columns + the dominant script.
+
+    → input + ``<script>_frac`` per script + ``main_script`` (argmax,
+    deterministic name tie-break) + ``script_other_frac`` (characters
+    outside every known range — high values flag encoding mojibake).
+    """
+    ratios = script_ratios(F.col(text_col))
+    cols = {f"{k}_frac": F.round(v, 6) for k, v in ratios.items()}
+    pairs = F.array(
+        *[
+            F.struct(v.alias("frac"), F.lit(k).alias("script"))
+            for k, v in sorted(ratios.items())
+        ]
+    )
+    out = docs.withColumns(cols)
+    return out.withColumns(
+        {
+            "main_script": F.array_max(pairs)["script"],
+            "script_other_frac": F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - sum(ratios.values(), F.lit(0.0)),
+                ),
+                6,
+            ),
+        }
+    )

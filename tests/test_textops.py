@@ -402,3 +402,25 @@ def test_duplicate_spans_within_single_doc(spark):
     spans = duplicate_spans(docs, k=3).collect()
     assert len(spans) == 1
     assert (spans[0].span_start, spans[0].span_end) == (6, 9)
+
+
+def test_script_features_multiscript(spark):
+    from pdf_context_extractor_agent_spark.functions.quality import script_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "资产负债表 货币资金"),          # pure Han
+            (1, "hello world"),                  # pure Latin
+            (2, "Привет мир"),                   # Cyrillic
+            (3, "abc 资产 123"),                 # mixed
+            (4, "…—!!??"),                       # nothing known → other
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_features(docs).collect()}
+    assert out[0].main_script == "han" and out[0].han_frac == 1.0
+    assert out[1].main_script == "latin" and out[1].latin_frac == 1.0
+    assert out[2].main_script == "cyrillic" and out[2].cyrillic_frac == 1.0
+    assert out[3].latin_frac == 0.375 and out[3].han_frac == 0.25
+    assert out[3].digit_frac == 0.375 and out[3].main_script in ("latin", "digit")
+    assert out[4].script_other_frac == 1.0 and out[4].main_script == "latin"
