@@ -614,7 +614,10 @@ def remove_duplicate_spans(
     text_col: str = "text",
 ) -> DataFrame:
     """Rebuild each document's normalized text with duplicated spans cut
-    out (canonical copies survive — they are not in ``spans``).
+    out. Canonical occurrences never mark tokens themselves (they are
+    exempt from ``spans``), though one can still be clipped when OTHER
+    duplicated windows overlap it and their merged span engulfs it —
+    inherent to span-granularity removal.
 
     → input keys + ``clean_text`` + ``n_removed_tokens``. The span list
     rides a per-doc array (spans per doc are few after merging); the

@@ -156,3 +156,133 @@ def test_chunk_dedup_invariants(spark):
     expect_kept = ch.join(owners, "chunk").filter(F.col("owner") == F.col("doc_id")).count()
     got_kept = out.agg(F.sum(F.col("n_chunks") - F.col("n_removed"))).first()[0]
     assert got_kept == expect_kept
+
+
+def test_duplicate_spans_invariants(spark):
+    """Over the real documents table at k=4: span bounds are sane
+    (within token counts, ordered, non-overlapping after the merge),
+    canonical exemption keeps at least one copy of every duplicated
+    window, and removal token counts equal total span length."""
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        _window_occurrences,
+        duplicate_spans,
+        normalized_text,
+        remove_duplicate_spans,
+    )
+    from pdf_context_extractor_agent_spark.sources import load_table
+
+    k = 4
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    spans = duplicate_spans(docs, k=k).cache()
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(normalized_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    bad_bounds = (
+        spans.join(toks, "doc_id")
+        .filter(
+            (F.col("span_start") < 0)
+            | (F.col("span_end") > F.col("n_tok"))
+            | (F.col("span_end") - F.col("span_start") < k)
+        )
+        .count()
+    )
+    assert bad_bounds == 0
+
+    # merged spans in one doc never overlap/touch: next start > prev end - 1
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    overlap = (
+        spans.withColumn("prev_end", F.lag("span_end").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("span_start") <= F.col("prev_end") - k))
+        .count()
+    )
+    assert overlap == 0
+
+    # canonical exemption: the canonical (doc,pos) of every duplicated
+    # window never enters the removable set ITSELF — every one of its
+    # doc's spans must be justified by a non-canonical removable window
+    # at its start position. (A canonical window's TOKENS can still be
+    # clipped when other duplicated windows overlap it and their merged
+    # span engulfs it — inherent to span-granularity removal.)
+    occ = _window_occurrences(docs, "doc_id", "text", k)
+    canon = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min(F.struct("doc_id", "pos")).alias("first")
+    ).filter("cnt >= 2")
+    removable = (
+        occ.join(canon, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    canon_removable = (
+        canon.select(
+            F.col("first.doc_id").alias("doc_id"), F.col("first.pos").alias("pos")
+        )
+        .join(removable, ["doc_id", "pos"], "semi")
+        .count()
+    )
+    assert canon_removable == 0
+    # ...and every span STARTS at a removable window position
+    unjustified = spans.join(
+        removable.withColumnRenamed("pos", "span_start"),
+        ["doc_id", "span_start"],
+        "anti",
+    ).count()
+    assert unjustified == 0
+
+    # removal conservation: n_removed_tokens == total merged span length
+    removed = remove_duplicate_spans(docs, spans)
+    lhs = removed.agg(F.sum("n_removed_tokens")).first()[0] or 0
+    rhs = spans.agg(F.sum(F.col("span_end") - F.col("span_start"))).first()[0] or 0
+    assert lhs == rhs
+
+
+def test_resolve_choices_partitions_tables(spark):
+    """Every compared table lands in exactly one of chosen/skipped, and
+    chosen rows always come from the side the log says won."""
+    import pyspark.sql.functions as F
+
+    from pdf_context_extractor_agent_spark.operators.compare import (
+        compare_column_maps,
+        resolve_choices,
+    )
+
+    rows_l = [(f"d{i}", "bs", i % 4, (i + 1) % 4, (i + 2) % 4, None) for i in range(40)]
+    rows_r = [
+        (f"d{i}", "bs", i % 4, (i + 1 + (i % 3 == 0)) % 4, (i + 2) % 4, None)
+        for i in range(40)
+    ]
+    schema = (
+        "url string, statement_type string, item_col int, cur_col int, "
+        "prev_col int, note_col int"
+    )
+    left = spark.createDataFrame(rows_l, schema)
+    right = spark.createDataFrame(rows_r, schema)
+    choices = spark.createDataFrame(
+        [(f"d{i}", "bs", ["left", "right", "skip"][i % 3]) for i in range(0, 40, 5)],
+        "url string, statement_type string, choice string",
+    )
+    summary = compare_column_maps(left, right)["summary"]
+    res = resolve_choices(left, right, summary, policy="right", choices=choices)
+    log = res["choices_log"].cache()
+    chosen = res["chosen"].cache()
+
+    assert log.count() == 40
+    n_skip = log.filter("choice = 'skip'").count()
+    assert chosen.count() == 40 - n_skip
+    # chosen_from always equals the logged choice
+    mismatch = (
+        chosen.join(log.select("url", "statement_type", "choice"), ["url", "statement_type"])
+        .filter(F.col("chosen_from") != F.col("choice"))
+        .count()
+    )
+    assert mismatch == 0
+    # matched tables are never skipped, whatever history says
+    assert log.filter("n_diff = 0 AND choice <> 'left'").count() == 0
