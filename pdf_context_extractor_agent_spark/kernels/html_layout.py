@@ -109,11 +109,18 @@ class _LayoutParser(HTMLParser):
             if tag not in _VOID_TAGS:
                 self._skip_stack.append(tag)
             return
-        cls = next((v or "" for k, v in attrs if k == "class"), "")
-        if tag in _SKIP_TAGS or any(h in cls.lower() for h in _SKIP_CLASS_HINTS if h != "page"):
+        # the no-attrs case is the overwhelming majority: skip all class
+        # handling for it (this handler runs once per start tag corpus-wide)
+        cls = ""
+        if attrs:
+            for k, v in attrs:
+                if k == "class":
+                    cls = v or ""
+                    break
+        if tag in _SKIP_TAGS or (cls and any(h in cls.lower() for h in _SKIP_CLASS_HINTS)):
             self._skip_stack.append(tag)
             return
-        if tag == "div" and "page" in cls.split():
+        if cls and tag == "div" and "page" in cls.split():
             self._flush_buf()
             if self._blocks is not None:
                 self.pages.append(self._blocks)
