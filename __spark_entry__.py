@@ -775,10 +775,12 @@ def _q_script_features(spark, sf):
 
 def _q_dup_spans(spark, sf):
     """Substring-level exact dedup: duplicated k-token window spans
-    (canonical occurrence exempt), merged to maximal intervals."""
+    (canonical occurrence exempt), merged to maximal intervals.
+    md5-keyed twin of the xxhash64 production path (LSH-family
+    pattern) so DuckDB can recompute the window keys."""
     from pdf_context_extractor_agent_spark.functions.dedup import duplicate_spans
 
-    return duplicate_spans(_t(spark, sf, "documents"), k=8)
+    return duplicate_spans(_t(spark, sf, "documents"), k=8, hasher="md5")
 
 
 def _q_remove_dup_spans(spark, sf):
@@ -788,7 +790,7 @@ def _q_remove_dup_spans(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    return remove_duplicate_spans(docs, duplicate_spans(docs, k=8))
+    return remove_duplicate_spans(docs, duplicate_spans(docs, k=8, hasher="md5"))
 
 
 def _cmp_inputs(spark, sf):

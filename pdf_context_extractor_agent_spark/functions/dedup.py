@@ -556,9 +556,10 @@ def dedup_clusters(
 # ---------------------------------------------------------------------------
 
 def _window_occurrences(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame, id_col: str, text_col: str, k: int, hasher: str = "xxhash64"
 ) -> DataFrame:
-    """(doc_id, pos, h): md5 of every overlapping k-token window."""
+    """(doc_id, pos, h): hash of every overlapping k-token window."""
+    h_fn = F.md5 if hasher == "md5" else F.xxhash64
     toks = F.split(normalized_text(F.col(text_col)), " ")
     df = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), toks.alias("w")
@@ -567,13 +568,14 @@ def _window_occurrences(
     # the lambda — the repetition_features O(n²) lesson)
     wins = F.transform(
         F.sequence(F.lit(0), F.size("w") - k),
-        lambda i: F.md5(F.array_join(F.slice("w", i + 1, k), " ")),
+        lambda i: h_fn(F.array_join(F.slice("w", i + 1, k), " ")),
     )
     return df.select("doc_id", F.posexplode(wins).alias("pos", "h"))
 
 
 def duplicate_spans(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -582,8 +584,14 @@ def duplicate_spans(
     occurrence. Overlapping/adjacent removable windows merge:
     → ``(doc_id, span_start, span_end, n_windows)`` with token-index
     bounds, end exclusive.
+
+    ``hasher``: ``xxhash64`` (default) keys the shuffle on 8-byte JVM
+    hashes — at 10^12 windows expect a handful of 64-bit collisions
+    (≈ sqrt-birthday), each worth one spuriously-flagged window; the
+    ``md5`` twin (128-bit, cross-engine) is collision-free in practice
+    and is what the DuckDB oracle certifies (the LSH family's pattern).
     """
-    occ = _window_occurrences(docs, id_col, text_col, k)
+    occ = _window_occurrences(docs, id_col, text_col, k, hasher)
     canon = occ.groupBy("h").agg(
         F.count("*").alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
