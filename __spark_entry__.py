@@ -933,6 +933,37 @@ def _q_nfc_normalize(spark, sf):
     )
 
 
+def _dsir_scored(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.dsir import (
+        dsir_log_ratios,
+        dsir_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    ratios = dsir_log_ratios(docs.filter(F.col("lang") == "en"), docs)
+    return dsir_score(docs, ratios)
+
+
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram-free,
+    bucketed-unigram variant — target = English docs, source = full
+    corpus. Bucket log-ratios are quantized to exact 2^-16 multiples so
+    the per-doc mean is cross-engine exact before the display round."""
+    return _dsir_scored(spark, sf).select(
+        "doc_id", "n_terms", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+
+
+def _q_dsir_select(spark, sf):
+    """DSIR top-k resampling: TakeOrdered on the UNROUNDED weight
+    (exact cross-engine, doc_id tiebreak), rounded only for display."""
+    from pdf_context_extractor_agent_spark.functions.dsir import dsir_select
+
+    return dsir_select(_dsir_scored(spark, sf), 50).select(
+        "doc_id", "n_terms", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -975,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": _q_chunk_dedup,
         "q_dup_clusters": _q_dup_clusters,
         "q_classifier_score": _q_classifier_score,
+        "q_dsir_weights": _q_dsir_weights,
+        "q_dsir_select": _q_dsir_select,
         "q_nfc_normalize": _q_nfc_normalize,
         "q_assign_splits": _q_assign_splits,
         "q_pack_sequences": _q_pack_sequences,
@@ -1032,6 +1065,33 @@ WITH words AS (
 
     def _nib(i: int) -> str:
         return f"(strpos('0123456789abcdef', substring(md5(term), {i}, 1)) - 1)"
+
+    # DSIR mirror: md5-nibble bucket, Laplace-smoothed count ratio as an
+    # exact small-integer rational, ln quantized to 2^-16 multiples —
+    # the identical formula functions/dsir.py evaluates in Spark
+    _dsir_cte = f"""
+WITH terms AS (
+  SELECT doc_id, lang, unnest(string_split({norm}, ' ')) AS term
+  FROM documents),
+tb AS (
+  SELECT doc_id, lang,
+         ({_nib(1)}*4096 + {_nib(2)}*256 + {_nib(3)}*16 + {_nib(4)}) % 256
+           AS bucket
+  FROM terms),
+tc AS (SELECT bucket, count(*) AS cnt_t FROM tb WHERE lang = 'en' GROUP BY bucket),
+qc AS (SELECT bucket, count(*) AS cnt_q FROM tb GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(cnt_t), 0) FROM tc) AS tot_t,
+               (SELECT coalesce(sum(cnt_q), 0) FROM qc) AS tot_q),
+dim AS (
+  SELECT r.range::INT AS bucket,
+         round(ln(((coalesce(cnt_t, 0) + 1.0) * (tot_q + 256.0)) /
+                  ((tot_t + 256.0) * (coalesce(cnt_q, 0) + 1.0))) * 65536.0)
+           / 65536.0 AS log_ratio
+  FROM range(256) r
+  LEFT JOIN tc ON r.range = tc.bucket
+  LEFT JOIN qc ON r.range = qc.bucket
+  CROSS JOIN tot)
+"""
 
     def hits(words: list[str]) -> str:
         pat = r"\b(" + "|".join(words) + r")\b"
@@ -1878,6 +1938,21 @@ WITH words AS (
                    round(sum(weight) / count(*), 6) AS margin,
                    sum(weight) / count(*) > 0 AS label
             FROM wt GROUP BY doc_id""",
+        "q_dsir_weights": f"""
+            {_dsir_cte}
+            SELECT doc_id, count(*) AS n_terms,
+                   round(sum(log_ratio) / count(*), 6) AS dsir_weight
+            FROM tb JOIN dim USING (bucket)
+            GROUP BY doc_id""",
+        "q_dsir_select": f"""
+            {_dsir_cte},
+            sel AS (
+              SELECT doc_id, count(*) AS n_terms,
+                     sum(log_ratio) / count(*) AS w
+              FROM tb JOIN dim USING (bucket)
+              GROUP BY doc_id)
+            SELECT doc_id, n_terms, round(w, 6) AS dsir_weight
+            FROM sel ORDER BY w DESC, doc_id LIMIT 50""",
         "q_nfc_normalize": """
             SELECT doc_id,
                    md5(nfc_normalize(text || ' cafe' || chr(769))) AS norm_md5,
