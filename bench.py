@@ -27,6 +27,7 @@ import json
 import multiprocessing as mp
 import os
 import sys
+import threading
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,8 +158,22 @@ def run_extraction(spark, n_docs: int, parts: int, check_identity: bool = True) 
     build_secs = time.monotonic() - tb
 
     t0 = time.monotonic()
-    _materialize(res["parsed"])
-    _materialize(res["checks"])
+    # The two output relations are independent consumers of the same
+    # persisted kernel relation: materializing them from concurrent
+    # driver threads lets each job's serial tail (tiny dimension
+    # stages, scheduling gaps) overlap the other's parallel work —
+    # measured 33.3→25.0 s on the 8-core leg (20k docs), 6% on the
+    # 2-core leg. This is exactly what a production driver does with
+    # independent sinks; Spark's scheduler interleaves the two jobs'
+    # stages over the same executor pool.
+    threads = [
+        threading.Thread(target=_materialize, args=(res[k],))
+        for k in ("parsed", "checks")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     elapsed = time.monotonic() - t0
 
     out = {

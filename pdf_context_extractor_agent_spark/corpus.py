@@ -392,7 +392,8 @@ def render_pdfish(pages: list[Page]) -> bytes:
 
 
 def render_minipdf_doc(pages: list[Page], cid: bool = False,
-                       mixed_codespace: bool = False) -> bytes:
+                       mixed_codespace: bool = False,
+                       scrambled_encoding: bool = False) -> bytes:
     """Render the content model as a structurally valid minimal PDF:
     same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
     ruling-line grids) but expressed in real PDF content-stream
@@ -411,13 +412,22 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
     real GBK/Big5-style CJK encoding has: ASCII chars become PERMUTED
     1-byte codes (xor-scrambled, so identity cannot fake the decode)
     and CJK chars 2-byte codes from 0x8140 up; byte-identity then
-    certifies the kernel's variable-byte codespacerange walk."""
+    certifies the kernel's variable-byte codespacerange walk.
+
+    ``scrambled_encoding=True`` (implies cid) routes /F2's /Encoding
+    through an embedded CMap STREAM instead of the /Identity-H name:
+    show-string hex carries CODES ≠ CIDs (a contiguous offset run that
+    compresses to cidrange, plus scattered cidchar singles), the
+    Encoding CMap maps codes→CIDs, and /ToUnicode maps CIDs→text —
+    the two-layer decode every real non-Identity CJK PDF performs
+    (reference dep: pdfplumber, src/pdf_reader.py:17-29)."""
     from .kernels.minipdf_layout import PAGE_H, _escape, cid_hex, render_minipdf
 
     cid_of: dict[str, int] = {}
     nbytes_of: dict[str, int] | None = None
     codespace: list[tuple[int, int, int]] | None = None
-    if cid or mixed_codespace:
+    code_of_cid: dict[int, int] | None = None
+    if cid or mixed_codespace or scrambled_encoding:
         cid = True
         charset = sorted({c for page in pages for k, payload in page
                           for s in (payload.split(" ") if k == "p"
@@ -441,8 +451,23 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
             # CID 0 is .notdef by convention; start at 1
             cid_of = {c: i + 1 for i, c in enumerate(charset)}
 
+    show_code_of = cid_of
+    if scrambled_encoding:
+        # codes ≠ CIDs: most chars take a contiguous +0x0400 offset
+        # (compresses to one cidrange in the Encoding CMap), every 5th
+        # char an irregular 0xE000-block single (exercises cidchar).
+        # Identity decoding of these codes yields garbage — byte-
+        # identity proves the kernel walked BOTH CMap layers.
+        code_of_cid = {}
+        show_code_of = {}
+        for j, c in enumerate(charset):
+            cid_v = cid_of[c]
+            code = 0xE000 + j if j % 5 == 0 else cid_v + 0x0400
+            code_of_cid[code] = cid_v
+            show_code_of[c] = code
+
     def show(s: str) -> str:
-        return cid_hex(s, cid_of, nbytes_of) if cid else f"({_escape(s)})"
+        return cid_hex(s, show_code_of, nbytes_of) if cid else f"({_escape(s)})"
 
     font = "/F2" if cid else "/F1"
 
@@ -505,6 +530,7 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
             # half the CID docs Flate their CMap stream (real writers do)
             compress_cmap=(len(cid_of) % 2 == 0),
             cid_codespace=codespace,
+            cid_encoding=code_of_cid,
         )
     return render_minipdf(streams)
 
@@ -519,12 +545,18 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
         blob = render_pdfish(pages)
     elif kind == 4:
         # every third minipdf doc (i ≡ 4 mod 30) is CID-encoded through
-        # an Identity-H font + embedded ToUnicode CMap, and every sixth
-        # (i ≡ 34 mod 60) uses a mixed 1-/2-byte codespace — byte-
-        # identity over the corpus therefore certifies both the CID
-        # decode path and the variable-byte codespacerange walk
+        # a Type0 font + embedded ToUnicode CMap; every sixth
+        # (i ≡ 34 mod 60) uses a mixed 1-/2-byte codespace; and every
+        # twelfth (i ≡ 4 mod 120) routes /Encoding through an embedded
+        # non-identity CMap stream (codes ≠ CIDs) — byte-identity over
+        # the corpus therefore certifies the CID decode path, the
+        # variable-byte codespacerange walk, AND the two-layer
+        # code→CID→unicode decode
         blob = render_minipdf_doc(
-            pages, cid=(i % 30 == 4), mixed_codespace=(i % 60 == 34)
+            pages,
+            cid=(i % 30 == 4),
+            mixed_codespace=(i % 60 == 34),
+            scrambled_encoding=(i % 120 == 4),
         )
     else:
         blob = render_html(pages).encode("utf-8")

@@ -32,6 +32,11 @@ Type0 font objects, and each font's embedded /ToUnicode CMap stream
 maps CIDs to Unicode — including multi-code-unit UTF-16BE targets
 (surrogate pairs). ``Tf`` switches the active font mid-stream. Fonts
 without a ToUnicode CMap fall back to code=codepoint (true Identity).
+When /Encoding is an embedded CMap STREAM (not the /Identity-H name),
+its cidrange/cidchar entries add the code→CID layer — show-string hex
+then carries codes, decoded code→CID→unicode, the full two-layer walk
+real non-Identity CJK encodings require (its codespaceranges override
+ToUnicode's, their canonical home per §9.7.5.3).
 
 Simplifications vs full PDF (documented contract of the subset): one
 content stream per page in document order, literal strings UTF-8.
@@ -123,7 +128,9 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) 
         if len(hx) % 2:
             hx += "0"
         bs = bytes.fromhex(hx)
-        cmap, ranges = cur_cmap if cur_cmap else ({}, _DEFAULT_CODESPACE)
+        cmap, ranges, code2cid = (
+            cur_cmap if cur_cmap else ({}, _DEFAULT_CODESPACE, None)
+        )
         min_n = ranges[0][0]
         out = []
         i, L = 0, len(bs)
@@ -138,8 +145,9 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) 
             if used is None:
                 used = min(min_n, L - i)
                 code = int.from_bytes(bs[i:i + used], "big")
-            mapped = cmap.get(code)
-            out.append(mapped if mapped is not None else chr(code))
+            cid = _apply_code2cid(code, code2cid)
+            mapped = cmap.get(cid)
+            out.append(mapped if mapped is not None else chr(cid))
             i += used
         return "".join(out)
 
@@ -260,6 +268,9 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _FONT_RES_RE = re.compile(rb"/Font\s*<<((?:[^<>]|<[^<][^>]*>)*)>>")
 _FONT_REF_RE = re.compile(rb"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+0\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+# /Encoding as an indirect STREAM ref (embedded CMap); the /Identity-H
+# name form deliberately does not match
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
 
 # ToUnicode CMap syntax (PDF 32000 §9.10.3): bfchar pairs and bfrange
 # triples, the range destination either a scalar start or an array
@@ -277,8 +288,29 @@ _BFRANGE_ITEM_RE = re.compile(
 # 2-byte codes (PDF 32000 §9.7.5.2)
 _DEFAULT_CODESPACE: tuple[tuple[int, int, int], ...] = ((2, 0x0000, 0xFFFF),)
 
-# (cid→unicode map, codespace ranges (nbytes, lo, hi) sorted shortest-first)
-CMapTable = tuple  # tuple[dict[int, str], tuple[tuple[int, int, int], ...]]
+# (cid→unicode map, codespace ranges (nbytes, lo, hi) sorted shortest-first,
+#  code→CID mapping from an embedded /Encoding CMap — None = Identity-H,
+#  else ({code: cid} singles, ((lo, hi, cid0), …) ranges))
+CMapTable = tuple  # tuple[dict[int, str], tuple[...], tuple | None]
+
+Code2Cid = tuple  # tuple[dict[int, int], tuple[tuple[int, int, int], ...]]
+
+
+def _apply_code2cid(code: int, code2cid: Code2Cid | None) -> int:
+    """Embedded-/Encoding CMap lookup: cidchar singles first, then
+    cidrange offsets; unmapped codes pass through (Identity — the
+    spec's behavior for codes outside every cidrange is .notdef, but
+    pass-through keeps hand-rolled fragments readable)."""
+    if code2cid is None:
+        return code
+    singles, ranges = code2cid
+    cid = singles.get(code)
+    if cid is not None:
+        return cid
+    for lo, hi, cid0 in ranges:
+        if lo <= code <= hi:
+            return cid0 + (code - lo)
+    return code
 
 
 def _parse_tounicode(text: str) -> CMapTable:
@@ -319,13 +351,51 @@ def _parse_tounicode(text: str) -> CMapTable:
     for block in _BFCHAR_RE.findall(text):
         for src, dst in _HEX_PAIR_RE.findall(block):
             cmap[_code(src)] = _u(dst)
+    return cmap, _parse_codespaces(text) or _DEFAULT_CODESPACE, None
+
+
+def _parse_codespaces(text: str) -> tuple[tuple[int, int, int], ...]:
     ranges: list[tuple[int, int, int]] = []
     for block in _CODESPACE_RE.findall(text):
         for lo_h, hi_h in _HEX_PAIR_RE.findall(block):
             nbytes = max(1, len("".join(lo_h.split())) // 2)
-            ranges.append((nbytes, _code(lo_h), _code(hi_h)))
+            ranges.append((nbytes, int("".join(lo_h.split()), 16),
+                           int("".join(hi_h.split()), 16)))
     ranges.sort()
-    return cmap, tuple(ranges) or _DEFAULT_CODESPACE
+    return tuple(ranges)
+
+
+# embedded /Encoding CMap syntax (PDF 32000 §9.7.5.3): cidchar pairs and
+# cidrange triples — destinations are DECIMAL CIDs, unlike ToUnicode's hex
+_CIDRANGE_RE = re.compile(r"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(r"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_ITEM_RE = re.compile(r"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(\d+)")
+_CIDCHAR_ITEM_RE = re.compile(r"<([0-9A-Fa-f\s]+)>\s*(\d+)")
+
+
+def _parse_encoding_cmap(
+    text: str,
+) -> tuple[Code2Cid | None, tuple[tuple[int, int, int], ...]]:
+    """Embedded /Encoding CMap body → (code→CID mapping, codespaces).
+
+    This is the layer real non-Identity CJK PDFs route through: the
+    show-string carries CODES, the Encoding CMap maps codes to CIDs
+    (cidrange offset runs + cidchar singles), and only then does
+    /ToUnicode map CIDs to text. Codespaceranges canonically live HERE
+    (§9.7.5.3) — when present they override the ToUnicode ones."""
+    def _code(hx: str) -> int:
+        return int("".join(hx.split()), 16)
+
+    singles: dict[int, int] = {}
+    ranges: list[tuple[int, int, int]] = []
+    for block in _CIDRANGE_RE.findall(text):
+        for lo_h, hi_h, cid0 in _CIDRANGE_ITEM_RE.findall(block):
+            ranges.append((_code(lo_h), _code(hi_h), int(cid0)))
+    for block in _CIDCHAR_RE.findall(text):
+        for src_h, cid in _CIDCHAR_ITEM_RE.findall(block):
+            singles[_code(src_h)] = int(cid)
+    code2cid = (singles, tuple(ranges)) if (singles or ranges) else None
+    return code2cid, _parse_codespaces(text)
 
 
 def _object_slice(blob: bytes, num: int) -> tuple[int, bytes] | None:
@@ -357,29 +427,41 @@ def _object_stream(blob: bytes, num: int) -> tuple[bytes, bytes] | None:
     return obj_dict, data
 
 
-_EMPTY_CMAP: CMapTable = ({}, _DEFAULT_CODESPACE)
+_EMPTY_CMAP: CMapTable = ({}, _DEFAULT_CODESPACE, None)
 
 
-def _font_tounicode(blob: bytes, font_num: int) -> CMapTable:
-    """Resolve a font object's /ToUnicode CMap; empty table when none
-    declared (simple fonts, or Identity without a mapping)."""
+def _font_cmap(blob: bytes, font_num: int) -> CMapTable:
+    """Resolve a font object's CMap layers: /ToUnicode (CID → text) and,
+    when /Encoding is an embedded CMap STREAM rather than the
+    /Identity-H name, the code → CID layer too. Encoding-CMap
+    codespaceranges override ToUnicode's (§9.7.5.3 — that is their
+    canonical home). Empty table when neither is declared (simple
+    fonts, or Identity without a mapping)."""
     loc = _object_slice(blob, font_num)
     if loc is None:
         return _EMPTY_CMAP
+    cid2uni, spaces, _ = _EMPTY_CMAP
     tm = _TOUNICODE_RE.search(loc[1])
-    if tm is None:
-        return _EMPTY_CMAP
-    s = _object_stream(blob, int(tm.group(1)))
-    if s is None:
-        return _EMPTY_CMAP
-    return _parse_tounicode(_decode_stream(*s))
+    if tm is not None:
+        s = _object_stream(blob, int(tm.group(1)))
+        if s is not None:
+            cid2uni, spaces, _ = _parse_tounicode(_decode_stream(*s))
+    code2cid = None
+    em = _ENCODING_REF_RE.search(loc[1])
+    if em is not None:
+        s = _object_stream(blob, int(em.group(1)))
+        if s is not None:
+            code2cid, enc_spaces = _parse_encoding_cmap(_decode_stream(*s))
+            if enc_spaces:
+                spaces = enc_spaces
+    return cid2uni, spaces, code2cid
 
 
 def _page_font_cmaps(blob: bytes, page_obj: bytes,
                      cache: dict[int, CMapTable]) -> dict[str, CMapTable]:
     """Page /Resources /Font dict → {"/Fx": cmap table} for fonts that
-    carry a ToUnicode table or non-default codespace (fonts with
-    neither stay absent → Identity path)."""
+    carry a ToUnicode table, a non-default codespace, or an embedded
+    Encoding CMap (fonts with none stay absent → Identity path)."""
     fm = _FONT_RES_RE.search(page_obj)
     if fm is None:
         return {}
@@ -387,8 +469,9 @@ def _page_font_cmaps(blob: bytes, page_obj: bytes,
     for name, fnum in _FONT_REF_RE.findall(fm.group(1)):
         fnum = int(fnum)
         if fnum not in cache:
-            cache[fnum] = _font_tounicode(blob, fnum)
-        if cache[fnum][0] or cache[fnum][1] != _DEFAULT_CODESPACE:
+            cache[fnum] = _font_cmap(blob, fnum)
+        cid2uni, spaces, code2cid = cache[fnum]
+        if cid2uni or spaces != _DEFAULT_CODESPACE or code2cid is not None:
             out["/" + name.decode("ascii")] = cache[fnum]
     return out
 
@@ -553,6 +636,77 @@ def tounicode_cmap(
     return "\n".join(parts)
 
 
+def encoding_cmap(
+    code2cid: dict[int, int],
+    codespace: list[tuple[int, int, int]] | None = None,
+) -> str:
+    """{code: CID} → an embedded /Encoding CMap stream body (CMapType 1).
+    Contiguous code runs with contiguous CIDs compress to cidrange
+    triples (decimal CID start, per spec); everything else is cidchar —
+    so a generated document exercises both parser paths. Blocks capped
+    at 100 entries (spec limit)."""
+    cs = codespace or [(2, 0x0000, 0xFFFF)]
+
+    def _w(code: int) -> int:
+        for n, lo, hi in cs:
+            if lo <= code <= hi:
+                return n
+        return 2
+
+    def _src(code: int) -> str:
+        return f"{code:0{2 * _w(code)}X}"
+
+    ranges: list[tuple[int, int, int]] = []      # (lo, hi, cid_start)
+    chars: list[tuple[int, int]] = []
+    for code in sorted(code2cid):
+        cid = code2cid[code]
+        if (
+            ranges
+            and ranges[-1][1] == code - 1
+            and cid == ranges[-1][2] + (code - ranges[-1][0])
+            and (code & 0xFF) != 0  # don't span the low-byte wrap
+            and _w(code) == _w(ranges[-1][0])
+        ):
+            lo, _, c0 = ranges[-1]
+            ranges[-1] = (lo, code, c0)
+        else:
+            ranges.append((code, code, cid))
+    chars.extend((lo, c0) for lo, hi, c0 in ranges if lo == hi)
+    ranges = [r for r in ranges if r[0] != r[1]]
+    chars.sort()
+
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Test) /Ordering (Scrambled) /Supplement 0 >> def",
+        "/CMapName /Test-Scrambled-H def",
+        "/CMapType 1 def",
+        f"{len(cs)} begincodespacerange",
+        *[f"<{lo:0{2 * n}X}> <{hi:0{2 * n}X}>" for n, lo, hi in cs],
+        "endcodespacerange",
+    ]
+    for i in range(0, len(ranges), 100):
+        chunk = ranges[i:i + 100]
+        parts.append(f"{len(chunk)} begincidrange")
+        for lo, hi, c0 in chunk:
+            parts.append(f"<{_src(lo)}> <{_src(hi)}> {c0}")
+        parts.append("endcidrange")
+    for i in range(0, len(chars), 100):
+        chunk = chars[i:i + 100]
+        parts.append(f"{len(chunk)} begincidchar")
+        for code, cid in chunk:
+            parts.append(f"<{_src(code)}> {cid}")
+        parts.append("endcidchar")
+    parts += [
+        "endcmap",
+        "CMapName currentdict /CMap defineresource pop",
+        "end",
+        "end",
+    ]
+    return "\n".join(parts)
+
+
 def render_minipdf(
     pages_streams: list[str],
     rotations: list[int] | None = None,
@@ -560,6 +714,7 @@ def render_minipdf(
     cid_cmap: dict[int, str] | None = None,
     compress_cmap: bool = False,
     cid_codespace: list[tuple[int, int, int]] | None = None,
+    cid_encoding: dict[int, int] | None = None,
 ) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
     (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
@@ -568,7 +723,10 @@ def render_minipdf(
     ``cid_cmap`` ({CID: unicode}) adds an Identity-H Type0 font ``/F2``
     with an embedded /ToUnicode CMap stream (Flate'd when
     ``compress_cmap``) — content streams may then show text as
-    ``/F2 … Tf <hex> Tj`` (see ``cid_hex``)."""
+    ``/F2 … Tf <hex> Tj`` (see ``cid_hex``). ``cid_encoding``
+    ({code: CID}) additionally routes /F2's /Encoding through an
+    embedded CMap stream object (cidrange/cidchar) instead of the
+    /Identity-H name — show-string hex then carries CODES, not CIDs."""
     objects: list[bytes] = []
     n_pages = len(pages_streams)
     f1_num = 3 + 2 * n_pages
@@ -600,22 +758,32 @@ def render_minipdf(
             )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     if cid_cmap is not None:
+        enc = (
+            "/Identity-H"
+            if cid_encoding is None
+            else f"{f1_num + 3} 0 R"
+        )
         objects.append(
             (
                 f"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Identity-H "
-                f"/Encoding /Identity-H /ToUnicode {f1_num + 2} 0 R >>"
+                f"/Encoding {enc} /ToUnicode {f1_num + 2} 0 R >>"
             ).encode()
         )
-        cm = tounicode_cmap(cid_cmap, cid_codespace).encode("utf-8")
-        if compress_cmap:
-            cm = zlib.compress(cm)
+
+        def _cmap_stream(body: str) -> bytes:
+            cm = body.encode("utf-8")
+            if compress_cmap:
+                cm = zlib.compress(cm)
+                return (
+                    b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(cm), cm)
+                )
+            return b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cm), cm)
+
+        objects.append(_cmap_stream(tounicode_cmap(cid_cmap, cid_codespace)))
+        if cid_encoding is not None:
             objects.append(
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
-                % (len(cm), cm)
-            )
-        else:
-            objects.append(
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cm), cm)
+                _cmap_stream(encoding_cmap(cid_encoding, cid_codespace))
             )
 
     out = bytearray(b"%PDF-1.4\n")

@@ -413,22 +413,23 @@ def test_tounicode_bfrange_forms():
     got = _parse_tounicode(
         "1 beginbfrange\n<0001> <0003> [<0041> <0058> <005A>]\nendbfrange"
     )
-    assert got == ({1: "A", 2: "X", 3: "Z"}, default_cs)
+    assert got == ({1: "A", 2: "X", 3: "Z"}, default_cs, None)
     got = _parse_tounicode("1 beginbfrange\n<0010> <0012> <0061>\nendbfrange")
-    assert got == ({0x10: "a", 0x11: "b", 0x12: "c"}, default_cs)
+    assert got == ({0x10: "a", 0x11: "b", 0x12: "c"}, default_cs, None)
     got = _parse_tounicode("1 beginbfchar\n<0007> <D834DD1E>\nendbfchar")
-    assert got == ({7: "\U0001D11E"}, default_cs)
+    assert got == ({7: "\U0001D11E"}, default_cs, None)
     # writer→parser roundtrip: contiguous runs emit bfrange, the rest
     # bfchar; the writer's codespace declaration parses back verbatim
     cmap = {i: chr(0x40 + i) for i in range(1, 6)} | {9: "你", 10: "\U0001D11E"}
     body = tounicode_cmap(cmap)
     assert "beginbfrange" in body and "beginbfchar" in body
-    assert _parse_tounicode(body) == (cmap, default_cs)
+    assert _parse_tounicode(body) == (cmap, default_cs, None)
     cs = [(1, 0x00, 0x7F), (2, 0x8140, 0xFFFF)]
     body = tounicode_cmap({0x01: "A", 0x8140: "你"}, cs)
     assert _parse_tounicode(body) == (
         {0x01: "A", 0x8140: "你"},
         tuple(sorted(cs)),
+        None,
     )
 
 
@@ -513,3 +514,75 @@ def test_page_decomposition_identical_output(spark):
     assert set(plain) == set(decomp)
     for k in plain:
         assert plain[k] == decomp[k], k
+
+
+def test_minipdf_embedded_encoding_cmap():
+    """Two-layer CID decode (the path every real non-Identity CJK PDF
+    takes): /Encoding is an embedded CMap STREAM mapping codes→CIDs
+    (cidrange offset run + cidchar singles), /ToUnicode maps CIDs→text.
+    Show-string hex carries CODES — identity decoding of them yields
+    garbage, so a correct round-trip proves both layers were walked."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        _parse_encoding_cmap,
+        cid_hex,
+        encoding_cmap,
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    s = "你好 world"
+    charset = sorted(set(s))
+    cid_of = {c: i + 1 for i, c in enumerate(charset)}
+    # contiguous +0x0400 run (→ cidrange) plus one irregular single (→ cidchar)
+    code_of = {c: cid_of[c] + 0x0400 for c in charset}
+    code_of[charset[0]] = 0xE000
+    enc = {code: cid_of[c] for c, code in code_of.items()}
+    body = encoding_cmap(enc)
+    assert "begincidrange" in body and "begincidchar" in body
+    code2cid, spaces = _parse_encoding_cmap(body)
+    singles, ranges = code2cid
+    assert singles[0xE000] == cid_of[charset[0]]
+    assert any(lo <= 0x0402 <= hi for lo, hi, _ in ranges)
+
+    stream = "BT /F2 10 Tf 1 0 0 1 20 772 Tm " + cid_hex(s, code_of) + " Tj ET"
+    for compress_cmap in (False, True):
+        blob = render_minipdf(
+            [stream],
+            cid_cmap={v: k for k, v in cid_of.items()},
+            compress_cmap=compress_cmap,
+            cid_encoding=enc,
+        )
+        pages = parse_minipdf(blob)
+        # neither CMap stream may be mistaken for a page
+        assert len(pages) == 1, [p["page_text"] for p in pages]
+        assert pages[0]["page_text"] == s
+
+
+def test_minipdf_encoding_cmap_corpus_byte_identity():
+    """Corpus scrambled-encoding docs (i ≡ 4 mod 120) stay
+    byte-identical: their show hex carries codes ≠ CIDs, so identity
+    certifies the kernel's code→CID→unicode walk end-to-end."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    for i in (4, 124, 244):
+        _, _, blob, text, _ = make_doc(i)
+        assert b"begincidrange" in blob or b"/FlateDecode" in blob
+        got = "\n".join(p["page_text"] for p in parse_doc(blob))
+        assert got == text, i
+
+
+def test_encoding_cmap_without_tounicode_falls_back_to_chr():
+    """A font with ONLY an embedded Encoding CMap (no ToUnicode) still
+    resolves codes→CIDs, then chr(CID) — never chr(code)."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    blob = render_minipdf(
+        ["BT /F2 10 Tf 1 0 0 1 20 772 Tm <0441> Tj ET"],
+        cid_cmap={},
+        cid_encoding={0x0441: ord("A")},
+    )
+    assert parse_minipdf(blob)[0]["page_text"] == "A"
