@@ -734,6 +734,19 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+_MIX_QUOTAS = {"en": 120, "zh": 40, "fr": 25}  # de/es: dropped
+
+
+def _q_stratified_topk(spark, sf):
+    """Exact per-stratum quota sampling (absolute counts, not rates):
+    deterministic-draw rank within each stratum, keep the first k."""
+    from pdf_context_extractor_agent_spark.functions.sampling import stratified_topk
+
+    return stratified_topk(_t(spark, sf, "documents"), _MIX_QUOTAS).select(
+        "doc_id", "lang", "u", "rank"
+    )
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark decontamination: fraction of each document's distinct
     word 3-grams appearing in the held-out set (doc_id % 97 == 0)."""
@@ -995,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": _q_dedup_exact,
         "q_fingerprint": _q_fingerprint,
         "q_stratified_sample": _q_stratified_sample,
+        "q_stratified_topk": _q_stratified_topk,
         "q_ivf_topk": _q_ivf_topk,
         "q_decontaminate": _q_decontaminate,
         "q_token_counts": _q_token_counts,
@@ -1299,6 +1313,19 @@ dim AS (
             WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8
                                 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.6
                                 ELSE 0.0 END""",
+        "q_stratified_topk": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     round((('0x' || substr(md5('mix-v1:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                            / 4294967296.0), 6) AS u
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang, u,
+                     row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank
+              FROM d)
+            SELECT doc_id, lang, u, rank FROM r
+            WHERE rank <= CASE lang WHEN 'en' THEN 120 WHEN 'zh' THEN 40
+                                    WHEN 'fr' THEN 25 ELSE 0 END""",
         "q_decontaminate": f"""
             {shingle_cte},
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

@@ -54,6 +54,41 @@ def stratified_sample(
     return docs.withColumn("u", F.round(u, 6)).filter(F.col("u") < rate)
 
 
+def stratified_topk(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """EXACT per-stratum quotas (keep exactly k of stratum s, not a
+    rate): rank each stratum by the deterministic draw and keep the
+    first k. Complements ``stratified_sample`` when the mixing recipe
+    is written in absolute document counts ("2M docs of code") rather
+    than rates.
+
+    The window partitions on the stratum — a handful of partitions,
+    each potentially huge, which is exactly the case where a naive
+    global sort serializes. That is fine HERE because row_number over
+    (stratum, draw) shuffles only (keys, draw), never bodies, and at
+    quotas ≪ stratum sizes a production run would pre-filter with
+    ``stratified_sample`` at a safe rate first (two-phase: rate-gate
+    10× the quota, then exact-rank the survivors — the standard
+    top-k-per-group shape)."""
+    from pyspark.sql import Window
+
+    u = F.round(deterministic_uniform(F.col(key_col), salt), 6)
+    quota: Column = F.lit(0)
+    for stratum, k in sorted(quotas.items()):
+        quota = F.when(F.col(stratum_col) == stratum, F.lit(int(k))).otherwise(quota)
+    w = Window.partitionBy(stratum_col).orderBy("u", key_col)
+    return (
+        docs.withColumn("u", u)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= quota)
+    )
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -123,3 +123,36 @@ def test_pack_sequences_row_window_is_partitioned(spark):
     assert re.search(r"windowspecdefinition\(_pid#\d+, doc_id#\d+L ASC", plan), plan
     # and NO window globally ordered by doc_id (no partition key)
     assert not re.search(r"windowspecdefinition\(doc_id#\d+L ASC", plan), plan
+
+
+def test_stratified_topk_exact_quotas_and_determinism(spark):
+    from pdf_context_extractor_agent_spark.functions.sampling import stratified_topk
+
+    docs = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "zh")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = stratified_topk(docs, {"en": 50, "zh": 7, "fr": 500}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["en"]) == 50
+    assert len(by_lang["zh"]) == 7
+    # quota above stratum size keeps the whole stratum
+    assert len(by_lang["fr"]) == 200
+    # ranks are 1..k and selection is rerun-deterministic
+    assert sorted(r["rank"] for r in by_lang["zh"]) == list(range(1, 8))
+    again = stratified_topk(docs, {"en": 50, "zh": 7, "fr": 500}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_stratified_topk_drops_unlisted_strata(spark):
+    from pdf_context_extractor_agent_spark.functions.sampling import stratified_topk
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.lit("de").alias("lang")
+    )
+    assert stratified_topk(docs, {"en": 10}).count() == 0
