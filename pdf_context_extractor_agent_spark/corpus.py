@@ -393,7 +393,8 @@ def render_pdfish(pages: list[Page]) -> bytes:
 
 def render_minipdf_doc(pages: list[Page], cid: bool = False,
                        mixed_codespace: bool = False,
-                       scrambled_encoding: bool = False) -> bytes:
+                       scrambled_encoding: bool = False,
+                       objstm: bool = False) -> bytes:
     """Render the content model as a structurally valid minimal PDF:
     same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
     ruling-line grids) but expressed in real PDF content-stream
@@ -420,7 +421,11 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
     compresses to cidrange, plus scattered cidchar singles), the
     Encoding CMap maps codes→CIDs, and /ToUnicode maps CIDs→text —
     the two-layer decode every real non-Identity CJK PDF performs
-    (reference dep: pdfplumber, src/pdf_reader.py:17-29)."""
+    (reference dep: pdfplumber, src/pdf_reader.py:17-29).
+
+    ``objstm=True`` emits the PDF 1.5 layout (dict objects packed in a
+    Flate'd /ObjStm, binary cross-reference stream) — what every modern
+    real-world writer produces by default."""
     from .kernels.minipdf_layout import PAGE_H, _escape, cid_hex, render_minipdf
 
     cid_of: dict[str, int] = {}
@@ -531,8 +536,9 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
             compress_cmap=(len(cid_of) % 2 == 0),
             cid_codespace=codespace,
             cid_encoding=code_of_cid,
+            objstm=objstm,
         )
-    return render_minipdf(streams)
+    return render_minipdf(streams, objstm=objstm)
 
 
 def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
@@ -552,11 +558,15 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
         # the corpus therefore certifies the CID decode path, the
         # variable-byte codespacerange walk, AND the two-layer
         # code→CID→unicode decode
+        # every fifth (i ≡ 24 mod 50) additionally uses the PDF 1.5
+        # ObjStm + xref-stream layout (intersecting the CID slices at
+        # e.g. i ≡ 124 mod 150, so the combined path is corpus-covered)
         blob = render_minipdf_doc(
             pages,
             cid=(i % 30 == 4),
             mixed_codespace=(i % 60 == 34),
             scrambled_encoding=(i % 120 == 4),
+            objstm=(i % 50 == 24),
         )
     else:
         blob = render_html(pages).encode("utf-8")

@@ -239,18 +239,32 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) 
 _PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 
 
+def _objstm_page_bodies(blob: bytes) -> list[bytes]:
+    """Page-object bodies packed in /ObjStm streams, in pack order
+    (the writer's page order; a full /Kids tree walk is unnecessary for
+    the single-tree subset this kernel handles)."""
+    return [
+        body
+        for body in _objstm_lookup_all(blob).values()
+        if _PAGE_OBJ_RE.search(body)
+    ]
+
+
 def _page_rotations(blob: bytes) -> list[int]:
     """/Rotate values of the page objects in document order (reference
     get_page_info rotation metadata, src/pdf_reader.py:102-136)."""
     rotations = []
-    for m in _PAGE_OBJ_RE.finditer(blob):
-        obj = blob[m.start():blob.find(b"endobj", m.start())]
+    objs = [
+        blob[m.start(): blob.find(b"endobj", m.start())]
+        for m in _PAGE_OBJ_RE.finditer(blob)
+    ] or _objstm_page_bodies(blob)
+    for obj in objs:
         r = re.search(rb"/Rotate\s+(-?\d+)", obj)
         rotations.append(int(r.group(1)) if r else 0)
     return rotations
 
 
-def _decode_stream(obj_dict: bytes, data: bytes) -> str:
+def _decode_stream_bytes(obj_dict: bytes, data: bytes) -> bytes:
     """Apply /FlateDecode when declared; pass through otherwise. A
     corrupt deflate stream degrades to raw bytes (never raises)."""
     if b"/FlateDecode" in obj_dict:
@@ -260,7 +274,11 @@ def _decode_stream(obj_dict: bytes, data: bytes) -> str:
             data = zlib.decompressobj().decompress(data)
         except zlib.error:
             pass
-    return data.decode("utf-8", errors="replace")
+    return data
+
+
+def _decode_stream(obj_dict: bytes, data: bytes) -> str:
+    return _decode_stream_bytes(obj_dict, data).decode("utf-8", errors="replace")
 
 
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
@@ -398,13 +416,93 @@ def _parse_encoding_cmap(
     return code2cid, _parse_codespaces(text)
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _iter_streams(blob: bytes):
+    """Yield (obj_dict, raw stream bytes, end pos) for every stream in
+    document order, /Length authoritative — the same manual-resume scan
+    parse_minipdf's fallback path uses (a lazy regex alone stops at a
+    literal 'endstream' INSIDE binary Flate data)."""
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(blob, pos)
+        if m is None:
+            return
+        obj_dict, data = m.group(1), m.group(2)
+        pos = m.end()
+        lm = _LENGTH_RE.search(obj_dict)
+        if lm:
+            n = int(lm.group(1))
+            data = blob[m.start(2): m.start(2) + n]
+            end = blob.find(b"endstream", m.start(2) + n)
+            pos = end + len(b"endstream") if end >= 0 else len(blob)
+        yield obj_dict, data, pos
+
+
+def _objstm_index(blob: bytes) -> dict[int, bytes]:
+    """Object-stream (PDF 1.5 §7.5.7) index: {objnum: body bytes} for
+    every object packed inside a /Type /ObjStm stream — the layout
+    every modern real-world writer emits (dict-type objects compressed
+    together; content/CMap streams stay top-level by spec). The stream
+    body is ``num₁ off₁ num₂ off₂ …`` header pairs, then the object
+    bodies starting at /First, offsets relative to it.
+
+    Cached per blob: object resolution is called per font/page and the
+    index costs one Flate pass (bytes hashes memoize in CPython, so the
+    lru key is cheap after the first call)."""
+    idx: dict[int, bytes] = {}
+    if b"/ObjStm" not in blob:
+        return idx
+    for obj_dict, data, _ in _iter_streams(blob):
+        if b"/ObjStm" not in obj_dict:
+            continue
+        nm, fm = _OBJSTM_N_RE.search(obj_dict), _OBJSTM_FIRST_RE.search(obj_dict)
+        if nm is None or fm is None:
+            continue
+        body = _decode_stream_bytes(obj_dict, data)
+        n, first = int(nm.group(1)), int(fm.group(1))
+        toks = body[:first].split()
+        pairs = [
+            (int(toks[2 * i]), int(toks[2 * i + 1]))
+            for i in range(min(n, len(toks) // 2))
+        ]
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(body) - first
+            idx[num] = body[first + off: first + end]
+    return idx
+
+
+# tiny per-blob memo for the ObjStm index: parse_minipdf resolves many
+# objects against the same blob sequentially, and tasks process docs
+# one at a time, so a 4-slot cache gives hit-rate ≈ 1 with no footprint
+_OBJSTM_CACHE: dict[int, tuple[bytes, dict[int, bytes]]] = {}
+
+
+def _objstm_lookup_all(blob: bytes) -> dict[int, bytes]:
+    slot = hash(blob) & 3
+    hit = _OBJSTM_CACHE.get(slot)
+    if hit is None or hit[0] is not blob:
+        hit = (blob, _objstm_index(blob))
+        _OBJSTM_CACHE[slot] = hit
+    return hit[1]
+
+
+def _objstm_lookup(blob: bytes, num: int) -> bytes | None:
+    return _objstm_lookup_all(blob).get(num)
+
+
 def _object_slice(blob: bytes, num: int) -> tuple[int, bytes] | None:
     """(start offset, bytes) of ``num 0 obj … endobj``; None if absent.
     The endobj bound is advisory only (stream bodies may contain the
-    literal) — callers that read streams re-bound via /Length."""
+    literal) — callers that read streams re-bound via /Length. Objects
+    not at the top level resolve through the ObjStm index (offset -1:
+    packed objects have no top-level position)."""
     m = re.search(rb"(?<![0-9])" + str(num).encode() + rb"\s+0\s+obj\b", blob)
     if m is None:
-        return None
+        body = _objstm_lookup(blob, num)
+        return (-1, body) if body is not None else None
     end = blob.find(b"endobj", m.end())
     return m.end(), blob[m.end(): end if end >= 0 else len(blob)]
 
@@ -413,7 +511,8 @@ def _object_stream(blob: bytes, num: int) -> tuple[bytes, bytes] | None:
     """(dict bytes, raw stream bytes) of object ``num``, /Length
     authoritative when declared (binary data may contain 'endstream')."""
     loc = _object_slice(blob, num)
-    if loc is None:
+    if loc is None or loc[0] < 0:
+        # ObjStm-packed objects carry no stream by spec (§7.5.7)
         return None
     start, _ = loc
     m = _STREAM_RE.search(blob, start)
@@ -493,6 +592,13 @@ def parse_minipdf(blob: bytes) -> list[dict]:
         obj = blob[m.start(): end if end >= 0 else len(blob)]
         cm = _CONTENTS_RE.search(obj)
         page_objs.append((int(cm.group(1)) if cm else None, obj))
+    if not page_objs:
+        # PDF 1.5 layout: page dicts live inside /ObjStm object streams
+        # (the modern writers' default) — walk the unpacked index in
+        # stream order; content streams stay top-level by spec
+        for obj in _objstm_page_bodies(blob):
+            cm = _CONTENTS_RE.search(obj)
+            page_objs.append((int(cm.group(1)) if cm else None, obj))
 
     structured = bool(page_objs) and all(c is not None for c, _ in page_objs)
     if structured:
@@ -715,6 +821,7 @@ def render_minipdf(
     compress_cmap: bool = False,
     cid_codespace: list[tuple[int, int, int]] | None = None,
     cid_encoding: dict[int, int] | None = None,
+    objstm: bool = False,
 ) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
     (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
@@ -726,7 +833,13 @@ def render_minipdf(
     ``/F2 … Tf <hex> Tj`` (see ``cid_hex``). ``cid_encoding``
     ({code: CID}) additionally routes /F2's /Encoding through an
     embedded CMap stream object (cidrange/cidchar) instead of the
-    /Identity-H name — show-string hex then carries CODES, not CIDs."""
+    /Identity-H name — show-string hex then carries CODES, not CIDs.
+    ``objstm=True`` emits the PDF 1.5 layout modern writers default to:
+    every dict-type object (catalog, page tree, page dicts, fonts)
+    packs into one Flate'd /ObjStm object stream, content/CMap streams
+    stay top-level (§7.5.7 forbids streams in ObjStm), and the classic
+    xref table + trailer are replaced by a binary cross-reference
+    STREAM with type-2 (packed) entries (§7.5.8)."""
     objects: list[bytes] = []
     n_pages = len(pages_streams)
     f1_num = 3 + 2 * n_pages
@@ -786,6 +899,8 @@ def render_minipdf(
                 _cmap_stream(encoding_cmap(cid_encoding, cid_codespace))
             )
 
+    if objstm:
+        return _assemble_objstm(objects)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
@@ -801,3 +916,61 @@ def render_minipdf(
         % (len(objects) + 1, xref_pos)
     )
     return bytes(out)
+
+
+def _assemble_objstm(objects: list[bytes]) -> bytes:
+    """PDF 1.5 assembly: dict objects → one Flate'd /ObjStm; stream
+    objects top-level; binary cross-reference stream instead of the
+    classic xref table + trailer (W [1 4 2]: type byte, 4-byte offset/
+    objstm-number, 2-byte gen/index)."""
+    packed = [(i + 1, obj) for i, obj in enumerate(objects) if b"stream\n" not in obj]
+    top = [(i + 1, obj) for i, obj in enumerate(objects) if b"stream\n" in obj]
+    s_num = len(objects) + 1  # the ObjStm object
+    x_num = len(objects) + 2  # the XRef stream object
+
+    header = " ".join(f"{num} {off}" for num, off in _objstm_offsets(packed))
+    first = len(header) + 1
+    body = (header + "\n" + "".join(o.decode("latin-1") for _, o in packed)).encode(
+        "latin-1"
+    )
+    zbody = zlib.compress(body)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream" % (len(packed), first, len(zbody), zbody)
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, obj in top + [(s_num, objstm_obj)]:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + obj + b"\nendobj\n"
+
+    xref_pos = len(out)
+    packed_idx = {num: i for i, (num, _) in enumerate(packed)}
+    rows = bytearray()
+    for num in range(x_num + 1):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in packed_idx:
+            t, f2, f3 = 2, s_num, packed_idx[num]
+        elif num == x_num:
+            t, f2, f3 = 1, xref_pos, 0
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    zrows = zlib.compress(bytes(rows))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (x_num, x_num + 1, len(zrows), zrows)
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+def _objstm_offsets(packed: list[tuple[int, bytes]]) -> list[tuple[int, int]]:
+    pairs, off = [], 0
+    for num, obj in packed:
+        pairs.append((num, off))
+        off += len(obj)
+    return pairs

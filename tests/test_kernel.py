@@ -586,3 +586,60 @@ def test_encoding_cmap_without_tounicode_falls_back_to_chr():
         cid_encoding={0x0441: ord("A")},
     )
     assert parse_minipdf(blob)[0]["page_text"] == "A"
+
+
+def test_minipdf_objstm_xref_stream_layout():
+    """PDF 1.5 object streams (§7.5.7) + cross-reference stream
+    (§7.5.8) — the layout every modern real-world writer emits: dict
+    objects (catalog, page tree, pages, fonts) pack into one Flate'd
+    /ObjStm, content/CMap streams stay top-level, classic xref table +
+    trailer are replaced by a binary xref stream with type-2 entries.
+    The reader resolves packed objects through the ObjStm index."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        cid_hex,
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    blob = render_minipdf(
+        ["BT /F1 10 Tf 1 0 0 1 20 772 Tm (hello objstm) Tj ET",
+         "BT /F1 10 Tf 1 0 0 1 20 772 Tm (page two) Tj ET"],
+        rotations=[0, 270],
+        objstm=True,
+    )
+    assert blob.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in blob and b"/Type /XRef" in blob
+    assert b"trailer" not in blob  # xref stream replaces the trailer
+    # page dicts must NOT be visible at the top level (they're packed)
+    assert b"/Type /Page /Parent" not in blob
+    pages = parse_minipdf(blob)
+    assert [p["page_text"] for p in pages] == ["hello objstm", "page two"]
+    assert [p["rotation"] for p in pages] == [0, 270]
+
+    # combined with the full CID stack: Type0 font + ToUnicode +
+    # embedded Encoding CMap, all resolved through the ObjStm index
+    s = "你好 world"
+    cid_of = {c: i + 1 for i, c in enumerate(sorted(set(s)))}
+    code_of = {c: v + 0x0400 for c, v in cid_of.items()}
+    blob = render_minipdf(
+        ["BT /F2 10 Tf 1 0 0 1 20 772 Tm " + cid_hex(s, code_of) + " Tj ET"],
+        cid_cmap={v: k for k, v in cid_of.items()},
+        cid_encoding={v + 0x0400: v for v in cid_of.values()},
+        compress_cmap=True,
+        objstm=True,
+    )
+    pages = parse_minipdf(blob)
+    assert len(pages) == 1 and pages[0]["page_text"] == s
+
+
+def test_minipdf_objstm_corpus_byte_identity():
+    """Corpus ObjStm docs (i ≡ 24 mod 50, incl. the CID intersection at
+    i ≡ 124 mod 150) stay byte-identical through parse_doc dispatch."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    for i in (24, 74, 124, 274):
+        _, _, blob, text, _ = make_doc(i)
+        assert b"/ObjStm" in blob, i
+        got = "\n".join(p["page_text"] for p in parse_doc(blob))
+        assert got == text, i
