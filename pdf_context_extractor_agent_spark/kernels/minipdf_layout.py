@@ -634,6 +634,15 @@ def parse_minipdf(blob: bytes) -> list[dict]:
                 data = blob[m.start(2): m.start(2) + n]
                 end = blob.find(b"endstream", m.start(2) + n)
                 pos = end + len(b"endstream") if end >= 0 else len(blob)
+            # non-content streams are never pages: ObjStm/XRef carry
+            # packed objects or binary xref rows, CMap streams carry
+            # /CIDInit procsets — tokenizing any of them emits garbage
+            if (
+                b"/ObjStm" in obj_dict
+                or b"/XRef" in obj_dict
+                or b"CIDInit" in data[:64]
+            ):
+                continue
             pages_raw.append(_tokenize_stream(_decode_stream(obj_dict, data)))
 
     rotations = _page_rotations(blob)

@@ -3,6 +3,7 @@
 from .pipeline import (  # noqa: F401
     stream_pages,
     streaming_exact_dedup,
+    streaming_extract_statements,
     streaming_lang_counts,
     streaming_page_text,
     streaming_quality,

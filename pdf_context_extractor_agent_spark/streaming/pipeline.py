@@ -88,6 +88,44 @@ def _dedup_fn(
     yield pd.DataFrame(out, columns=["content_hash", "url", "is_first"])
 
 
+def streaming_extract_statements(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    statements: tuple[str, ...] = ("balance_sheet", "income_statement", "cash_flow"),
+):
+    """Full statement extraction on the ingest stream via foreachBatch.
+
+    The extraction plan is window- and join-heavy (cross-page merge,
+    structure anchors, first-occurrence dedup), which Structured
+    Streaming cannot compose incrementally — so each micro-batch runs
+    the IDENTICAL batch plan and appends, the standard pattern for
+    complex batch logic on streams. Per-document extraction is
+    batch-local by construction (no cross-document state), so
+    micro-batch boundaries cannot change results. Exactly-once comes
+    from the streaming checkpoint: a replayed batch id rewrites the
+    same rows (tagged ``batch_id``), and downstream readers dedup on
+    (url, statement_type, row_order) if a retry raced a crash.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..plans import parse_statements
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_statements(extract_pages(batch_df), spark, statements)["parsed"]
+        parsed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    return (
+        stream_pages(spark, input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: cross-micro-batch exact dedup.
 

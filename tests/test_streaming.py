@@ -72,3 +72,33 @@ def test_streaming_stateful_dedup(spark, stream_dir, tmp_path):
     assert mirror and not by_url[mirror[0]]
     firsts = [u for u, f in by_url.items() if f]
     assert len(firsts) == 6
+
+
+def test_streaming_extract_statements_matches_batch(spark, stream_dir, tmp_path):
+    """foreachBatch full extraction on the ingest stream produces the
+    same parsed rows as the batch plan over the same documents (per-doc
+    extraction has no cross-document state, so micro-batch boundaries
+    cannot change results)."""
+    from pdf_context_extractor_agent_spark.corpus import PAGES_SCHEMA
+    from pdf_context_extractor_agent_spark.kernels import extract_pages
+    from pdf_context_extractor_agent_spark.plans import parse_statements
+    from pdf_context_extractor_agent_spark.streaming import (
+        streaming_extract_statements,
+    )
+
+    out = str(tmp_path / "parsed_stream")
+    q = streaming_extract_statements(
+        spark, f"{stream_dir}/*", out, str(tmp_path / "ckpt_extract")
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).drop("batch_id")
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(f"{stream_dir}/*")
+    want = parse_statements(extract_pages(pages), spark)["parsed"]
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    def rows(df):
+        return sorted(tuple(map(repr, r)) for r in df.select(*cols).collect())
+
+    g, w = rows(got), rows(want)
+    assert g == w and len(g) > 0
