@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--decompose-jumbo", action="store_true",
                     help="split oversized HTML docs at page boundaries before "
                          "the kernel (page-level skew decomposition)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="treat --input as a streaming file source (glob): run "
+                         "the full extraction per micro-batch via foreachBatch "
+                         "with exactly-once checkpointing; writes parsed/ only")
     args = ap.parse_args()
     if not args.input and not args.demo_docs and not args.input_warc:
         ap.error("one of --input / --input-warc / --demo-docs is required")
@@ -70,6 +74,23 @@ def main() -> int:
 
     spark = get_spark(app_name="run_pipeline", cores=args.cores)
     t0 = time.monotonic()
+    if args.streaming:
+        if not args.input:
+            ap.error("--streaming requires --input (a file-source glob)")
+        from pdf_context_extractor_agent_spark.streaming import (
+            streaming_extract_statements,
+        )
+
+        q = streaming_extract_statements(
+            spark,
+            args.input,
+            f"{args.output}/parsed",
+            f"{args.output}/ckpt",
+            tuple(args.statements.split(",")),
+        )
+        q.awaitTermination()
+        print(f"streaming done in {time.monotonic() - t0:.1f}s → {args.output}/parsed")
+        return 0
     if args.demo_docs:
         pages = pages_df(spark, args.demo_docs)
     elif args.input_warc:
