@@ -786,6 +786,67 @@ def _q_script_features(spark, sf):
     )
 
 
+def _gopher_text(spark, sf) -> DataFrame:
+    """Deterministic multi-line text for the Gopher line/paragraph
+    metrics (the flat corpus has no newlines): words chunked into
+    8-word lines, 3-line paragraphs, plus doc_id-keyed tails that
+    exercise the stop-word / bullet / ellipsis / symbol rules. Mirrored
+    verbatim in the DuckDB oracles."""
+    docs = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    staged = docs.select("doc_id", F.split(norm, " ").alias("_w"))
+    w = F.col("_w")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(8.0)).cast("int"), F.lit(1))
+    staged = staged.withColumn(
+        "_lines",
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 8 + 1, 8)),
+        ),
+    )
+    l = F.col("_lines")
+    n_paras = F.greatest(F.ceil(F.size(l) / F.lit(3.0)).cast("int"), F.lit(1))
+    paras = F.transform(
+        F.sequence(F.lit(1), n_paras),
+        lambda j: F.concat_ws("\n", F.slice(l, (j - 1) * 3 + 1, 3)),
+    )
+    text = F.concat(
+        F.concat_ws("\n\n", paras),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\nof and to be that have with tail")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\n- bullet item\n- another bullet..."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n### symbols ... more # # # # # # # # #"),
+        ).otherwise(F.lit("")),
+    )
+    return staged.select("doc_id", text.alias("text"))
+
+
+def _q_gopher_repetition(spark, sf):
+    """Full Gopher repetition suite (line/para dup fractions + top/dup
+    n-gram char fractions, n=2..10) over deterministically line-chunked
+    corpus text — pure per-row array folds, zero exchanges."""
+    from pdf_context_extractor_agent_spark.functions.quality import gopher_repetition
+
+    r = gopher_repetition(_gopher_text(spark, sf))
+    return r.select(
+        "doc_id", *[F.round(c, 6).alias(c) for c in r.columns if c != "doc_id"]
+    )
+
+
+def _q_gopher_gate(spark, sf):
+    """Gopher Table-A1 document gate: every rule as a named pass flag,
+    keep = all pass, fail_reasons = ordered comma-joined failures."""
+    from pdf_context_extractor_agent_spark.functions.quality import gopher_gate
+
+    return gopher_gate(_gopher_text(spark, sf))
+
+
 def _q_dup_spans(spark, sf):
     """Substring-level exact dedup: duplicated k-token window spans
     (canonical occurrence exempt), merged to maximal intervals.
@@ -1031,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_remove_dup_spans": _q_remove_dup_spans,
         "q_script_features": _q_script_features,
+        "q_gopher_repetition": _q_gopher_repetition,
+        "q_gopher_gate": _q_gopher_gate,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -1069,6 +1132,125 @@ WITH words AS (
   FROM words
 )"""
     lang_tokens = r"greatest(len(string_split_regex(trim(text), '\s+')), 1)"
+    # shared prefix for the two Gopher oracles: the SAME deterministic
+    # line/paragraph synthesis as _gopher_text, then the derived views
+    # (words / lines / paragraphs) the Spark function itself computes,
+    # and per-(doc, n) n-gram char aggregates (top / dup / tot)
+    gopher_cte = f"""
+WITH w0 AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+l0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(ceil(len(w)/8.0)::INT, 1)),
+                        i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')) AS lines
+  FROM w0),
+p0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(ceil(len(lines)/3.0)::INT, 1)),
+                        j -> array_to_string(lines[(j-1)*3+1:(j-1)*3+3], chr(10))) AS paras
+  FROM l0),
+t0 AS (
+  SELECT doc_id,
+         array_to_string(paras, chr(10)||chr(10))
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10)||'of and to be that have with tail' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- bullet item'||chr(10)||'- another bullet...' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10)||'### symbols ... more # # # # # # # # #' ELSE '' END AS text
+  FROM p0),
+d0 AS (
+  SELECT doc_id, text,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w2,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS l2,
+         list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'), x -> trim(x)),
+                     x -> x <> '') AS p2
+  FROM t0),
+g0 AS (
+  SELECT doc_id, v.n AS n,
+         unnest(list_transform(generate_series(1, len(w2) - v.n + 1),
+                               i -> array_to_string(w2[i:i+v.n-1], ' '))) AS gram
+  FROM d0 CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n)),
+c0 AS (SELECT doc_id, n, gram, count(*) AS c FROM g0 GROUP BY doc_id, n, gram),
+a0 AS (
+  SELECT doc_id, n,
+         max(c * strlen(gram)) AS top,
+         sum((c - 1) * strlen(gram)) AS dup,
+         sum(c * strlen(gram)) AS tot
+  FROM c0 GROUP BY doc_id, n)"""
+    def _dup_frac_sql(col: str) -> str:
+        return (
+            f"CASE WHEN len({col}) > 0 THEN round((len({col}) - "
+            f"len(list_distinct({col})))::DOUBLE / len({col}), 6) "
+            f"ELSE 0.0 END"
+        )
+
+    def _dup_char_frac_sql(col: str) -> str:
+        s = f"list_aggregate(list_transform({col}, x -> strlen(x)), 'sum')"
+        sd = (
+            f"list_aggregate(list_transform(list_distinct({col}), "
+            f"x -> strlen(x)), 'sum')"
+        )
+        return (
+            f"CASE WHEN coalesce({s}, 0) > 0 THEN "
+            f"round(({s} - {sd})::DOUBLE / {s}, 6) ELSE 0.0 END"
+        )
+
+    def _dup_frac_raw(col: str) -> str:
+        return (
+            f"CASE WHEN len({col}) > 0 THEN (len({col}) - "
+            f"len(list_distinct({col})))::DOUBLE / len({col}) ELSE 0.0 END"
+        )
+
+    def _dup_char_frac_raw(col: str) -> str:
+        s = f"list_aggregate(list_transform({col}, x -> strlen(x)), 'sum')"
+        sd = (
+            f"list_aggregate(list_transform(list_distinct({col}), "
+            f"x -> strlen(x)), 'sum')"
+        )
+        return (
+            f"CASE WHEN coalesce({s}, 0) > 0 THEN "
+            f"({s} - {sd})::DOUBLE / {s} ELSE 0.0 END"
+        )
+
+    # per-n pivot columns over the a0 CTE (one row per doc_id × n)
+    gopher_metric_cols = ",\n         ".join(
+        [
+            f"coalesce(max(CASE WHEN a0.n = {n} THEN round(top::DOUBLE / tot, 6) END), 0.0)"
+            f" AS top_{n}gram_char_frac"
+            for n in (2, 3, 4)
+        ]
+        + [
+            f"coalesce(max(CASE WHEN a0.n = {n} THEN round(dup::DOUBLE / tot, 6) END), 0.0)"
+            f" AS dup_{n}gram_char_frac"
+            for n in (5, 6, 7, 8, 9, 10)
+        ]
+    )
+    _top_max = {2: 0.20, 3: 0.18, 4: 0.16}
+    _dup_max = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    gopher_flag_cols = ",\n         ".join(
+        [
+            f"coalesce(max(CASE WHEN a0.n = {n} THEN top::DOUBLE / tot <= {_top_max[n]} END), TRUE)"
+            f" AS pass_top_{n}gram"
+            for n in (2, 3, 4)
+        ]
+        + [
+            f"coalesce(max(CASE WHEN a0.n = {n} THEN dup::DOUBLE / tot <= {_dup_max[n]} END), TRUE)"
+            f" AS pass_dup_{n}gram"
+            for n in (5, 6, 7, 8, 9, 10)
+        ]
+    )
+    gopher_stop_sum = " + ".join(
+        f"CASE WHEN list_contains(w2, '{s}') THEN 1 ELSE 0 END"
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    _gopher_rule_names = (
+        "word_count mean_word_len symbol_ratio bullet_lines ellipsis_lines "
+        "alpha_words stop_words dup_lines dup_line_chars top_2gram top_3gram "
+        "top_4gram dup_5gram dup_6gram dup_7gram dup_8gram dup_9gram dup_10gram"
+    ).split()
+    gopher_pass_list = ", ".join(f"pass_{r}" for r in _gopher_rule_names)
+    gopher_keep = " AND ".join(f"pass_{r}" for r in _gopher_rule_names)
+    gopher_reasons = ", ".join(
+        f"CASE WHEN NOT pass_{r} THEN '{r}' END" for r in _gopher_rule_names
+    )
 
     acc = 0.0
     cases = []
@@ -1756,6 +1938,66 @@ dim AS (
                             + cyrillic + arabic + greek + digit)), 6)
                      AS script_other_frac
             FROM r""",
+        # full Gopher repetition suite over the synthesized line text:
+        # the CTE rebuilds _gopher_text verbatim, then the same derived
+        # words/lines/paragraphs views the Spark function computes
+        "q_gopher_repetition": gopher_cte + f""",
+ga AS (
+  SELECT d0.doc_id,
+         {gopher_metric_cols}
+  FROM d0 LEFT JOIN a0 ON d0.doc_id = a0.doc_id
+  GROUP BY d0.doc_id)
+SELECT d0.doc_id,
+       {_dup_frac_sql('l2')} AS dup_line_frac,
+       {_dup_char_frac_sql('l2')} AS dup_line_char_frac,
+       {_dup_frac_sql('p2')} AS dup_para_frac,
+       {_dup_char_frac_sql('p2')} AS dup_para_char_frac,
+       ga.* EXCLUDE (doc_id)
+FROM d0 JOIN ga ON d0.doc_id = ga.doc_id""",
+        "q_gopher_gate": gopher_cte + f""",
+ga AS (
+  SELECT d0.doc_id,
+         {gopher_flag_cols}
+  FROM d0 LEFT JOIN a0 ON d0.doc_id = a0.doc_id
+  GROUP BY d0.doc_id),
+feat AS (
+  SELECT doc_id,
+         len(w2) AS n_words,
+         coalesce(list_aggregate(list_transform(w2, x -> strlen(x)), 'sum'), 0) AS word_chars,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_sym,
+         greatest(len(l2), 1) AS n_lines,
+         len(list_filter(l2, x -> regexp_matches(x, '^[-*•]'))) AS n_bullet,
+         len(list_filter(l2, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ell,
+         len(list_filter(w2, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         {gopher_stop_sum} AS n_stop,
+         {_dup_frac_raw('l2')} AS dlf,
+         {_dup_char_frac_raw('l2')} AS dlcf
+  FROM d0),
+flags AS (
+  SELECT feat.doc_id, n_words,
+         CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END AS mwl,
+         (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+         (CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END >= 3.0
+          AND CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END <= 10.0)
+           AS pass_mean_word_len,
+         CASE WHEN n_words > 0 THEN n_sym::DOUBLE / n_words <= 0.1 ELSE FALSE END
+           AS pass_symbol_ratio,
+         (n_bullet::DOUBLE / n_lines <= 0.9) AS pass_bullet_lines,
+         (n_ell::DOUBLE / n_lines <= 0.3) AS pass_ellipsis_lines,
+         CASE WHEN n_words > 0 THEN n_alpha::DOUBLE / n_words >= 0.8 ELSE FALSE END
+           AS pass_alpha_words,
+         (n_stop >= 2) AS pass_stop_words,
+         (dlf <= 0.30) AS pass_dup_lines,
+         (dlcf <= 0.20) AS pass_dup_line_chars,
+         ga.* EXCLUDE (doc_id)
+  FROM feat JOIN ga ON feat.doc_id = ga.doc_id)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       {gopher_pass_list},
+       ({gopher_keep}) AS keep,
+       coalesce(array_to_string(list_filter([{gopher_reasons}], x -> x IS NOT NULL), ','), '')
+         AS fail_reasons
+FROM flags""",
         # duplicate k-token window spans, canonical occurrence exempt,
         # gaps-and-islands merge to maximal intervals
         "q_dup_spans": f"""

@@ -253,3 +253,284 @@ def script_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+# ---------------------------------------------------------------------------
+# Full Gopher repetition suite + quality gate (Rae et al. 2021, §A1.1).
+# Everything below is pure per-row array expressions — ZERO exchanges.
+# At 10^12 documents the only viable shape for per-document quality
+# rules is a narrow map the scan pipeline absorbs; an explode+groupBy
+# formulation would shuffle every n-gram of the crawl.
+# ---------------------------------------------------------------------------
+
+# word n-grams scored by "fraction of characters in the most frequent
+# n-gram" (n = 2..4) and "fraction of characters in repeated n-gram
+# occurrences beyond the first" (n = 5..10) — the paper's two families.
+TOP_NGRAM_NS = (2, 3, 4)
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+# Gopher Table A1 thresholds (rule name -> metric must satisfy)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _word_ngrams(w: Column, n: int) -> Column:
+    """n-word grams of a MATERIALIZED word-array column (empty array when
+    the doc has < n words). ``try_element_at``: ANSI mode is on."""
+    gram = lambda i: F.concat_ws(
+        " ", *[F.try_element_at(w, i + k) for k in range(n)]
+    )
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_length_fold(grams: Column) -> Column:
+    """One pass over the SORTED gram array: struct(best, dup, tot) where
+    ``best`` = max over grams of count*len(gram) (top-n-gram chars),
+    ``dup``  = sum over repeated occurrences beyond the first of
+    len(gram) (duplicate-n-gram chars), ``tot`` = chars over ALL grams
+    (the normalizer: overlapping n-grams cover ~n× the text's chars, so
+    normalizing by text length yields fractions > 1 — gram-chars keeps
+    both metrics in [0, 1] and converges to the same signal for heavy
+    repetition). O(g log g) per row — the sort replaces the naive
+    distinct×scan O(g²) that stalls jumbo docs."""
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("tot"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                (
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    * F.length(x)
+                ),
+            ).alias("best"),
+            (
+                acc["dup"]
+                + F.when(x == acc["prev"], F.length(x).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dup"),
+            (acc["tot"] + F.length(x)).alias("tot"),
+        ),
+        lambda acc: F.struct(
+            acc["best"].alias("best"),
+            acc["dup"].alias("dup"),
+            acc["tot"].alias("tot"),
+        ),
+    )
+
+
+def _dup_fracs(items: Column) -> tuple[Column, Column]:
+    """(duplicate fraction, duplicate-character fraction) of a string
+    array: repeats beyond the first occurrence, chars = len(item)."""
+    total = F.size(items)
+    distinct = F.array_distinct(items)
+    chars = F.aggregate(
+        items, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    chars_d = F.aggregate(
+        distinct, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    frac = F.when(
+        total > 0, (total - F.size(distinct)) / total
+    ).otherwise(F.lit(0.0))
+    cfrac = F.when(chars > 0, (chars - chars_d) / chars).otherwise(F.lit(0.0))
+    return frac, cfrac
+
+
+def _split_lines(t: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def _split_paras(t: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(t, r"\n{2,}"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher repetition-signal suite per document
+    (Rae et al. 2021 §A1.1; supersedes the 2-metric
+    ``repetition_features``):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs that are repeats of an earlier one
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      line/paragraph characters inside those repeats
+    * ``top_{n}gram_char_frac`` (n=2..4) — chars covered by the most
+      frequent word n-gram / chars over ALL n-grams of that n
+    * ``dup_{n}gram_char_frac`` (n=5..10) — chars in repeated n-gram
+      occurrences beyond the first / chars over ALL n-grams of that n
+      (gram-chars normalizer: overlapping grams cover ~n× the text's
+      characters, so a text-length denominator yields fractions > 1;
+      this variant is bounded [0, 1] and order-equivalent)
+
+    Lines split on ``\\n``, paragraphs on blank lines (``\\n{2,}``),
+    both trimmed with empties dropped. All metrics are per-row array
+    expressions over MATERIALIZED word/gram columns (an expression
+    re-evaluated inside a lambda is not CSE'd across elements — the
+    O(n²) trap documented on ``repetition_features``); zero exchanges.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(t).alias("_w"),
+        _split_lines(t).alias("_lines"),
+        _split_paras(t).alias("_paras"),
+    )
+    gram_cols = {
+        f"_g{n}": _word_ngrams(F.col("_w"), n)
+        for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+    }
+    staged = base.withColumns(gram_cols)
+    fold_cols = {
+        f"_f{n}": _run_length_fold(F.col(f"_g{n}"))
+        for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+    }
+    staged = staged.withColumns(fold_cols)
+    line_f, line_cf = _dup_fracs(F.col("_lines"))
+    para_f, para_cf = _dup_fracs(F.col("_paras"))
+    out: dict[str, Column] = {
+        "dup_line_frac": line_f,
+        "dup_line_char_frac": line_cf,
+        "dup_para_frac": para_f,
+        "dup_para_char_frac": para_cf,
+    }
+    for n in TOP_NGRAM_NS:
+        f = F.col(f"_f{n}")
+        out[f"top_{n}gram_char_frac"] = F.when(
+            f["tot"] > 0, f["best"] / f["tot"]
+        ).otherwise(F.lit(0.0))
+    for n in DUP_NGRAM_NS:
+        f = F.col(f"_f{n}")
+        out[f"dup_{n}gram_char_frac"] = F.when(
+            f["tot"] > 0, f["dup"] / f["tot"]
+        ).otherwise(F.lit(0.0))
+    return staged.select("doc_id", *[v.alias(k) for k, v in out.items()])
+
+
+def gopher_gate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher Table-A1 document gate: every rule as a named boolean,
+    ``keep`` = all pass, ``fail_reasons`` = comma-joined failed rule
+    names in fixed order (string, not array — cross-engine hash-stable).
+
+    Rules: 50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10; symbol/word
+    ratio (#, … or ...) ≤ 0.1; ≤ 90% of lines bullet-led; ≤ 30% of
+    lines ellipsis-ended; ≥ 80% of words contain a letter; ≥ 2 distinct
+    Gopher stopwords; dup-line fraction ≤ 0.30 and dup-line char
+    fraction ≤ 0.20; top-n-gram and dup-n-gram ceilings per
+    ``TOP_NGRAM_MAX`` / ``DUP_NGRAM_MAX``. One narrow projection,
+    zero exchanges — composes with ``plans/curate.py:quality_gate``.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(t).alias("_w"),
+        _split_lines(t).alias("_lines"),
+        t.alias("_t"),
+    )
+    gram_cols = {
+        f"_g{n}": _word_ngrams(F.col("_w"), n)
+        for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+    }
+    staged = base.withColumns(gram_cols).withColumns(
+        {
+            f"_f{n}": _run_length_fold(F.col(f"_g{n}"))
+            for n in (*TOP_NGRAM_NS, *DUP_NGRAM_NS)
+        }
+    )
+    w, lines, t2 = F.col("_w"), F.col("_lines"), F.col("_t")
+    n_words = F.size(w)
+    word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    n_sym = F.regexp_count(t2, F.lit(r"#")) + F.regexp_count(
+        t2, F.lit(r"\.\.\.|…")
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$"))) / n_lines
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike(r"[a-zA-Z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_stop = sum(
+        (
+            F.when(F.array_contains(w, s), F.lit(1)).otherwise(F.lit(0))
+            for s in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    line_f, line_cf = _dup_fracs(lines)
+    rules: dict[str, Column] = {
+        "word_count": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ratio": F.when(
+            n_words > 0, n_sym / n_words <= 0.1
+        ).otherwise(F.lit(False)),
+        "bullet_lines": bullet_frac <= 0.9,
+        "ellipsis_lines": ellipsis_frac <= 0.3,
+        "alpha_words": alpha_frac >= 0.8,
+        "stop_words": n_stop >= 2,
+        "dup_lines": line_f <= 0.30,
+        "dup_line_chars": line_cf <= 0.20,
+    }
+    for n in TOP_NGRAM_NS:
+        f = F.col(f"_f{n}")
+        rules[f"top_{n}gram"] = F.when(
+            f["tot"] > 0, f["best"] / f["tot"] <= TOP_NGRAM_MAX[n]
+        ).otherwise(F.lit(True))
+    for n in DUP_NGRAM_NS:
+        f = F.col(f"_f{n}")
+        rules[f"dup_{n}gram"] = F.when(
+            f["tot"] > 0, f["dup"] / f["tot"] <= DUP_NGRAM_MAX[n]
+        ).otherwise(F.lit(True))
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(~c, F.lit(name)).otherwise(F.lit(None))
+                    for name, c in rules.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    flag_cols = {f"pass_{k}": v for k, v in rules.items()}
+    return staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        *[v.alias(k) for k, v in flag_cols.items()],
+        keep.alias("keep"),
+        reasons.alias("fail_reasons"),
+    )
