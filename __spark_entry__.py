@@ -503,6 +503,20 @@ def _q_cosine_neardup(spark, sf):
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup composition: hyperplane-LSH cosine near-dup pairs →
+    connected components → one canonical vector per semantic cluster.
+    Threshold 0.2: on the synthetic embeddings this yields a real
+    cluster-size spectrum (singletons through 8-member clusters), so
+    the transitive closure is actually exercised."""
+    from pdf_context_extractor_agent_spark.functions.similarity import semdedup
+
+    out = semdedup(_t(spark, sf, "embeddings"), threshold=0.2)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "component", "cluster_size", "is_canonical"
+    )
+
+
 def _q_extract_parsed(spark, sf):
     from pdf_context_extractor_agent_spark.plans import parse_statements
 
@@ -1094,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_features": _q_script_features,
         "q_gopher_repetition": _q_gopher_repetition,
         "q_gopher_gate": _q_gopher_gate,
+        "q_semdedup": _q_semdedup,
         "q_c4_filter": _q_c4_filter,
         "q_block_classify": _q_block_classify,
         "q_main_content": _q_main_content,
@@ -2293,6 +2308,30 @@ FROM flags""",
             FROM buckets l JOIN buckets r
               ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             WHERE {cos_expr.format(a='l.embedding', b='r.embedding')} >= 0.5""",
+        # SemDeDup: the q_cosine_neardup pair generation composed with
+        # the q_dup_clusters recursive-CTE transitive closure
+        "q_semdedup": f"""
+            WITH RECURSIVE buckets AS (
+              SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+            near AS (
+              SELECT l.vec_id AS doc_a, r.vec_id AS doc_b
+              FROM buckets l JOIN buckets r
+                ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+              WHERE {cos_expr.format(a='l.embedding', b='r.embedding')} >= 0.2),
+            bidir AS (SELECT doc_a AS u, doc_b AS v FROM near
+                      UNION ALL SELECT doc_b, doc_a FROM near),
+            reach AS (
+              SELECT u AS node, u AS comp FROM bidir
+              UNION
+              SELECT b.u AS node, r.comp FROM bidir b JOIN reach r ON b.v = r.node),
+            comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+            lab AS (
+              SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+              FROM embeddings e LEFT JOIN comps c ON e.vec_id = c.node)
+            SELECT vec_id, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size,
+                   vec_id = component AS is_canonical
+            FROM lab""",
         "q_ivf_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             cents AS (SELECT vec_id AS cent_id, embedding AS cvec

@@ -200,3 +200,38 @@ def ivf_topk(
     )
     cand = idx.join(F.broadcast(probes), "cell")
     return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column — cosine near-dup PAIRS (hyperplane-LSH bucketed,
+    exact verify within buckets) resolved into duplicate CLUSTERS
+    (alternating large-star/small-star connected components), one
+    canonical vector elected per cluster.
+
+    → ``(doc_id, component, cluster_size, is_canonical)`` for every
+    input vector; filter ``is_canonical`` to keep one semantic copy.
+    Pairwise verdicts alone over-delete (A~B, B~C but A!~C): the
+    cluster resolution is what makes embedding dedup safe to apply.
+
+    Scale shape: pairs are generated per LSH bucket (never all-pairs),
+    components iterate on a two-long-column edge list, and the final
+    join back to ids carries no embedding payloads.
+    """
+    from pdf_context_extractor_agent_spark.functions.dedup import dedup_clusters
+
+    pairs = cosine_near_dup_pairs(emb, threshold, n_planes, dim, id_col, vec_col)
+    return dedup_clusters(
+        emb.select(id_col),
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        id_col=id_col,
+    )

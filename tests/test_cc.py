@@ -143,3 +143,21 @@ def test_cc_pathological_chain_converges(spark, n, rounds_budget):
     edges = [(i, i + 1) for i in range(n)]
     got = _spark_cc(spark, edges)
     assert set(got.values()) == {0}
+
+
+def test_semdedup_cluster_invariants(spark):
+    """SemDeDup composition: every vector labeled, exactly one
+    canonical per component, canonical = min id."""
+    from pdf_context_extractor_agent_spark.functions.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup(emb, threshold=0.2).collect()
+    assert len(out) == emb.count()
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rows in by_comp.items():
+        canon = [r for r in rows if r["is_canonical"]]
+        assert len(canon) == 1
+        assert canon[0]["doc_id"] == min(r["doc_id"] for r in rows) == comp
+        assert all(r["cluster_size"] == len(rows) for r in rows)
