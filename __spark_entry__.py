@@ -972,6 +972,35 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), budget_tokens=2048)
 
 
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE training, 5 merges: one corpus groupBy(word),
+    then per-round pair aggregation on the dimension-sized vocab.
+    The learned merge table IS the model — deterministic tie-break
+    (count desc, pair lexicographic) so every engine learns the same
+    tokenizer."""
+    from pdf_context_extractor_agent_spark.functions.bpe import bpe_merges_df
+
+    return bpe_merges_df(spark, _t(spark, sf, "documents"), n_merges=5)
+
+
+def _q_bpe_tokens(spark, sf):
+    """Corpus token distribution under the 5-merge BPE tokenizer."""
+    from pdf_context_extractor_agent_spark.functions.bpe import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf, "documents"), n_merges=5)
+
+
+def _q_det_shuffle(spark, sf):
+    """Reproducible epoch shuffle: md5-keyed global rank via the
+    two-phase scan (range partition → local row_number → broadcast
+    partition-count offsets) — never a global-order window."""
+    from pdf_context_extractor_agent_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(_t(spark, sf, "documents"))
+
+
 def _q_dup_clusters(spark, sf):
     """Fuzzy-dedup endgame: md5-LSH near-dup pairs → connected
     components (alternating large-star/small-star, Kiveris et al.
@@ -1100,6 +1129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": _q_nfc_normalize,
         "q_assign_splits": _q_assign_splits,
         "q_pack_sequences": _q_pack_sequences,
+        "q_det_shuffle": _q_det_shuffle,
+        "q_bpe_merges": _q_bpe_merges,
+        "q_bpe_tokens": _q_bpe_tokens,
         "q_curation_verdicts": _q_curation_verdicts,
         "q_result_compare": _q_result_compare,
         "q_resolve_choices": _q_resolve_choices,
@@ -1265,6 +1297,42 @@ a0 AS (
     gopher_keep = " AND ".join(f"pass_{r}" for r in _gopher_rule_names)
     gopher_reasons = ", ".join(
         f"CASE WHEN NOT pass_{r} THEN '{r}' END" for r in _gopher_rule_names
+    )
+
+    # BPE oracle: v0 = vocabulary with |-delimited one-char symbol
+    # encodings; round r = pair counts p{r} -> argmax m{r} -> merged
+    # vocab v{r} via literal replace
+    _bpe_rounds = []
+    for r in range(1, 6):
+        prev = f"v{r - 1}"
+        _bpe_rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT pr.l AS lft, pr.r AS rgt, sum(cnt)::BIGINT AS pc
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, greatest(len(s) - 1, 0)),
+                                 i -> struct_pack(l := s[i], r := s[i + 1]))) AS pr
+    FROM (SELECT cnt, list_filter(string_split(enc, '|'), x -> x <> '') AS s
+          FROM {prev}) t{r})
+  GROUP BY lft, rgt),
+m{r} AS MATERIALIZED (SELECT lft, rgt, pc FROM p{r} ORDER BY pc DESC, lft, rgt LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(enc,
+                 '|' || (SELECT lft FROM m{r}) || '|' || (SELECT rgt FROM m{r}) || '|',
+                 '|' || (SELECT lft FROM m{r}) || (SELECT rgt FROM m{r}) || '|') AS enc
+  FROM {prev})""")
+    bpe_cte = (
+        f"""
+WITH v0 AS MATERIALIZED (
+  SELECT word, cnt,
+         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS enc
+  FROM (
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word) base),"""
+        + ",".join(_bpe_rounds)
     )
 
     acc = 0.0
@@ -2188,6 +2256,28 @@ FROM flags""",
             SELECT doc_id, u,
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
+        # BPE training unrolled: 5 chained rounds, each = pair counts
+        # over the vocab symbol encodings, scalar-subquery argmax,
+        # literal replace on the |-delimited encoding (left-to-right
+        # non-overlapping in both engines = canonical BPE merge order)
+        "q_bpe_merges": bpe_cte + """
+SELECT * FROM (""" + " UNION ALL ".join(
+            f"SELECT {r} AS step, lft AS left_sym, rgt AS right_sym, "
+            f"lft || rgt AS merged, pc AS pair_count FROM m{r}"
+            for r in range(1, 6)
+        ) + ")",
+        "q_bpe_tokens": bpe_cte + """
+SELECT sym AS token, sum(cnt)::BIGINT AS n_tokens
+FROM (SELECT cnt, unnest(list_filter(string_split(enc, '|'), x -> x <> '')) AS sym
+      FROM v5)
+GROUP BY sym""",
+        "q_det_shuffle": r"""
+            SELECT doc_id,
+                   md5('shuffle-v1:' || doc_id::VARCHAR) AS shuffle_key,
+                   (row_number() OVER (
+                      ORDER BY md5('shuffle-v1:' || doc_id::VARCHAR), doc_id)
+                    - 1)::BIGINT AS shuffle_pos
+            FROM documents""",
         # budget 2048 = 2^11: the float division in floor() is exact,
         # so the window ids match bit-for-bit across engines
         "q_pack_sequences": r"""

@@ -224,3 +224,47 @@ def pack_sequences(
             + 1
         ).alias("n_seqs"),
     )
+
+
+def deterministic_shuffle(
+    docs: DataFrame, id_col: str = "doc_id", salt: str = "shuffle-v1"
+) -> DataFrame:
+    """Reproducible global shuffle for training-data layout: every doc
+    gets ``shuffle_key = md5(salt ':' id)`` and ``shuffle_pos`` = its
+    rank in key order — the order a dataloader reads. Re-running with
+    the same salt reproduces the epoch exactly; a new salt is a fresh
+    epoch permutation. No RNG state, so any engine (and any retry)
+    agrees on the layout.
+
+    The global rank is the same TWO-PHASE scan as ``pack_sequences``
+    (range-partition by key → parallel local row_number → one-row-per-
+    partition count offsets broadcast back), never a global-ordered
+    window: ``Window.orderBy`` without a partition key is one task at
+    10^12 rows. Downstream, writing ordered by ``shuffle_pos`` range-
+    clusters the corpus so sequence packing reads it co-located.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    ranged = (
+        docs.select(F.col(id_col).alias("doc_id"), key.alias("shuffle_key"))
+        .repartitionByRange("shuffle_key", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy("shuffle_key", "doc_id")
+    loc = ranged.withColumn("_local_rank", F.row_number().over(wloc))
+    wtot = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        loc.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pcnt"))
+        .withColumn("_offset", F.coalesce(F.sum("_pcnt").over(wtot), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    return (
+        loc.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("_local_rank") - 1 + F.col("_offset")).alias("shuffle_pos"),
+        )
+    )

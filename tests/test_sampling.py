@@ -156,3 +156,31 @@ def test_stratified_topk_drops_unlisted_strata(spark):
         F.col("id").alias("doc_id"), F.lit("de").alias("lang")
     )
     assert stratified_topk(docs, {"en": 10}).count() == 0
+
+
+def test_deterministic_shuffle_permutation_and_plan(spark):
+    """shuffle_pos is a permutation of 0..n-1, reproducible across
+    runs, different under a different salt; the rank window carries
+    the _pid partition key (no global-order single-task window)."""
+    import re
+
+    from pdf_context_extractor_agent_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(docs).collect()
+    pos = sorted(r["shuffle_pos"] for r in out)
+    assert pos == list(range(500))
+    again = {r["doc_id"]: r["shuffle_pos"] for r in deterministic_shuffle(docs).collect()}
+    assert all(again[r["doc_id"]] == r["shuffle_pos"] for r in out)
+    other = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(docs, salt="epoch-2").collect()
+    }
+    assert any(other[r["doc_id"]] != r["shuffle_pos"] for r in out)
+    plan = (
+        deterministic_shuffle(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"windowspecdefinition\(_pid#\d+, shuffle_key#\d+ ASC", plan), plan
+    assert not re.search(r"windowspecdefinition\(shuffle_key#\d+ ASC", plan), plan
