@@ -972,6 +972,22 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), budget_tokens=2048)
 
 
+def _q_pagerank(spark, sf):
+    """Fixed-point PageRank, 3 power iterations over a deterministic
+    synthetic link graph with real degree skew: doc i → (i²+3) mod N
+    (irregular in-degrees) and i → i mod 97 (hub nodes 0..96).
+    Scaled-integer arithmetic: the distributed contribution sum is
+    exact, so ranks are bit-identical across engines and across
+    shuffle orders — float PageRank can promise neither."""
+    from pdf_context_extractor_agent_spark.functions.graph import page_rank
+
+    docs = _t(spark, sf, "documents")
+    n = docs.count()
+    e1 = docs.selectExpr("doc_id AS src", f"(doc_id * doc_id + 3) % {n} AS dst")
+    e2 = docs.selectExpr("doc_id AS src", "doc_id % 97 AS dst")
+    return page_rank(e1.unionByName(e2), n, n_iter=3)
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE training, 5 merges: one corpus groupBy(word),
     then per-round pair aggregation on the dimension-sized vocab.
@@ -1132,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_det_shuffle": _q_det_shuffle,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokens": _q_bpe_tokens,
+        "q_pagerank": _q_pagerank,
         "q_curation_verdicts": _q_curation_verdicts,
         "q_result_compare": _q_result_compare,
         "q_resolve_choices": _q_resolve_choices,
@@ -1322,6 +1339,43 @@ v{r} AS MATERIALIZED (
                  '|' || (SELECT lft FROM m{r}) || '|' || (SELECT rgt FROM m{r}) || '|',
                  '|' || (SELECT lft FROM m{r}) || (SELECT rgt FROM m{r}) || '|') AS enc
   FROM {prev})""")
+    # fixed-point PageRank unrolled: 3 rounds, all-integer arithmetic
+    # (// truncation == Spark DIV on non-negative longs), so the sums
+    # are exact and order-independent in both engines
+    _pr_rounds = []
+    for k in range(1, 4):
+        _pr_rounds.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS contrib
+  FROM r{k - 1} r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+  GROUP BY e.dst),
+d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0)::BIGINT AS dang
+  FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+r{k} AS MATERIALIZED (
+  SELECT n.node,
+         ((SELECT b FROM basev)
+          + 85 * (coalesce(c.contrib, 0) + (SELECT dang FROM d{k}) // (SELECT n FROM nn))
+            // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+    pagerank_sql = (
+        """
+WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * doc_id + 3) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 97 FROM documents),
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+basev AS MATERIALIZED (
+  SELECT (100 - 85) * 1000000000000 // n // 100 AS b FROM nn),
+r0 AS MATERIALIZED (
+  SELECT node, (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank FROM nodes),"""
+        + ",".join(_pr_rounds)
+        + """
+SELECT node, rank FROM r3"""
+    )
+
     bpe_cte = (
         f"""
 WITH v0 AS MATERIALIZED (
@@ -2256,6 +2310,7 @@ FROM flags""",
             SELECT doc_id, u,
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
+        "q_pagerank": pagerank_sql,
         # BPE training unrolled: 5 chained rounds, each = pair counts
         # over the vocab symbol encodings, scalar-subquery argmax,
         # literal replace on the |-delimited encoding (left-to-right
