@@ -972,6 +972,29 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), budget_tokens=2048)
 
 
+def _q_anchor_texts(spark, sf):
+    """Anchor-text corpus extraction over deterministically synthesized
+    HTML (two anchors per doc: one with inner markup, one image-only
+    that must be dropped). The oracle states the expected triples
+    directly — independent of either engine's regex quirks."""
+    from pdf_context_extractor_agent_spark.functions.graph import (
+        extract_anchor_texts,
+    )
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<p>pre</p><a class=\"x\" href=\"/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\">doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" <b>link</b></a><a href=\"/img\"><img/></a>"),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), html.alias("html")
+    )
+    return extract_anchor_texts(pages)
+
+
 def _q_pagerank(spark, sf):
     """Fixed-point PageRank, 3 power iterations over a deterministic
     synthetic link graph with real degree skew: doc i → (i²+3) mod N
@@ -1149,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_pagerank": _q_pagerank,
+        "q_anchor_texts": _q_anchor_texts,
         "q_curation_verdicts": _q_curation_verdicts,
         "q_result_compare": _q_result_compare,
         "q_resolve_choices": _q_resolve_choices,
@@ -2311,6 +2335,11 @@ FROM flags""",
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
         "q_pagerank": pagerank_sql,
+        "q_anchor_texts": """
+            SELECT doc_id::VARCHAR AS url,
+                   '/d/' || doc_id::VARCHAR AS outlink,
+                   'doc ' || doc_id::VARCHAR || ' link' AS anchor_text
+            FROM documents""",
         # BPE training unrolled: 5 chained rounds, each = pair counts
         # over the vocab symbol encodings, scalar-subquery argmax,
         # literal replace on the |-delimited encoding (left-to-right

@@ -44,6 +44,34 @@ def extract_outlinks(pages: DataFrame, html_col: str = "html") -> DataFrame:
     ).filter(F.col("outlink") != "")
 
 
+def extract_anchor_texts(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, outlink, anchor_text) triples — the anchor-text corpus
+    (link descriptions are high-quality natural supervision; the
+    DeepMind/Google anchor-data recipe). One ``regexp_extract_all`` of
+    whole ``<a>`` elements, then per-element href/text projection with
+    inner tags stripped — all expressions, no DOM pass."""
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(
+        html, F.lit(r'(?s)(<a\s[^>]*href="[^"]+"[^>]*>.*?</a>)'), F.lit(1)
+    )
+    triples = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("outlink"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(t, r"(?s)>(.*)</a>$", 1), r"<[^>]*>", ""
+                )
+            ).alias("anchor_text"),
+        ),
+    )
+    return (
+        pages.select("url", F.explode(triples).alias("a"))
+        .select("url", "a.outlink", "a.anchor_text")
+        .filter((F.col("outlink") != "") & (F.col("anchor_text") != ""))
+    )
+
+
 def page_rank(
     edges: DataFrame,
     n_nodes: int,

@@ -58,3 +58,22 @@ def test_extract_outlinks(spark):
     )
     out = [(r["url"], r["outlink"]) for r in extract_outlinks(pages).collect()]
     assert sorted(out) == [("u1", "/rel"), ("u1", "https://x.example/a")]
+
+
+def test_extract_anchor_texts(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import (
+        extract_anchor_texts,
+    )
+
+    html = (
+        '<html><a class="x" href="https://x.example/a">Read <b>this</b>\n'
+        'report</a><a href="/b"><img src="i.png"/></a>'
+        '<a href="/c">plain</a></html>'
+    ).encode()
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    out = {
+        r["outlink"]: r["anchor_text"] for r in extract_anchor_texts(pages).collect()
+    }
+    # multiline anchor with inner tags stripped; image-only anchor
+    # (empty text) dropped
+    assert out == {"https://x.example/a": "Read this\nreport", "/c": "plain"}
