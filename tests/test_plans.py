@@ -217,3 +217,16 @@ def test_jaccard_verify_plan_has_no_collect_set(spark):
     # spent on a pair-set distinct (HashAggregate pairs appear once per
     # (partial, final) and once for the per-doc count dim)
     assert "Exchange" in plan  # sanity: it is still a distributed plan
+
+
+def test_no_driver_query_builds_a_cartesian_product(spark):
+    """Sweep EVERY driver query's physical plan: a CartesianProduct
+    anywhere means a join lost its equi-condition (the classic silent
+    10^12 x 10^12 catastrophe). Broadcast-nested-loop against one-row
+    dims (dangling mass, query vectors) is fine and not flagged."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
