@@ -972,6 +972,38 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), budget_tokens=2048)
 
 
+def _q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, customers restricted to one region — the classic
+    6-way join. region/nation are broadcast dims; the
+    customer⋈orders⋈lineitem⋈supplier spine shuffles on its keys and
+    AQE picks the physical strategy per side."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    joined = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return (
+        joined.select("n_name", rev)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )
+
+
 def _q_anchor_texts(spark, sf):
     """Anchor-text corpus extraction over deterministically synthesized
     HTML (two anchors per doc: one with inner markup, one image-only
@@ -1173,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": _q_bpe_tokens,
         "q_pagerank": _q_pagerank,
         "q_anchor_texts": _q_anchor_texts,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
         "q_curation_verdicts": _q_curation_verdicts,
         "q_result_compare": _q_result_compare,
         "q_resolve_choices": _q_resolve_choices,
@@ -2335,6 +2368,17 @@ FROM flags""",
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
         "q_pagerank": pagerank_sql,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA', 'EUROPE')
+            GROUP BY n_name""",
         "q_anchor_texts": """
             SELECT doc_id::VARCHAR AS url,
                    '/d/' || doc_id::VARCHAR AS outlink,
