@@ -684,6 +684,18 @@ def _q_doc_freq(spark, sf):
     )
 
 
+def _q_bm25(spark, sf):
+    """Lexical top-k retrieval: Lucene-BM25 over the shared case-folded
+    whitespace vocabulary; term filter applied before the only wide
+    shuffle; ranking on the ROUNDED score (doc_id tie-break) so order
+    is deterministic cross-engine."""
+    from pdf_context_extractor_agent_spark.functions.search import bm25_search
+
+    return bm25_search(
+        _t(spark, sf, "documents"), ["hash", "stream", "vector"], k=15
+    )
+
+
 def _synth_url() -> F.Column:
     """Deterministic messy URL per document (the documents table has no
     url column): mixed-case host, www + cdn labels, tracking params
@@ -1220,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_main_content": _q_main_content,
         "q_lm_score": _q_lm_score,
         "q_doc_freq": _q_doc_freq,
+        "q_bm25": _q_bm25,
         "q_url_canon": _q_url_canon,
         "q_domain_stats": _q_domain_stats,
         "q_blocklist": _q_blocklist,
@@ -1831,6 +1844,30 @@ dim AS (
             FROM dfreq, n
             ORDER BY df DESC, word
             LIMIT 100""",
+        "q_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+              FROM documents),
+            dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            inst AS (SELECT doc_id, unnest(w) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM inst WHERE term IN ('hash', 'stream', 'vector')
+                   GROUP BY doc_id, term),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            wt AS (SELECT tf.doc_id,
+                          ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                          * tf * (1.2 + 1.0)
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS weight
+                   FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN stats),
+            sc AS (SELECT doc_id, round(sum(weight), 4) AS bm25,
+                          count(*) AS n_terms_matched
+                   FROM wt GROUP BY doc_id)
+            SELECT doc_id, bm25, n_terms_matched FROM sc
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 15""",
         "q_url_canon": r"""
             WITH u AS (
               SELECT doc_id,
