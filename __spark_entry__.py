@@ -362,9 +362,56 @@ def _q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
-    pairs = a.join(b, (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("src_a") == F.col("src_b"))).select("doc_a", "doc_b")
+    # sources rotate mod 20, so +20 keeps the pair inside one source —
+    # 480 non-trivial pairs at sf0.01 (a +1 rule matches nothing and
+    # would gate on an empty relation)
+    pairs = a.join(b, (F.col("doc_b") == F.col("doc_a") + 20) & (F.col("src_a") == F.col("src_b"))).select("doc_a", "doc_b")
     j = ngram_jaccard_pairs(docs, pairs)
     return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_containment(spark, sf):
+    """Asymmetric shingle containment over deterministic same-source
+    pairs: the quote/boilerplate signal Jaccard misses (short doc
+    embedded in long one). Candidate generation via LSH is certified by
+    q_minhash_lsh_md5; this gates the containment arithmetic itself."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        containment_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    pairs = a.join(
+        b,
+        (F.col("doc_b") == F.col("doc_a") + 20) & (F.col("src_a") == F.col("src_b")),
+    ).select("doc_a", "doc_b")
+    c = containment_pairs(pairs, shingles(docs), threshold=0.05)
+    return c.select(
+        "doc_a",
+        "doc_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+        F.round("containment", 6).alias("containment"),
+        "is_contained",
+    )
+
+
+def _q_tfidf_keywords(spark, sf):
+    """Top-5 characteristic terms per doc by smoothed TF-IDF (rounded
+    score ranking, term tie-break)."""
+    from pdf_context_extractor_agent_spark.functions.search import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf, "documents"), k=5)
+
+
+def _q_corpus_stats(spark, sf):
+    """Per-source dataset-card rollup: docs, tokens, length stats,
+    language spread, exact-dup surplus — one agg on the source key."""
+    from pdf_context_extractor_agent_spark.functions.quality import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
 
 
 def _q_minhash_md5(spark, sf):
@@ -1233,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": _q_lm_score,
         "q_doc_freq": _q_doc_freq,
         "q_bm25": _q_bm25,
+        "q_tfidf_keywords": _q_tfidf_keywords,
+        "q_containment": _q_containment,
+        "q_corpus_stats": _q_corpus_stats,
         "q_url_canon": _q_url_canon,
         "q_domain_stats": _q_domain_stats,
         "q_blocklist": _q_blocklist,
@@ -1763,11 +1813,61 @@ dim AS (
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM documents a JOIN documents b
-                ON b.doc_id = a.doc_id + 1 AND a.source = b.source)
+                ON b.doc_id = a.doc_id + 20 AND a.source = b.source)
             SELECT doc_a, doc_b,
                    round(len(list_intersect(x.s, y.s))::DOUBLE
                          / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
             FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id""",
+        "q_containment": f"""
+            {shingle_cte},
+            sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM documents a JOIN documents b
+                ON b.doc_id = a.doc_id + 20 AND a.source = b.source),
+            c AS (
+              SELECT doc_a, doc_b,
+                     round(len(list_intersect(x.s, y.s))::DOUBLE / len(x.s), 6) AS containment_a,
+                     round(len(list_intersect(x.s, y.s))::DOUBLE / len(y.s), 6) AS containment_b,
+                     round(greatest(
+                       len(list_intersect(x.s, y.s))::DOUBLE / len(x.s),
+                       len(list_intersect(x.s, y.s))::DOUBLE / len(y.s)), 6) AS containment
+              FROM pairs JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id)
+            SELECT doc_a, doc_b, containment_a, containment_b, containment,
+                   containment >= 0.05 AS is_contained
+            FROM c""",
+        "q_tfidf_keywords": r"""
+            WITH inst AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM inst GROUP BY doc_id, term),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (
+              SELECT doc_id, term, tf,
+                     round(tf * ln((1 + n_docs)::DOUBLE / (1 + df)), 5) AS tfidf
+              FROM tf JOIN dfr USING (term) CROSS JOIN n),
+            rk AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+              FROM sc)
+            SELECT doc_id, term, tf, tfidf, rank FROM rk WHERE rank <= 5""",
+        "q_corpus_stats": r"""
+            WITH s AS (
+              SELECT source, lang,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS tok,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents)
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(tok)::BIGINT AS total_tokens,
+                   round(avg(n_chars), 2) AS avg_chars,
+                   round(quantile_cont(tok, 0.5), 1) AS median_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs
+            FROM s GROUP BY source""",
         "q_minhash_md5": f"""
             {shingle_cte}
             SELECT doc_id,

@@ -157,6 +157,54 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.8) -> D
     return j.withColumn("is_near_dup", F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for candidate pairs — catches the
+    quote/boilerplate case Jaccard misses: a short document wholly
+    embedded in a long one has tiny Jaccard (union is dominated by the
+    long doc) but containment ≈ 1 on the short side.
+
+    Output per pair: ``containment_a`` (|A∩B|/|A|), ``containment_b``
+    (|A∩B|/|B|), ``containment`` (their max — the Broder containment
+    score), ``is_contained`` (max ≥ threshold).
+
+    Same shingle-level counting shape as :func:`jaccard_verify` — no
+    ``collect_set`` arrays shipped, idempotent under duplicated
+    candidate rows, so LSH generators feed it without a pair-set
+    ``.distinct()`` exchange.
+    """
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("_shingle_b"))
+    marked = (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_doc_b"))
+            & (F.col("shingle") == F.col("_shingle_b")),
+            "left",
+        )
+    )
+    agg = marked.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("shingle").alias("_n_a"),
+        F.countDistinct(
+            F.when(F.col("_shingle_b").isNotNull(), F.col("shingle"))
+        ).alias("_n_common"),
+    )
+    n_b = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("_n_b"))
+    c = agg.join(n_b, agg["doc_b"] == n_b["doc_id"]).select(
+        "doc_a",
+        "doc_b",
+        (F.col("_n_common") / F.col("_n_a")).alias("containment_a"),
+        (F.col("_n_common") / F.col("_n_b")).alias("containment_b"),
+    )
+    c = c.withColumn(
+        "containment", F.greatest("containment_a", "containment_b")
+    )
+    return c.withColumn("is_contained", F.col("containment") >= threshold)
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -534,3 +534,39 @@ def gopher_gate(
         keep.alias("keep"),
         reasons.alias("fail_reasons"),
     )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source dataset-card statistics — the summary table a corpus
+    release ships (docs, tokens, length distribution, language spread,
+    exact-duplicate mass).
+
+    Output per ``source``: ``n_docs``, ``total_tokens`` (whitespace),
+    ``avg_chars``, ``median_tokens`` (exact linear-interpolated
+    percentile — identical definition to DuckDB ``quantile_cont``),
+    ``n_langs``, ``dup_docs`` (rows minus distinct normalized-md5
+    fingerprints: the exact-duplicate surplus within the source).
+
+    ONE aggregation on the source key; every statistic is a partial-
+    aggregable expression except the exact median, which at 100 TB
+    would switch to ``percentile_approx`` — kept exact here because the
+    cross-engine oracle gate needs a deterministic value.
+    """
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+    staged = docs.select(
+        "source",
+        "lang",
+        F.length(t).alias("_chars"),
+        ws_tokens.alias("_tok"),
+        fp.alias("_fp"),
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(F.avg("_chars"), 2).alias("avg_chars"),
+        F.round(F.percentile("_tok", 0.5), 1).alias("median_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("_fp")).alias("dup_docs"),
+    )

@@ -37,12 +37,12 @@ web-curation surface (audit/search over curated corpora).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_context_extractor_agent_spark.functions.lm import word_array
 
-__all__ = ["bm25_index", "bm25_search"]
+__all__ = ["bm25_index", "bm25_search", "tfidf_keywords"]
 
 
 def _doc_stats(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
@@ -140,3 +140,53 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the
+    dataset-card / corpus-inspection primitive ("what is this document
+    about, relative to the corpus").
+
+    Output: ``(doc_id, term, tf, tfidf, rank)``. Uses the same smoothed
+    IDF as ``lm.doc_frequency`` (``ln((1+N)/(1+df))``) so vocabulary
+    statistics agree across the lexical modules. The per-doc ranking
+    window orders by the ROUNDED score with a term tie-break — float
+    products are deterministic here, but rounding first keeps the rank
+    stable against future expression reshuffles and makes the oracle
+    comparison exact.
+
+    Shape: one shuffle on (doc_id, term) for tf, one tiny re-agg on
+    term for df, one window partitioned by the doc key — the corpus'
+    natural partitioning, so at 100 TB the window never sees a global
+    sort, only per-doc top-k heaps.
+    """
+    tf = (
+        docs.select(
+            "doc_id", F.explode(word_array(F.col(text_col))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df counts documents CONTAINING the term: tf is already one row
+    # per (doc, term), so a plain count is the document frequency
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_rel, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                5,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -424,3 +424,54 @@ def test_script_features_multiscript(spark):
     assert out[3].latin_frac == 0.375 and out[3].han_frac == 0.25
     assert out[3].digit_frac == 0.375 and out[3].main_script in ("latin", "digit")
     assert out[4].script_other_frac == 1.0 and out[4].main_script == "latin"
+
+
+def test_containment_short_doc_inside_long(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        containment_pairs,
+        shingles,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (0, "one two three four five"),                      # 3 shingles
+            (1, "one two three four five six seven eight"),      # 6, superset
+            (2, "nine ten eleven twelve thirteen"),               # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "doc_a long, doc_b long"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in containment_pairs(pairs, shingles(d), 0.8).collect()}
+    emb = out[(0, 1)]
+    assert emb.containment_a == pytest.approx(1.0)   # A fully inside B
+    assert emb.containment_b == pytest.approx(0.5)
+    assert emb.containment == pytest.approx(1.0)
+    assert emb.is_contained
+    dis = out[(0, 2)]
+    assert dis.containment == pytest.approx(0.0)
+    assert not dis.is_contained
+
+
+def test_corpus_stats_hand_computed(spark):
+    from pdf_context_extractor_agent_spark.functions.quality import corpus_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1"),
+            (1, "a  b   c", "en", "s1"),   # same normalized fp as doc 0
+            (2, "d e f g", "fr", "s1"),
+            (3, "x", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.source: r for r in corpus_stats(d).collect()}
+    s1 = out["s1"]
+    assert s1.n_docs == 3
+    assert s1.total_tokens == 3 + 3 + 4
+    assert s1.n_langs == 2
+    assert s1.dup_docs == 1              # docs 0/1 collapse after ws-normalization
+    assert s1.median_tokens == pytest.approx(3.0)
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.total_tokens, s2.dup_docs) == (1, 1, 0)
