@@ -292,49 +292,58 @@ def validation_checks(slots: DataFrame) -> DataFrame:
 
 
 @lru_cache(maxsize=4)
-def _essential_balance_dim(spark) -> DataFrame:
+def _essential_dim(spark) -> DataFrame:
     # session-keyed: createDataFrame is ~0.15 s of driver round-trips
-    # per plan build otherwise (the dim itself never changes)
+    # per plan build otherwise (the dim itself never changes).
+    # ``kind`` encodes each statement's matching rule (reference
+    # validator parity): balance matches essentials by SUBSTRING inside
+    # the asset/liability sections; income/cash-flow require the exact
+    # standard key with a parseable current-period value.
+    rows = []
+    for stmt, kind in (
+        ("balance_sheet", "contains"),
+        ("income_statement", "exact"),
+        ("cash_flow", "exact"),
+    ):
+        ess = ESSENTIAL_ITEMS[stmt]
+        rows += [(stmt, e, len(ess), kind) for e in ess]
     return spark.createDataFrame(
-        [("balance_sheet", e) for e in ESSENTIAL_ITEMS["balance_sheet"]],
-        "statement_type string, essential string",
+        rows, "statement_type string, essential string, n_required int, kind string"
     )
 
 
 def completeness(slots: DataFrame, spark) -> DataFrame:
-    """V4/V9/V13 essential-item scores per (url, statement_type)."""
-    # balance: substring match over asset+liability sections only
-    ess_b = _essential_balance_dim(spark)
-    b = (
-        slots.filter(
-            (F.col("statement_type") == "balance_sheet")
-            & F.col("section_path").isin(
-                "assets.current_assets", "assets.non_current_assets",
-                "liabilities.current_liabilities", "liabilities.non_current_liabilities",
-            )
+    """V4/V9/V13 essential-item scores per (url, statement_type).
+
+    ONE branch for all three statements: a broadcast join against the
+    tiny essentials dim on the statement key, the per-statement match
+    rule as a residual predicate, one groupBy on (url, statement_type).
+    The previous per-statement union spelled three scans + three
+    shuffles of the same persisted relation (and three plan-analysis
+    passes per build); this is one of each.
+    """
+    dim = _essential_dim(spark)
+    is_contains = F.col("kind") == "contains"
+    matched = (
+        F.col("section_path").isin(
+            "assets.current_assets", "assets.non_current_assets",
+            "liabilities.current_liabilities", "liabilities.non_current_liabilities",
         )
-        .join(F.broadcast(ess_b), "statement_type")
-        .filter(F.col("standard_name").contains(F.col("essential")))
-        .groupBy("url", "statement_type")
-        .agg((F.countDistinct("essential") / F.lit(len(ESSENTIAL_ITEMS["balance_sheet"]))).alias("completeness_score"))
+        & F.col("standard_name").contains(F.col("essential"))
     )
-    # income / cash-flow: exact standard keys with non-null current values
-    others = []
-    for stmt in ("income_statement", "cash_flow"):
-        ess = ESSENTIAL_ITEMS[stmt]
-        others.append(
-            slots.filter(
-                (F.col("statement_type") == stmt)
-                & F.col("standard_name").isin(*ess)
-                & to_num(F.col("current_period")).isNotNull()
+    exact = (F.col("standard_name") == F.col("essential")) & to_num(
+        F.col("current_period")
+    ).isNotNull()
+    return (
+        slots.join(F.broadcast(dim), "statement_type")
+        .filter(F.when(is_contains, matched).otherwise(exact))
+        .groupBy("url", "statement_type")
+        .agg(
+            (F.countDistinct("essential") / F.first("n_required")).alias(
+                "completeness_score"
             )
-            .groupBy("url", "statement_type")
-            .agg((F.countDistinct("standard_name") / F.lit(len(ess))).alias("completeness_score"))
         )
-    out = b
-    for o in others:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def validation_summary(
@@ -347,17 +356,19 @@ def validation_summary(
         F.sum(F.when((F.col("severity") == "warning") & ~F.col("passed"), 1).otherwise(0)).alias("warnings"),
         F.count("*").alias("checks_run"),
     )
-    out = (
+    err = F.coalesce("errors", F.lit(0))
+    # single select after the joins: every withColumn(s) re-analyzes the
+    # whole (large) checks lineage, so the coalesce defaults and
+    # is_valid are folded into one projection
+    return (
         parsing_info.join(agg, ["url", "statement_type"], "left")
         .join(completeness_df, ["url", "statement_type"], "left")
-        # one withColumns: chained withColumn re-analyzes the big plan
-        .withColumns(
-            {
-                "errors": F.coalesce("errors", F.lit(0)),
-                "warnings": F.coalesce("warnings", F.lit(0)),
-                "completeness_score": F.coalesce("completeness_score", F.lit(0.0)),
-            }
+        .select(
+            *parsing_info.columns,
+            err.alias("errors"),
+            F.coalesce("warnings", F.lit(0)).alias("warnings"),
+            "checks_run",
+            F.coalesce("completeness_score", F.lit(0.0)).alias("completeness_score"),
+            (err == 0).alias("is_valid"),
         )
-        .withColumns({"is_valid": F.col("errors") == 0})
     )
-    return out
