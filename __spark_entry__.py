@@ -425,6 +425,15 @@ def _q_minhash_md5(spark, sf):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _q_compression_ratio(spark, sf):
+    """zlib entropy-proxy quality signal — Arrow kernel (mapInPandas),
+    rows-only by construction (no SQL zlib); exact-parity unit test vs
+    local zlib in test_textops.py."""
+    from pdf_context_extractor_agent_spark.functions.quality import compression_ratio
+
+    return compression_ratio(_t(spark, sf, "documents"))
+
+
 def _q_repetition(spark, sf):
     """Gopher-style repetition quality metrics — pure per-row array
     expressions, zero shuffles."""
@@ -1283,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_keywords": _q_tfidf_keywords,
         "q_containment": _q_containment,
         "q_corpus_stats": _q_corpus_stats,
+        "q_compression_ratio": _q_compression_ratio,
         "q_url_canon": _q_url_canon,
         "q_domain_stats": _q_domain_stats,
         "q_blocklist": _q_blocklist,

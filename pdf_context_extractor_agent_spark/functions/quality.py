@@ -570,3 +570,50 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         (F.count("*") - F.countDistinct("_fp")).alias("dup_docs"),
     )
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression ratio — the entropy proxy that
+    catches low-information text (templates, keyword stuffing, repeated
+    boilerplate) that n-gram repetition metrics miss when the repeats
+    are long-range or lightly mutated. Low ratio = highly compressible
+    = repetitive; natural prose lands roughly 0.3-0.6.
+
+    Arrow-batched kernel (``mapInPandas``): zlib has no JVM-side
+    expression, so this is the documented slow-path exception — one
+    narrow map over (doc_id, text), no shuffle, batch-level Python with
+    the per-row work being the C zlib call itself. Deterministic
+    (fixed level 6), so results are stable across runs/partitionings;
+    cross-engine SQL oracle is impossible by construction (rows-only
+    gate, like the layout kernels).
+
+    Output: ``doc_id, n_bytes, n_compressed, compression_ratio``.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    src = docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for b in batches:
+            raw = [t.encode("utf-8") for t in b["_t"]]
+            n_bytes = [len(r) for r in raw]
+            n_comp = [len(zlib.compress(r, 6)) for r in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "n_compressed": pd.Series(n_comp, dtype="int64"),
+                    "compression_ratio": [
+                        c / nb if nb else 1.0 for c, nb in zip(n_comp, n_bytes)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        kernel,
+        schema="doc_id long, n_bytes long, n_compressed long, compression_ratio double",
+    )

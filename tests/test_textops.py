@@ -475,3 +475,25 @@ def test_corpus_stats_hand_computed(spark):
     assert s1.median_tokens == pytest.approx(3.0)
     s2 = out["s2"]
     assert (s2.n_docs, s2.total_tokens, s2.dup_docs) == (1, 1, 0)
+
+
+def test_compression_ratio_repetitive_vs_random(spark):
+    import zlib
+
+    from pdf_context_extractor_agent_spark.functions.quality import compression_ratio
+
+    rep = "spam " * 400
+    prose = " ".join(f"w{i*7919%9973}" for i in range(400))
+    d = spark.createDataFrame(
+        [(0, rep), (1, prose), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in compression_ratio(d).collect()}
+    # exact parity with local zlib at the pinned level
+    assert out[0].n_compressed == len(zlib.compress(rep.encode(), 6))
+    assert out[1].n_compressed == len(zlib.compress(prose.encode(), 6))
+    # repetitive text compresses far better than pseudo-random words
+    assert out[0].compression_ratio < 0.05
+    assert out[1].compression_ratio > 0.3
+    assert out[0].n_bytes == len(rep.encode())
+    # null text → empty doc, ratio pinned to 1.0
+    assert (out[2].n_bytes, out[2].compression_ratio) == (0, 1.0)
