@@ -631,6 +631,60 @@ def _q_multimodal(spark, sf):
     )
 
 
+def _q_audio_features(spark, sf):
+    """Audio modality plumbing (mapInPandas kernel): per-window INTEGER
+    features (sum|s|, max|s|, energy, zero crossings) over deterministic
+    FAKE PCM — the synthesis formula is integer-exact, so the oracle
+    restates the expected features from scratch in SQL without touching
+    the binary payloads."""
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        audio_features,
+        make_fake_audio,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "audio", make_fake_audio(i, n_windows=4 + i % 4, window=256))
+         for i in range(48)],
+        "media_id long, kind string, payload binary",
+    )
+    return audio_features(media, window=256)
+
+
+_BLOOM_M = 1 << 14
+_BLOOM_K = 5
+
+
+def _bloom_docs(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.bloom import bloom_build
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("doc:"), F.col("doc_id")).alias("key")
+    )
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    return docs, bloom_build(seen, "key", _BLOOM_M, _BLOOM_K)
+
+
+def _q_bloom_words(spark, sf):
+    """Distributed Bloom-filter BUILD (cross-snapshot dedup artifact):
+    k=5 md5 positions per key, one groupBy(word_idx) bit_or — output is
+    ≤ m/64 rows however large the input. Filter covers the doc_id%3==0
+    'prior snapshot' slice of documents."""
+    return _bloom_docs(spark, sf)[1]
+
+
+def _q_bloom_probe(spark, sf):
+    """Bloom-filter PROBE (relational twin of the production map-side
+    broadcast probe, differential-tested in tests/test_bloom_audio.py):
+    every inserted key must probe true (no false negatives); others are
+    true only on md5-position collisions, which the oracle reproduces
+    exactly."""
+    from pdf_context_extractor_agent_spark.functions.bloom import bloom_probe
+
+    docs, bloom = _bloom_docs(spark, sf)
+    probed = bloom_probe(docs.select("key"), "key", bloom, _BLOOM_M, _BLOOM_K)
+    return docs.join(probed, "key").select("doc_id", "maybe_member")
+
+
 def _synth_lines(spark, sf):
     """Deterministic line table from documents: 6-word chunks with a
     hash-chosen terminal mark — gives the C4 rules real punctuation and
@@ -1293,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": _q_containment,
         "q_corpus_stats": _q_corpus_stats,
         "q_compression_ratio": _q_compression_ratio,
+        "q_audio_features": _q_audio_features,
+        "q_bloom_words": _q_bloom_words,
+        "q_bloom_probe": _q_bloom_probe,
         "q_url_canon": _q_url_canon,
         "q_domain_stats": _q_domain_stats,
         "q_blocklist": _q_blocklist,
@@ -1978,6 +2035,60 @@ dim AS (
             SELECT doc_id, bm25, n_terms_matched FROM sc
             ORDER BY bm25 DESC, doc_id
             LIMIT 15""",
+        # audio kernel oracle: re-derive the per-window integer features
+        # straight from the deterministic PCM synthesis formula — the
+        # binary container never needs decoding on the oracle side
+        "q_audio_features": """
+            WITH ids AS (
+              SELECT i AS media_id, (4 + i % 4) * 256 AS n
+              FROM range(48) t(i)),
+            samples AS (
+              SELECT media_id, j AS i,
+                     ((media_id * 131 + j * 17) % 4096) - 2048 AS s
+              FROM ids JOIN range(2048) g(j) ON j < n),
+            w AS (
+              SELECT media_id, (i // 256)::INT AS window_idx, s,
+                     lag(s) OVER (PARTITION BY media_id, i // 256 ORDER BY i) AS prev
+              FROM samples)
+            SELECT media_id::BIGINT AS media_id, window_idx,
+                   sum(abs(s))::BIGINT AS sum_abs,
+                   max(abs(s))::INT AS max_abs,
+                   sum(s * s)::BIGINT AS energy,
+                   sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (s < 0)
+                       THEN 1 ELSE 0 END)::INT AS zero_crossings
+            FROM w GROUP BY media_id, window_idx
+        """,
+        # Bloom build/probe: md5-positional hashing is reproduced
+        # verbatim (first 15 hex nibbles -> 60-bit int mod m); the word
+        # bitmap uses a CASE for bit 63 because DuckDB's BIGINT << 63
+        # overflows where Spark's shiftleft wraps to min-long
+        "q_bloom_words": """
+            WITH pos AS (
+              SELECT ('0x' || substr(md5(j::VARCHAR || ':doc:' || doc_id::VARCHAR),
+                                     1, 15))::UBIGINT % 16384 AS p
+              FROM documents, (SELECT unnest([0,1,2,3,4]) AS j)
+              WHERE doc_id % 3 = 0)
+            SELECT (p // 64)::BIGINT AS word_idx,
+                   bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                               ELSE (1::BIGINT << (p % 64)::INT) END) AS word
+            FROM pos GROUP BY 1
+        """,
+        "q_bloom_probe": """
+            WITH seeds AS (SELECT unnest([0,1,2,3,4]) AS j),
+            ins AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(j::VARCHAR || ':doc:' || doc_id::VARCHAR),
+                                     1, 15))::UBIGINT % 16384 AS p
+              FROM documents, seeds WHERE doc_id % 3 = 0),
+            probe AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(j::VARCHAR || ':doc:' || doc_id::VARCHAR),
+                                     1, 15))::UBIGINT % 16384 AS p
+              FROM documents, seeds)
+            SELECT probe.doc_id, (count(ins.p) = 5) AS maybe_member
+            FROM probe LEFT JOIN ins USING (p)
+            GROUP BY probe.doc_id
+        """,
         "q_url_canon": r"""
             WITH u AS (
               SELECT doc_id,

@@ -120,6 +120,85 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return src.mapInPandas(kernel, schema="media_id long, payload binary")
 
 
+_AUDIO_MAGIC = b"FAKEAUD1"
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("max_abs", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def make_fake_audio(
+    media_id: int, n_windows: int = 4, window: int = 256, sample_rate: int = 16000
+) -> bytes:
+    """Deterministic FAKE audio container: magic + (n_samples, rate) +
+    int16-LE PCM with ``s_i = ((id*131 + i*17) % 4096) - 2048``. The
+    synthesis formula is integer-exact, so feature oracles can restate
+    the expected values in plain SQL without reading the binary."""
+    n = n_windows * window
+    s = ((media_id * 131 + np.arange(n, dtype=np.int64) * 17) % 4096) - 2048
+    return _AUDIO_MAGIC + struct.pack("<II", n, sample_rate) + s.astype("<i2").tobytes()
+
+
+def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Audio decode step. Real codecs (soundfile/ffmpeg) would branch on
+    the container here; only the FAKE format is decodable in-sandbox."""
+    if payload[:8] == _AUDIO_MAGIC:
+        n, rate = struct.unpack("<II", payload[8:16])
+        return rate, np.frombuffer(payload[16:16 + 2 * n], dtype="<i2")
+    raise NotImplementedError(
+        "no codec available for this payload (container lacks audio libs; "
+        "only the FAKEAUD1 self-describing format is decodable)"
+    )
+
+
+def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
+    """binary PCM → per-window integer features via mapInPandas.
+
+    One output row per full window of ``window`` samples (a trailing
+    partial window is dropped — the fixed-hop framing every audio
+    front-end uses). Features are INTEGER-exact (sum|s|, max|s|,
+    Σs², sign-change count) so the kernel is cross-engine verifiable;
+    a real front-end would emit mel filterbanks from the same batch
+    shape. Narrow map, no shuffle: scales by input partitioning alone.
+    """
+    src = media.select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mids, widx, sum_abs, max_abs, energy, zc = [], [], [], [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                _, pcm = _decode_audio(bytes(payload))
+                nw = len(pcm) // window
+                s = pcm[: nw * window].astype(np.int64).reshape(nw, window)
+                a = np.abs(s)
+                neg = s < 0
+                mids.extend([int(mid)] * nw)
+                widx.extend(range(nw))
+                sum_abs.extend(a.sum(axis=1).tolist())
+                max_abs.extend(a.max(axis=1).tolist())
+                energy.extend((s * s).sum(axis=1).tolist())
+                zc.extend((neg[:, 1:] != neg[:, :-1]).sum(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "sum_abs": pd.Series(sum_abs, dtype="int64"),
+                    "max_abs": pd.Series(max_abs, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video-style frame sampling: treat payload rows as frames, keep
     every Nth — the explode/filter shape of real frame extraction."""

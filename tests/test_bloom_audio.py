@@ -1,0 +1,122 @@
+"""Bloom-filter membership + audio feature kernel.
+
+Bloom: the no-false-negative invariant (every inserted key probes
+true), false-positive sanity at the configured m/k, and the
+differential check between the relational probe and the production
+map-side (broadcast bitmap) probe.
+
+Audio: the mapInPandas kernel vs an independent pure-Python rebuild of
+the per-window integer features from the deterministic synthesis
+formula.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_context_extractor_agent_spark.functions.bloom import (
+    bloom_bitmap,
+    bloom_build,
+    bloom_probe,
+    bloom_probe_mapside,
+)
+from pdf_context_extractor_agent_spark.functions.multimodal import (
+    audio_features,
+    make_fake_audio,
+)
+
+M_BITS = 1 << 14
+K = 5
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.createDataFrame(
+        [(f"https://example.com/page/{i}",) for i in range(400)], "url string"
+    )
+
+
+@pytest.fixture(scope="module")
+def bloom(keys):
+    # filter built over the even-i "prior snapshot" half
+    seen = keys.filter(F.col("url").rlike(r"/(\d*[02468])$"))
+    return bloom_build(seen, "url", M_BITS, K).cache()
+
+
+def test_bloom_no_false_negatives(keys, bloom):
+    seen = keys.filter(F.col("url").rlike(r"/(\d*[02468])$"))
+    probed = bloom_probe(seen, "url", bloom, M_BITS, K)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_false_positive_rate_sane(keys, bloom):
+    unseen = keys.filter(~F.col("url").rlike(r"/(\d*[02468])$"))
+    n = unseen.count()
+    fp = bloom_probe(unseen, "url", bloom, M_BITS, K).filter("maybe_member").count()
+    # 200 keys * 5 hashes in 16384 bits → theoretical fp ≈ 2e-5; allow
+    # a generous margin so the test asserts the mechanism, not luck
+    assert fp / n < 0.05
+
+
+def test_bloom_mapside_matches_relational(spark, keys, bloom):
+    bitmap = bloom_bitmap(bloom, M_BITS)
+    rel = {
+        r["url"]: r["maybe_member"]
+        for r in bloom_probe(keys, "url", bloom, M_BITS, K).collect()
+    }
+    mapside = {
+        r["url"]: r["maybe_member"]
+        for r in bloom_probe_mapside(keys, "url", bitmap, M_BITS, K).collect()
+    }
+    assert rel == mapside and len(rel) == 400
+
+
+def test_bloom_word_count_bounded(bloom):
+    assert bloom.count() <= M_BITS // 64
+
+
+def test_audio_features_match_reference(spark):
+    window = 64
+    media = spark.createDataFrame(
+        [(i, "audio", make_fake_audio(i, n_windows=2 + i % 3, window=window))
+         for i in range(12)],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        (r.media_id, r.window_idx): (r.sum_abs, r.max_abs, r.energy, r.zero_crossings)
+        for r in audio_features(media, window=window).collect()
+    }
+    expect = {}
+    for mid in range(12):
+        n = (2 + mid % 3) * window
+        s = [((mid * 131 + i * 17) % 4096) - 2048 for i in range(n)]
+        for w in range(n // window):
+            seg = s[w * window:(w + 1) * window]
+            zc = sum(
+                1 for a, b in zip(seg, seg[1:]) if (a < 0) != (b < 0)
+            )
+            expect[(mid, w)] = (
+                sum(abs(v) for v in seg),
+                max(abs(v) for v in seg),
+                sum(v * v for v in seg),
+                zc,
+            )
+    assert got == expect
+
+
+def test_audio_trailing_partial_window_dropped(spark):
+    payload = make_fake_audio(7, n_windows=3, window=100)
+    media = spark.createDataFrame(
+        [(7, "audio", payload)], "media_id long, kind string, payload binary"
+    )
+    # decode 300 samples but frame at window=128 → 2 full windows only
+    assert audio_features(media, window=128).count() == 2
+
+
+def test_audio_unknown_container_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "audio", b"RIFF....WAVE")], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="no codec"):
+        audio_features(media, window=16).collect()
