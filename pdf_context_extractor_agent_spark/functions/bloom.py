@@ -108,6 +108,46 @@ def bloom_probe(
     )
 
 
+def bloom_probe_joined(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Shuffle-free relational probe: k broadcast joins of the tiny
+    word relation, one per hash, AND-ed in a final projection — no
+    explode, no groupBy, so it composes into a pipeline without
+    repartitioning the big side (the shape :func:`bloom_probe`'s
+    per-key aggregate can't offer). Output: input columns + out_col.
+    """
+    out = df
+    hits = []
+    for j in range(k):
+        pos = _md5_position(F.col(key_col), j, m_bits)
+        out = out.withColumns(
+            {
+                f"_bw{j}": (pos / 64).cast("long"),
+                f"_bb{j}": (pos % 64).cast("int"),
+            }
+        )
+        b = bloom.select(
+            F.col("word_idx").alias(f"_bw{j}"), F.col("word").alias(f"_bword{j}")
+        )
+        out = out.join(F.broadcast(b), f"_bw{j}", "left")
+        hits.append(
+            F.col(f"_bword{j}").isNotNull()
+            & (F.expr(f"shiftrightunsigned(_bword{j}, _bb{j}) & 1") == 1)
+        )
+    member = hits[0]
+    for h in hits[1:]:
+        member = member & h
+    return out.withColumn(out_col, member).drop(
+        *[c for j in range(k) for c in (f"_bw{j}", f"_bb{j}", f"_bword{j}")]
+    )
+
+
 def bloom_bitmap(bloom: DataFrame, m_bits: int) -> np.ndarray:
     """Collect the built filter into a numpy uint64 bitmap (the
     artifact hand-off: m/64 longs, a few MB at production sizes)."""

@@ -86,6 +86,9 @@ def curate(
     text_col: str = "text",
     blocklist: DataFrame | None = None,
     url_col: str = "url",
+    prior_bloom: DataFrame | None = None,
+    bloom_m: int = 1 << 16,
+    bloom_k: int = 5,
 ) -> dict[str, DataFrame]:
     """Full curation run. Returns:
 
@@ -100,6 +103,16 @@ def curate(
     ``blocked_domain`` gate reason — first in the line because it costs
     one broadcast join on the already-computed host, so it prunes
     before any text is even tokenized.
+
+    ``prior_bloom`` (optional, the words relation from
+    :func:`~..functions.bloom.bloom_build` over PRIOR snapshots'
+    content digests) adds cross-snapshot incremental dedup: documents
+    whose ``md5(normalized_text)`` probes true pick up a
+    ``seen_in_prior_snapshot`` gate reason via the shuffle-free
+    k-broadcast-join probe — the history stays a few-MB artifact
+    instead of a multi-terabyte join side. Bloom false positives can
+    drop a genuinely-new document (never the reverse); size m/k for
+    the acceptable loss rate.
     """
     gated = quality_gate(docs, gates, id_col, text_col)
     if blocklist is not None:
@@ -115,6 +128,25 @@ def curate(
                 F.concat(F.array(F.lit("blocked_domain")), F.col("gate_reasons")),
             ).otherwise(F.col("gate_reasons")),
         ).drop("is_blocked")
+    if prior_bloom is not None:
+        from ..functions.bloom import bloom_probe_joined
+        from ..functions.dedup import normalized_text
+
+        keyed = docs.select(
+            id_col, F.md5(normalized_text(F.col(text_col))).alias("_digest")
+        )
+        seen = bloom_probe_joined(
+            keyed, "_digest", prior_bloom, bloom_m, bloom_k, out_col="_seen"
+        ).select(id_col, "_seen")
+        gated = gated.join(seen, id_col, "left").withColumn(
+            "gate_reasons",
+            F.when(
+                F.coalesce("_seen", F.lit(False)),
+                F.concat(
+                    F.array(F.lit("seen_in_prior_snapshot")), F.col("gate_reasons")
+                ),
+            ).otherwise(F.col("gate_reasons")),
+        ).drop("_seen")
     clean = gated.filter(F.size("gate_reasons") == 0)
 
     ex = exact_dedup(clean.select(id_col, text_col), id_col, text_col)

@@ -19,6 +19,7 @@ from pdf_context_extractor_agent_spark.functions.bloom import (
     bloom_bitmap,
     bloom_build,
     bloom_probe,
+    bloom_probe_joined,
     bloom_probe_mapside,
 )
 from pdf_context_extractor_agent_spark.functions.multimodal import (
@@ -70,6 +71,25 @@ def test_bloom_mapside_matches_relational(spark, keys, bloom):
         for r in bloom_probe_mapside(keys, "url", bitmap, M_BITS, K).collect()
     }
     assert rel == mapside and len(rel) == 400
+
+
+def test_bloom_joined_probe_matches_relational(keys, bloom):
+    rel = {
+        r["url"]: r["maybe_member"]
+        for r in bloom_probe(keys, "url", bloom, M_BITS, K).collect()
+    }
+    joined = {
+        r["url"]: r["maybe_member"]
+        for r in bloom_probe_joined(keys, "url", bloom, M_BITS, K).collect()
+    }
+    assert rel == joined and len(joined) == 400
+
+
+def test_bloom_joined_probe_is_shuffle_free(keys, bloom):
+    plan = bloom_probe_joined(
+        keys, "url", bloom, M_BITS, K
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(url" not in plan
 
 
 def test_bloom_word_count_bounded(bloom):

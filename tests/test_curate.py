@@ -1,8 +1,13 @@
 """End-to-end curation plan (plans/curate.py): audit verdicts, stage
-composition, optional blocklist stage."""
+composition, optional blocklist stage, optional cross-snapshot Bloom
+stage."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from pdf_context_extractor_agent_spark.functions.bloom import bloom_build
+from pdf_context_extractor_agent_spark.functions.dedup import normalized_text
 from pdf_context_extractor_agent_spark.plans.curate import curate
 
 
@@ -56,3 +61,24 @@ def test_curate_blocklist_stage_prepends_gate_reason(spark):
     assert v[0].kept and v[1].exact_dup
     corpus_ids = {r.doc_id for r in out["corpus"].select("doc_id").collect()}
     assert corpus_ids == {0, 3}
+
+
+def test_curate_prior_bloom_drops_previously_seen_content(spark):
+    docs = _docs(spark)
+    # prior snapshot contained LONG_A content: build the history filter
+    # over its digest, exactly as a previous curate run would persist it
+    prior = spark.createDataFrame([(LONG_A,)], "text string").select(
+        F.md5(normalized_text(F.col("text"))).alias("digest")
+    )
+    bloom = bloom_build(prior, "digest", 1 << 14, 5)
+    out = curate(docs, gates={"min_words": 5}, prior_bloom=bloom, bloom_m=1 << 14)
+    v = {r.doc_id: r for r in out["verdicts"].collect()}
+    # docs 0 and 1 carry the prior snapshot's exact content → gated out
+    assert v[0].gate_reasons[0] == "seen_in_prior_snapshot" and not v[0].kept
+    assert v[1].gate_reasons[0] == "seen_in_prior_snapshot" and not v[1].kept
+    # the near-dup (extra tail word → different digest) sails through
+    # the Bloom stage and, with 0/1 gone, becomes its own canonical
+    assert v[2].gate_reasons == [] and v[2].kept
+    assert v[3].kept
+    corpus_ids = {r.doc_id for r in out["corpus"].select("doc_id").collect()}
+    assert corpus_ids == {2, 3}
