@@ -525,6 +525,18 @@ def _q_ivf_topk(spark, sf):
 # have no DuckDB twin)
 # ---------------------------------------------------------------------------
 
+def _q_sq_topk(spark, sf):
+    """int8 scalar-quantized top-k (the 10^12-vector scan path: 4×
+    denser than float32, integer dot product — exact on any engine, so
+    the oracle reproduces the whole codec: global min/max, the SQ8
+    round, and the quantized scores)."""
+    from pdf_context_extractor_agent_spark.functions.similarity import sq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return sq_topk(emb, [float(x) for x in qrow[0]], k=10)
+
+
 def _q_minhash_lsh(spark, sf):
     from pdf_context_extractor_agent_spark.functions.dedup import (
         jaccard_verify,
@@ -1307,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_stratified_topk": _q_stratified_topk,
         "q_ivf_topk": _q_ivf_topk,
+        "q_sq_topk": _q_sq_topk,
         "q_decontaminate": _q_decontaminate,
         "q_token_counts": _q_token_counts,
         "q_lang_scores": _q_lang_scores,
@@ -2035,6 +2048,26 @@ dim AS (
             SELECT doc_id, bm25, n_terms_matched FROM sc
             ORDER BY bm25 DESC, doc_id
             LIMIT 15""",
+        # SQ8 codec oracle: global min/max, the quantization round, and
+        # the integer dot scores all recomputed from the raw floats —
+        # double arithmetic with one association order is IEEE-identical
+        # across engines, and everything after round() is exact ints
+        "q_sq_topk": """
+            WITH lohi AS (
+              SELECT min(u::DOUBLE) AS lo, max(u::DOUBLE) AS hi
+              FROM embeddings, unnest(embedding) t(u)),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            codes AS (
+              SELECT e.vec_id,
+                     round((e.embedding[j+1]::DOUBLE - lo) * (255 / (hi - lo)))::INT
+                       - 128 AS c,
+                     round((q.qe[j+1]::DOUBLE - lo) * (255 / (hi - lo)))::INT
+                       - 128 AS qc
+              FROM embeddings e, q, lohi, range(64) r(j))
+            SELECT vec_id, sum(c * qc)::INT AS qscore
+            FROM codes GROUP BY vec_id
+            ORDER BY qscore DESC, vec_id LIMIT 10
+        """,
         # audio kernel oracle: re-derive the per-window integer features
         # straight from the deterministic PCM synthesis formula — the
         # binary container never needs decoding on the oracle side

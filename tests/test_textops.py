@@ -123,6 +123,42 @@ def test_ivf_topk_self_match_and_pruning(spark):
     assert cells <= cents
 
 
+def test_sq_topk_recall_and_code_range(spark):
+    from pdf_context_extractor_agent_spark.functions.similarity import (
+        sq_codes,
+        sq_minmax,
+        sq_topk,
+    )
+    from pdf_context_extractor_agent_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    lo, hi = sq_minmax(emb)
+    codes = emb.select(
+        F.array_min(sq_codes(F.col("embedding"), lo, hi)).alias("mn"),
+        F.array_max(sq_codes(F.col("embedding"), lo, hi)).alias("mx"),
+    ).agg(F.min("mn"), F.max("mx")).first()
+    assert codes[0] >= -128 and codes[1] <= 127
+    top = sq_topk(emb, q, k=5)
+    got = [r.vec_id for r in top.collect()]
+    assert got[0] == 7  # self-match survives quantization
+    # quantized neighborhood should largely agree with the exact one
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=5).collect()}
+    assert len(set(got) & exact) >= 3
+
+
+def test_sq_degenerate_constant_vectors(spark):
+    from pdf_context_extractor_agent_spark.functions.similarity import sq_topk
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    # hi == lo → scale 0, every code -128; deterministic id tie-break
+    top = sq_topk(emb, [0.5, 0.5], k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    assert top[0].qscore == top[1].qscore == 2 * 128 * 128
+
+
 def test_cosine_near_dup_pairs(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])],
