@@ -100,6 +100,8 @@ HEADLINE = [
     "q_simhash_neardup",
     "q_embed_topk",
     "q_cosine_neardup",
+    "q_sq_topk",
+    "q_bloom_probe",
 ]
 
 
