@@ -520,6 +520,16 @@ def _q_ivf_topk(spark, sf):
     return ivf_topk(emb, [float(x) for x in qrow[0]], k=10, stride=97, nprobe=4)
 
 
+def _q_kmeans(spark, sf):
+    """Lloyd's k-means (2 fixed iterations, seedless strided init):
+    assignment is a zero-shuffle broadcast-array map pass, the update
+    shuffles only model-sized (cell, pos) partial means — the
+    clustering primitive under SemDeDup / cluster-balanced selection."""
+    from pdf_context_extractor_agent_spark.functions.cluster import kmeans
+
+    return kmeans(_t(spark, sf, "embeddings"), stride=97, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # kernel-path / LSH queries (rows-only checks: xxhash64 & Arrow kernels
 # have no DuckDB twin)
@@ -1320,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_topk": _q_stratified_topk,
         "q_ivf_topk": _q_ivf_topk,
         "q_sq_topk": _q_sq_topk,
+        "q_kmeans": _q_kmeans,
         "q_decontaminate": _q_decontaminate,
         "q_token_counts": _q_token_counts,
         "q_lang_scores": _q_lang_scores,
@@ -2881,4 +2892,52 @@ GROUP BY sym""",
                             * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
             FROM embeddings, q
             ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        # Lloyd's k-means, 2 iterations unrolled (fixed iteration count =
+        # static plan = unrollable oracle): assign → mean-update → assign →
+        # mean-update → final assign. Same rounding discipline as the Spark
+        # side (cosine 4 dp, centroid means 6 dp).
+        "q_kmeans": """
+            WITH cents0 AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id % 97 = 0),
+            assign1 AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS ccos
+                FROM embeddings e, cents0 c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1),
+            cents1 AS (
+              SELECT cell, list(v ORDER BY pos) AS cvec FROM (
+                SELECT a.cell, t.pos, round(avg(e.embedding[t.pos]::DOUBLE), 6) AS v
+                FROM embeddings e JOIN assign1 a USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t
+                GROUP BY a.cell, t.pos)
+              GROUP BY cell),
+            assign2 AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS ccos
+                FROM embeddings e, cents1 c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1),
+            cents2 AS (
+              SELECT cell, list(v ORDER BY pos) AS cvec FROM (
+                SELECT a.cell, t.pos, round(avg(e.embedding[t.pos]::DOUBLE), 6) AS v
+                FROM embeddings e JOIN assign2 a USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t
+                GROUP BY a.cell, t.pos)
+              GROUP BY cell),
+            assign3 AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS ccos
+                FROM embeddings e, cents2 c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1)
+            SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS cell_size
+            FROM assign3""",
     }
