@@ -530,6 +530,26 @@ def _q_kmeans(spark, sf):
     return kmeans(_t(spark, sf, "embeddings"), stride=97, iters=2)
 
 
+def _q_hll_doc_terms(spark, sf):
+    """HyperLogLog distinct (doc, token) incidence estimate — one
+    groupBy over 256 registers regardless of corpus size; integer
+    register sum, exact distinct riding along as the accuracy check."""
+    from pdf_context_extractor_agent_spark.functions.sketch import (
+        hll_doc_term_estimate,
+    )
+
+    return hll_doc_term_estimate(_t(spark, sf, "documents"))
+
+
+def _q_cm_heavy_hitters(spark, sf):
+    """Count-min heavy hitters at width 16 (collision-heavy on
+    purpose): est ≥ exact for every token, sketch is depth×width rows
+    out of one groupBy no matter the corpus size."""
+    from pdf_context_extractor_agent_spark.functions.sketch import cm_heavy_hitters
+
+    return cm_heavy_hitters(_t(spark, sf, "documents"), width=16, depth=4, k=20)
+
+
 # ---------------------------------------------------------------------------
 # kernel-path / LSH queries (rows-only checks: xxhash64 & Arrow kernels
 # have no DuckDB twin)
@@ -1331,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": _q_ivf_topk,
         "q_sq_topk": _q_sq_topk,
         "q_kmeans": _q_kmeans,
+        "q_hll_doc_terms": _q_hll_doc_terms,
+        "q_cm_heavy_hitters": _q_cm_heavy_hitters,
         "q_decontaminate": _q_decontaminate,
         "q_token_counts": _q_token_counts,
         "q_lang_scores": _q_lang_scores,
@@ -2940,4 +2962,68 @@ GROUP BY sym""",
               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1)
             SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS cell_size
             FROM assign3""",
+        # HyperLogLog over (doc, token) incidence keys: md5-positional
+        # 60-bit hash, 256 registers, INTEGER register sum (missing
+        # registers contribute the 2^53 term), linear-counting branch
+        # for the small range. 590295810358705651712.0 = 256^2 * 2^53.
+        "q_hll_doc_terms": """
+            WITH toks AS (
+              SELECT doc_id::VARCHAR || ':' || t AS token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+                FROM documents) WHERE t <> ''),
+            hashed AS (
+              SELECT ('0x' || substr(md5('0:' || token), 1, 15))::BIGINT AS h FROM toks),
+            regs AS (
+              SELECT h % 256 AS bucket,
+                     max(CASE WHEN (h // 256) = 0 THEN 53
+                              ELSE 53 - length(bin(h // 256)) END) AS rho_max
+              FROM hashed GROUP BY 1),
+            agg AS (
+              SELECT count(*) AS nonzero_registers,
+                     sum((1::BIGINT << (53 - rho_max)))::BIGINT AS present_sum FROM regs),
+            ex AS (SELECT count(DISTINCT token) AS exact_distinct FROM toks),
+            comb AS (
+              SELECT 256 AS m, nonzero_registers,
+                     (present_sum
+                      + (256 - nonzero_registers) * (1::BIGINT << 53))::BIGINT AS register_sum,
+                     exact_distinct,
+                     (256 - nonzero_registers) AS zeros
+              FROM agg, ex),
+            est AS (
+              SELECT *,
+                     (0.7213 / (1.0 + 1.079 / 256.0)) * 590295810358705651712.0
+                       / register_sum AS raw
+              FROM comb)
+            SELECT m, nonzero_registers, register_sum,
+                   floor((CASE WHEN raw <= 640.0 AND zeros > 0
+                               THEN 256.0 * ln(256.0 / zeros) ELSE raw END)
+                         * 10000.0) / 10000.0 AS hll_estimate,
+                   exact_distinct,
+                   floor(((CASE WHEN raw <= 640.0 AND zeros > 0
+                                THEN 256.0 * ln(256.0 / zeros) ELSE raw END)
+                          / exact_distinct - 1.0) * 10000.0) / 10000.0 AS rel_error
+            FROM est""",
+        # count-min at width 16 / depth 4 (collision-heavy on purpose):
+        # the sketch build and the probe share the md5-positional hash.
+        "q_cm_heavy_hitters": """
+            WITH toks AS (
+              SELECT t AS token FROM (
+                SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+                FROM documents) WHERE t <> ''),
+            pos AS (
+              SELECT token, j AS row,
+                     ('0x' || substr(md5(j::VARCHAR || ':' || token), 1, 15))::BIGINT % 16 AS col
+              FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+            sketch AS (SELECT row, col, count(*) AS cnt FROM pos GROUP BY 1, 2),
+            exact AS (SELECT token, count(*) AS exact FROM toks GROUP BY 1),
+            probes AS (
+              SELECT token, j AS row,
+                     ('0x' || substr(md5(j::VARCHAR || ':' || token), 1, 15))::BIGINT % 16 AS col
+              FROM exact CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+            est AS (
+              SELECT p.token, min(s.cnt) AS est
+              FROM probes p JOIN sketch s USING (row, col) GROUP BY 1)
+            SELECT e.token, est, exact FROM exact e JOIN est USING (token)
+            ORDER BY exact DESC, token LIMIT 20""",
     }
