@@ -2151,7 +2151,8 @@ dim AS (
                      ('0x' || substr(md5(j::VARCHAR || ':doc:' || doc_id::VARCHAR),
                                      1, 15))::UBIGINT % 16384 AS p
               FROM documents, seeds)
-            SELECT probe.doc_id, (count(ins.p) = 5) AS maybe_member
+            SELECT probe.doc_id,
+                   (min(CASE WHEN ins.p IS NULL THEN 0 ELSE 1 END) = 1) AS maybe_member
             FROM probe LEFT JOIN ins USING (p)
             GROUP BY probe.doc_id
         """,
@@ -2916,8 +2917,12 @@ GROUP BY sym""",
             ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         # Lloyd's k-means, 2 iterations unrolled (fixed iteration count =
         # static plan = unrollable oracle): assign → mean-update → assign →
-        # mean-update → final assign. Same rounding discipline as the Spark
-        # side (cosine 4 dp, centroid means 6 dp).
+        # mean-update → final assign. Same determinism discipline as the
+        # Spark side: cosines floor-TRUNCATED to 4 dp (round() is HALF_UP
+        # BigDecimal on Spark vs raw-double on DuckDB — divergent on
+        # boundaries), centroid means in exact integer space (coordinates
+        # quantized to floor(x*2^20) bigints, order-independent sum,
+        # floor-division by the cell count, scaled back by 2^-20).
         "q_kmeans": """
             WITH cents0 AS (
               SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
@@ -2925,39 +2930,47 @@ GROUP BY sym""",
             assign1 AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,
-                       round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                       floor(list_dot_product(e.embedding::DOUBLE[], c.cvec)
                              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                                * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS ccos
+                                * sqrt(list_dot_product(c.cvec, c.cvec))) * 10000.0) / 10000.0 AS ccos
                 FROM embeddings e, cents0 c)
               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1),
             cents1 AS (
               SELECT cell, list(v ORDER BY pos) AS cvec FROM (
-                SELECT a.cell, t.pos, round(avg(e.embedding[t.pos]::DOUBLE), 6) AS v
-                FROM embeddings e JOIN assign1 a USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t
-                GROUP BY a.cell, t.pos)
+                SELECT cell, pos,
+                       ((s - ((s % n) + n) % n) // n) / 1048576.0 AS v FROM (
+                  SELECT a.cell, t.pos,
+                         sum(floor(e.embedding[t.pos]::DOUBLE * 1048576.0)::BIGINT) AS s,
+                         count(*)::BIGINT AS n
+                  FROM embeddings e JOIN assign1 a USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t
+                  GROUP BY a.cell, t.pos))
               GROUP BY cell),
             assign2 AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,
-                       round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                       floor(list_dot_product(e.embedding::DOUBLE[], c.cvec)
                              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                                * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS ccos
+                                * sqrt(list_dot_product(c.cvec, c.cvec))) * 10000.0) / 10000.0 AS ccos
                 FROM embeddings e, cents1 c)
               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1),
             cents2 AS (
               SELECT cell, list(v ORDER BY pos) AS cvec FROM (
-                SELECT a.cell, t.pos, round(avg(e.embedding[t.pos]::DOUBLE), 6) AS v
-                FROM embeddings e JOIN assign2 a USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t
-                GROUP BY a.cell, t.pos)
+                SELECT cell, pos,
+                       ((s - ((s % n) + n) % n) // n) / 1048576.0 AS v FROM (
+                  SELECT a.cell, t.pos,
+                         sum(floor(e.embedding[t.pos]::DOUBLE * 1048576.0)::BIGINT) AS s,
+                         count(*)::BIGINT AS n
+                  FROM embeddings e JOIN assign2 a USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t
+                  GROUP BY a.cell, t.pos))
               GROUP BY cell),
             assign3 AS (
               SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.cell,
-                       round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                       floor(list_dot_product(e.embedding::DOUBLE[], c.cvec)
                              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                                * sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS ccos
+                                * sqrt(list_dot_product(c.cvec, c.cvec))) * 10000.0) / 10000.0 AS ccos
                 FROM embeddings e, cents2 c)
               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1)
             SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS cell_size

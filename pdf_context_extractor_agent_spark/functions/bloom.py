@@ -86,7 +86,11 @@ def bloom_probe(
 ) -> DataFrame:
     """Relational probe: adds ``maybe_member`` (true iff all k bits
     set). The filter side is tiny (≤ m/64 rows) so the join broadcasts;
-    the groupBy re-aggregates the k exploded tests per key."""
+    the groupBy re-aggregates the exploded tests per key with
+    ``min(hit) == 1`` — every probed position must hit. min (not
+    ``sum == k``) keeps the no-false-negative invariant under
+    DUPLICATE probe keys: a key appearing twice contributes 2k hit
+    rows, which a sum-based check would misread as a miss."""
     probes = df.select(
         F.col(key_col),
         F.explode(F.array(*_positions(F.col(key_col), k, m_bits))).alias("pos"),
@@ -104,7 +108,7 @@ def bloom_probe(
         probes.join(F.broadcast(bloom), "word_idx", "left")
         .select(key_col, F.coalesce(hit, F.lit(False)).cast("int").alias("hit"))
         .groupBy(key_col)
-        .agg((F.sum("hit") == F.lit(k)).alias("maybe_member"))
+        .agg((F.min("hit") == F.lit(1)).alias("maybe_member"))
     )
 
 

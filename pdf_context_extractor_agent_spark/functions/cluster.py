@@ -16,9 +16,16 @@ Scale shape (the part that matters at 100 TB):
   partial aggregation — bytes proportional to the MODEL, not the data.
 * **Determinism without RNG:** initial centroids are every
   ``stride``-th vector (the same seedless convention as
-  ``similarity.ivf_index``); centroid means are rounded to 6 dp and
-  assignment cosines to 4 dp so Spark and DuckDB agree bit-for-bit
-  despite float-sum association order.
+  ``similarity.ivf_index``). Centroid means are computed in EXACT
+  integer space — coordinates quantized to ``floor(x·2^20)`` longs,
+  summed (integer addition is order-independent, so partitioning can't
+  move the result), then floor-divided by the cell size — and
+  assignment cosines are floor-truncated to 4 dp. No ``round()``
+  anywhere: Spark's ``F.round`` is HALF_UP on the shortest-decimal
+  BigDecimal while DuckDB rounds the raw double, so values landing on a
+  .xxx5 boundary would diverge; ``floor`` of the same double is the
+  same double on any IEEE engine, and the integer mean removes the
+  float-sum association-order hazard entirely.
 
 This is the clustering primitive SemDeDup (Abbas et al., 2023) and
 cluster-balanced data selection pipelines assume; the LSH-bucketed
@@ -34,6 +41,11 @@ from pyspark.sql import functions as F
 from .similarity import cosine
 
 __all__ = ["kmeans_init", "kmeans_assign", "kmeans_update", "kmeans"]
+
+# centroid quantum: coordinates live on a 2^-20 grid during the mean
+# update, so cell means are exact integers / 2^20 — bit-identical on
+# Spark, DuckDB, and plain Python regardless of summation order
+_Q = 1 << 20
 
 
 def kmeans_init(
@@ -60,8 +72,14 @@ def kmeans_assign(
             F.transform(
                 "cents",
                 lambda c: F.struct(
-                    F.round(
-                        cosine(F.col(vec_col).cast("array<double>"), c["cvec"]), 4
+                    # floor-truncate, never round: same double on every
+                    # IEEE engine (module docstring, determinism note)
+                    (
+                        F.floor(
+                            cosine(F.col(vec_col).cast("array<double>"), c["cvec"])
+                            * 10000.0
+                        )
+                        / 10000.0
                     ).alias("ccos"),
                     (-c["cell"]).alias("nid"),
                 ),
@@ -79,11 +97,30 @@ def kmeans_update(
 ) -> DataFrame:
     """One Lloyd update step: elementwise mean per cell. The shuffle
     carries only (cell, pos) partial sums — k·dim rows, model-sized.
-    Means are rounded to 6 dp (cross-engine float-sum association)."""
+
+    The mean is EXACT integer arithmetic: quantize each coordinate to
+    ``floor(x·2^20)``, sum as bigint (order-independent, so the result
+    cannot depend on partitioning), floor-divide by the cell count
+    (``(s - pmod(s, n)) div n`` — exact for negative sums too, where
+    Spark's ``div`` truncates but Python/DuckDB floor), then scale back
+    by 2^-20 (an exact double for any |v| < 2^53). ``F.avg`` + round
+    would be latently flaky: partial-sum association order varies with
+    partitioning, and a mean near a rounding boundary could flip."""
     ex = emb.join(assign, id_col).select(
         "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
     )
-    percell = ex.groupBy("cell", "pos").agg(F.round(F.avg("x"), 6).alias("v"))
+    percell = (
+        ex.groupBy("cell", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _Q).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cell",
+            "pos",
+            (F.expr("(s - pmod(s, n)) div n").cast("double") / float(_Q)).alias("v"),
+        )
+    )
     return percell.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]

@@ -81,7 +81,11 @@ def hll_registers(keys: DataFrame, key_col: str = "token", p: int = 8) -> DataFr
     m = 1 << p
     wbits = 60 - p
     h = md5_hash60(F.col(key_col), 0)
-    w = (h / m).cast("long")
+    # shiftright, NOT (h / m).cast(long): the float division converts h
+    # long→double, which rounds for h ≥ 2^53 (~99% of 60-bit hashes) and
+    # can put w off by ±1 — divergent rho when that crosses a power of
+    # two. shiftright is the exact integer h // 2^p (h is nonnegative).
+    w = F.shiftright(h, p)
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.conv(w, 10, 2))
     )

@@ -112,27 +112,23 @@ def curate(
     k-broadcast-join probe — the history stays a few-MB artifact
     instead of a multi-terabyte join side. Bloom false positives can
     drop a genuinely-new document (never the reverse); size m/k for
-    the acceptable loss rate.
+    the acceptable loss rate. Only documents that pass the quality
+    gate are digested and probed (the md5 over full bodies is the
+    expensive part — gated docs are dropped regardless, so hashing
+    them would be pure waste); a doc failing both quality and history
+    therefore reports only its quality reasons.
+
+    ``gate_reasons`` ordering: ``blocked_domain`` first (cheapest
+    gate, applied before any text is tokenized in a production run),
+    then ``seen_in_prior_snapshot``, then the quality flags in
+    DEFAULT_GATES order.
     """
     gated = quality_gate(docs, gates, id_col, text_col)
-    if blocklist is not None:
-        from ..functions.urls import blocklist_filter
-
-        verdict = blocklist_filter(
-            docs.select(id_col, url_col), blocklist, url_col=url_col
-        ).select(id_col, "is_blocked")
-        gated = gated.join(verdict, id_col, "left").withColumn(
-            "gate_reasons",
-            F.when(
-                F.coalesce("is_blocked", F.lit(False)),
-                F.concat(F.array(F.lit("blocked_domain")), F.col("gate_reasons")),
-            ).otherwise(F.col("gate_reasons")),
-        ).drop("is_blocked")
     if prior_bloom is not None:
         from ..functions.bloom import bloom_probe_joined
         from ..functions.dedup import normalized_text
 
-        keyed = docs.select(
+        keyed = gated.filter(F.size("gate_reasons") == 0).select(
             id_col, F.md5(normalized_text(F.col(text_col))).alias("_digest")
         )
         seen = bloom_probe_joined(
@@ -147,6 +143,22 @@ def curate(
                 ),
             ).otherwise(F.col("gate_reasons")),
         ).drop("_seen")
+    # blocklist LAST in the plan so its reason lands FIRST in the line
+    # (each stage prepends); docstring order: blocked_domain, then
+    # seen_in_prior_snapshot, then quality flags
+    if blocklist is not None:
+        from ..functions.urls import blocklist_filter
+
+        verdict = blocklist_filter(
+            docs.select(id_col, url_col), blocklist, url_col=url_col
+        ).select(id_col, "is_blocked")
+        gated = gated.join(verdict, id_col, "left").withColumn(
+            "gate_reasons",
+            F.when(
+                F.coalesce("is_blocked", F.lit(False)),
+                F.concat(F.array(F.lit("blocked_domain")), F.col("gate_reasons")),
+            ).otherwise(F.col("gate_reasons")),
+        ).drop("is_blocked")
     clean = gated.filter(F.size("gate_reasons") == 0)
 
     ex = exact_dedup(clean.select(id_col, text_col), id_col, text_col)

@@ -60,6 +60,26 @@ def test_bloom_false_positive_rate_sane(keys, bloom):
     assert fp / n < 0.05
 
 
+def test_bloom_duplicate_probe_keys_no_false_negative(spark, bloom):
+    """A key appearing MULTIPLE times in the probe relation (realistic
+    for cross-snapshot URL dedup) must still probe true when inserted:
+    the per-key aggregate is min(hit), so multiplicity can't flip an
+    inserted key to a false negative (a sum(hit)==k check would)."""
+    dup = spark.createDataFrame(
+        [("https://example.com/page/2",)] * 3
+        + [("https://example.com/page/4",)] * 2
+        + [("https://example.com/page/1",)] * 2,  # odd → never inserted
+        "url string",
+    )
+    rows = {
+        r["url"]: r["maybe_member"]
+        for r in bloom_probe(dup, "url", bloom, M_BITS, K).collect()
+    }
+    assert rows["https://example.com/page/2"] is True
+    assert rows["https://example.com/page/4"] is True
+    assert len(rows) == 3  # one verdict per distinct key
+
+
 def test_bloom_mapside_matches_relational(spark, keys, bloom):
     bitmap = bloom_bitmap(bloom, M_BITS)
     rel = {

@@ -1,6 +1,7 @@
 """Lloyd's k-means over the embeddings table: invariants + a
 differential check against a plain-Python implementation of the same
-deterministic recipe (strided init, cosine 4 dp, mean 6 dp)."""
+deterministic recipe (strided init, cosine floor-truncated to 4 dp,
+exact integer-quantized centroid means — see cluster.py docstring)."""
 
 from __future__ import annotations
 
@@ -24,10 +25,13 @@ def emb(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
 
 
-def _round_half_up(x: float, nd: int) -> float:
-    # Spark F.round / DuckDB round: half away from zero.
-    s = 10**nd
-    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+_Q = 1 << 20
+
+
+def _trunc4(x: float) -> float:
+    # floor-truncation, the engine's cross-engine-safe discipline
+    # (F.round is HALF_UP BigDecimal; floor of a double is exact)
+    return math.floor(x * 10000.0) / 10000.0
 
 
 def _py_kmeans(rows, stride, iters):
@@ -50,7 +54,7 @@ def _py_kmeans(rows, stride, iters):
         out = {}
         for i, v in vecs.items():
             best = max(
-                ((_round_half_up(cos(v, c), 4), -cid) for cid, c in cents.items())
+                ((_trunc4(cos(v, c)), -cid) for cid, c in cents.items())
             )
             out[i] = -best[1]
         return out
@@ -60,11 +64,13 @@ def _py_kmeans(rows, stride, iters):
         by_cell: dict[int, list[int]] = {}
         for i, c in a.items():
             by_cell.setdefault(c, []).append(i)
+        # exact integer mean: quantize to the 2^-20 grid, sum as ints
+        # (order-independent), floor-divide by the cell size — Python's
+        # // is floor division, matching Spark's (s - pmod(s,n)) div n
         cents = {
             c: [
-                _round_half_up(
-                    sum(vecs[i][p] for i in members) / len(members), 6
-                )
+                (sum(math.floor(vecs[i][p] * _Q) for i in members) // len(members))
+                / _Q
                 for p in range(len(next(iter(vecs.values()))))
             ]
             for c, members in by_cell.items()

@@ -82,3 +82,32 @@ def test_curate_prior_bloom_drops_previously_seen_content(spark):
     assert v[3].kept
     corpus_ids = {r.doc_id for r in out["corpus"].select("doc_id").collect()}
     assert corpus_ids == {2, 3}
+
+
+def test_curate_blocked_domain_reason_stays_first_and_gated_docs_skip_probe(spark):
+    """Gate-reason ordering contract: blocked_domain first, then
+    seen_in_prior_snapshot, then quality flags. And the Bloom stage
+    digests only quality-clean docs — a doc already gated on quality
+    reports no seen reason (its md5 is never computed)."""
+    docs = spark.createDataFrame(
+        [
+            (0, LONG_A, "https://bad.com/a"),   # blocked AND previously seen
+            (1, "too short", "https://good.com/b"),  # quality-gated, seen content
+            (2, LONG_B, "https://good.com/c"),  # clean survivor
+        ],
+        "doc_id long, text string, url string",
+    )
+    prior = spark.createDataFrame(
+        [(LONG_A,), ("too short",)], "text string"
+    ).select(F.md5(normalized_text(F.col("text"))).alias("digest"))
+    bloom = bloom_build(prior, "digest", 1 << 14, 5)
+    bl = spark.createDataFrame([("bad.com",)], "entry string")
+    out = curate(
+        docs, gates={"min_words": 5}, blocklist=bl,
+        prior_bloom=bloom, bloom_m=1 << 14,
+    )
+    v = {r.doc_id: r for r in out["verdicts"].collect()}
+    assert v[0].gate_reasons == ["blocked_domain", "seen_in_prior_snapshot"]
+    # quality reasons only — the seen probe was skipped for this doc
+    assert v[1].gate_reasons == ["too_short", "repetitive"]
+    assert v[2].kept and v[2].gate_reasons == []
