@@ -899,6 +899,61 @@ def _q_blocklist(spark, sf):
     )
 
 
+def _q_domain_cap(spark, sf):
+    """FineWeb-style per-domain document cap (source diversity): rank
+    each registered domain's docs by length desc (canonical URL as the
+    deterministic tie-break) and flag everything past rank 5. One
+    shuffle, on the zipfian domain key."""
+    from pdf_context_extractor_agent_spark.functions.urls import domain_cap
+
+    docs = _t(spark, sf, "documents").withColumn("url", _synth_url())
+    return domain_cap(docs, 5, order_col="n_chars").select(
+        "doc_id", "domain", "domain_rank", "domain_capped"
+    )
+
+
+_BADWORDS = ["slow", "hash", "vector", "nonexistentword"]
+
+
+def _q_badwords(spark, sf):
+    """C4-style bad-word gate: token hits against a broadcast blockword
+    dim, any-hit flag, exact counts + fraction as audit columns."""
+    from pdf_context_extractor_agent_spark.functions.webtext import badwords_filter
+
+    docs = _t(spark, sf, "documents")
+    bw = spark.createDataFrame([(w,) for w in _BADWORDS], "word string")
+    return badwords_filter(docs, bw).select(
+        "doc_id",
+        "n_bad_words",
+        "n_words",
+        F.round("bad_word_frac", 6).alias("bad_word_frac"),
+        "is_flagged",
+    )
+
+
+def _q_meta_robots(spark, sf):
+    """robots-directive extraction over deterministic synthesized HTML:
+    five variants exercise attribute order, case, the directive-list
+    token match, and the ``none`` shorthand."""
+    from pdf_context_extractor_agent_spark.functions.webtext import meta_robots
+
+    meta = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit('<meta name="robots" content="noindex">'),
+            F.lit('<meta content="nofollow" name="robots">'),
+            F.lit('<meta name="robots" content="NOINDEX, NOFOLLOW">'),
+            F.lit('<meta name="robots" content="none">'),
+        ),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    pages = _t(spark, sf, "documents").withColumn(
+        "html",
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body><p>x</p></body></html>")),
+    )
+    return meta_robots(pages, "html", keep_cols=("doc_id",))
+
+
 _MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
 
 
@@ -1399,6 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": _q_url_canon,
         "q_domain_stats": _q_domain_stats,
         "q_blocklist": _q_blocklist,
+        "q_domain_cap": _q_domain_cap,
+        "q_badwords": _q_badwords,
+        "q_meta_robots": _q_meta_robots,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -2209,6 +2267,105 @@ dim AS (
               ON regexp_extract(h.host, '([^.]+\.[^.]+)$', 1)
                = regexp_extract(e.e, '([^.]+\.[^.]+)$', 1)
             GROUP BY h.doc_id, h.host""",
+        # FineWeb-style per-domain cap: rank by n_chars desc with the
+        # canonical url (unique: embeds doc_id) as the deterministic
+        # tie-break — same canonicalization chain as q_url_canon
+        "q_domain_cap": r"""
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     'https://WWW.cdn.' || source || '.COM/A/' || doc_id::VARCHAR
+                       || '/page?utm_source=feed&id=' || doc_id::VARCHAR
+                       || '&ref=rss&x=Y#sec' AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_chars,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+                                   || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
+                                 '^([a-z]+://)www\.', '\1'),
+                               '#.*$', ''),
+                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                           '\?&+', '?'),
+                         '&&+', '&', 'g'),
+                       '[?&]+$', '') AS canon_url,
+                     regexp_extract(
+                       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                                      '^www\.', ''),
+                       '([^.]+\.[^.]+)$', 1) AS domain
+              FROM u),
+            r AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain ORDER BY n_chars DESC, canon_url
+                     )::INT AS domain_rank
+              FROM c)
+            SELECT doc_id, domain, domain_rank, (domain_rank > 5) AS domain_capped
+            FROM r""",
+        # C4-style bad-word gate: engine-wide word_array tokenization
+        # (case-folded whitespace split), broadcast word dim, any-hit flag
+        "q_badwords": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS t
+              FROM documents),
+            nz AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+            nw AS (SELECT doc_id, count(*) AS n_words FROM nz GROUP BY 1),
+            bw(word) AS (VALUES ('slow'), ('hash'), ('vector'), ('nonexistentword')),
+            hits AS (
+              SELECT doc_id, count(*) AS n_bad FROM nz JOIN bw ON nz.t = bw.word
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(hits.n_bad, 0)::BIGINT AS n_bad_words,
+                   coalesce(nw.n_words, 0)::INT AS n_words,
+                   round(CASE WHEN coalesce(nw.n_words, 0) > 0
+                              THEN coalesce(hits.n_bad, 0) / nw.n_words
+                              ELSE 0.0 END, 6) AS bad_word_frac,
+                   (coalesce(hits.n_bad, 0) > 0) AS is_flagged
+            FROM documents d
+            LEFT JOIN nw USING (doc_id) LEFT JOIN hits USING (doc_id)""",
+        # robots-directive extraction over deterministic synthesized
+        # HTML; same regexps (RE2/Java common subset) on both engines
+        "q_meta_robots": r"""
+            WITH v AS (
+              SELECT doc_id,
+                     CASE (doc_id % 5)
+                       WHEN 1 THEN '<meta name="robots" content="noindex">'
+                       WHEN 2 THEN '<meta content="nofollow" name="robots">'
+                       WHEN 3 THEN '<meta name="robots" content="NOINDEX, NOFOLLOW">'
+                       WHEN 4 THEN '<meta name="robots" content="none">'
+                       ELSE '' END AS meta
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     '<html><head>' || meta || '</head><body><p>x</p></body></html>' AS html
+              FROM v),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_extract(html,
+                            '(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"', 1) <> ''
+                          THEN regexp_extract(html,
+                            '(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"', 1)
+                          ELSE regexp_extract(html,
+                            '(?i)<meta[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"', 1)
+                     END AS robots_content
+              FROM h),
+            f AS (
+              SELECT doc_id, robots_content,
+                     (regexp_matches(robots_content, '(?i)(^|[,\s])noindex([,\s]|$)')
+                      OR regexp_matches(robots_content, '(?i)(^|[,\s])none([,\s]|$)'))
+                       AS robots_noindex,
+                     (regexp_matches(robots_content, '(?i)(^|[,\s])nofollow([,\s]|$)')
+                      OR regexp_matches(robots_content, '(?i)(^|[,\s])none([,\s]|$)'))
+                       AS robots_nofollow
+              FROM c)
+            SELECT doc_id, robots_content, robots_noindex, robots_nofollow,
+                   (NOT robots_noindex) AS robots_indexable
+            FROM f""",
         "q_domain_stats": r"""
             WITH u AS (
               SELECT doc_id, text, source,

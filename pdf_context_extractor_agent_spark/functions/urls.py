@@ -24,6 +24,7 @@ __all__ = [
     "url_host",
     "registered_domain",
     "domain_stats",
+    "domain_cap",
     "blocklist_filter",
 ]
 
@@ -88,6 +89,46 @@ def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.countDistinct("canon_url").alias("n_canon_urls"),
             F.sum("text_len").alias("text_chars"),
         )
+    )
+
+
+def domain_cap(
+    pages: DataFrame,
+    n_per_domain: int,
+    url_col: str = "url",
+    order_col: str | None = None,
+) -> DataFrame:
+    """FineWeb-style per-domain document cap: rank each registered
+    domain's documents deterministically and flag everything past rank
+    ``n_per_domain``. A handful of template-heavy mega-domains otherwise
+    dominate any crawl corpus; capping them is the standard
+    source-diversity gate (FineWeb, RefinedWeb, Dolma all apply one).
+
+    Ranking: ``order_col`` DESCENDING when given (cap keeps the
+    highest-quality docs), canonical URL ascending as the always-present
+    deterministic tie-break. Output keeps EVERY input row with
+    ``domain``, ``domain_rank``, ``domain_capped`` verdict columns —
+    audit, not silent drops.
+
+    Scale shape: ONE shuffle on the registered domain (zipfian —
+    exactly where AQE skew handling earns its keep). The window sorts
+    only within a domain; for a true mega-domain (10^8 pages) a
+    production refinement pre-counts domains and windows only those
+    over the cap — same output, noted here because the count dim is a
+    one-aggregate prepass, not a plan change.
+    """
+    order = [F.col("_canon").asc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc()] + order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(*order)
+    return (
+        pages.withColumn("domain", registered_domain(F.col(url_col)))
+        .withColumn("_canon", canonicalize_url(F.col(url_col)))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .withColumn("domain_capped", F.col("domain_rank") > n_per_domain)
+        .drop("_canon")
     )
 
 

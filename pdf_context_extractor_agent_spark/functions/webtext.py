@@ -272,3 +272,118 @@ def nfc_normalize(col: Column) -> Column:
         return s.str.normalize("NFC")
 
     return _nfc(col)
+
+
+# ---------------------------------------------------------------------------
+# Bad-word gating and robots-directive extraction — the two remaining
+# page-level C4/crawl-policy gates (C4 drops any page containing a word
+# from the "List of Dirty, Naughty, Obscene or Otherwise Bad Words";
+# every polite crawl pipeline honors <meta name="robots"> noindex).
+# ---------------------------------------------------------------------------
+
+
+def badwords_filter(
+    docs: DataFrame,
+    badwords: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+    max_bad: int = 0,
+) -> DataFrame:
+    """C4-style bad-word gate: count how many of a document's tokens
+    appear in a blockword dimension, flag the doc when the count
+    exceeds ``max_bad`` (C4's policy is any-hit → ``max_bad=0``).
+
+    Plan shape: tokens explode narrow → inner join against the
+    BROADCAST word dim (a few thousand rows at production size) → one
+    ``groupBy(doc)`` count → left-join the counts back so every input
+    doc keeps a verdict row. The corpus never shuffles on anything but
+    its own doc key; the dim never exceeds broadcast size. Output adds
+    ``n_bad_words``, ``n_words``, ``bad_word_frac``, ``is_flagged``.
+
+    Tokenization is the engine-wide ``lm.word_array`` convention
+    (case-folded whitespace split) so the DuckDB oracle reproduces it
+    byte for byte.
+    """
+    from .lm import word_array
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_array(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    dim = F.broadcast(
+        badwords.select(
+            F.lower(F.trim(F.col(word_col))).alias("_tok")
+        ).distinct()
+    )
+    hits = toks.join(dim, "_tok").groupBy(id_col).agg(
+        F.count("*").alias("n_bad_words")
+    )
+    n_words = F.size(
+        F.filter(word_array(F.col(text_col)), lambda x: x != "")
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumns(
+            {
+                "n_bad_words": F.coalesce("n_bad_words", F.lit(0)),
+                "n_words": n_words,
+            }
+        )
+        .withColumns(
+            {
+                "bad_word_frac": F.when(
+                    F.col("n_words") > 0,
+                    F.col("n_bad_words") / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                "is_flagged": F.col("n_bad_words") > max_bad,
+            }
+        )
+    )
+
+
+# attribute order varies in the wild: match name-first and content-first
+_ROBOTS_NAME_FIRST = r'(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"'
+_ROBOTS_CONTENT_FIRST = r'(?i)<meta[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"'
+
+
+def _directive(content: Column, name: str) -> Column:
+    # token match within the comma/space-separated directive list;
+    # "none" is the spec'd shorthand for "noindex, nofollow"
+    tok = rf"(?i)(^|[,\s]){name}([,\s]|$)"
+    none = r"(?i)(^|[,\s])none([,\s]|$)"
+    return content.rlike(tok) | content.rlike(none)
+
+
+def meta_robots(
+    pages: DataFrame, html_col: str = "html", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Extract ``<meta name="robots">`` directives: the crawl-politeness
+    gate every corpus pipeline applies before a page's text may enter a
+    training set (noindex pages are published-but-not-for-indexing).
+
+    Pure regexp column algebra (attribute order-insensitive, directive
+    matched as a list token, ``none`` expands to noindex+nofollow) —
+    zero shuffle, rides the scan projection at any scale. Output:
+    ``keep_cols`` + ``robots_content``, ``robots_noindex``,
+    ``robots_nofollow``, ``robots_indexable``.
+    """
+    h = F.col(html_col).cast("string")
+    c1 = F.regexp_extract(h, _ROBOTS_NAME_FIRST, 1)
+    c2 = F.regexp_extract(h, _ROBOTS_CONTENT_FIRST, 1)
+    content = F.when(c1 != "", c1).otherwise(c2)
+    out = pages.withColumn("robots_content", content).withColumns(
+        {
+            "robots_noindex": _directive(F.col("robots_content"), "noindex"),
+            "robots_nofollow": _directive(F.col("robots_content"), "nofollow"),
+        }
+    )
+    out = out.withColumn("robots_indexable", ~F.col("robots_noindex"))
+    if keep_cols:
+        out = out.select(
+            *keep_cols,
+            "robots_content",
+            "robots_noindex",
+            "robots_nofollow",
+            "robots_indexable",
+        )
+    return out

@@ -156,3 +156,38 @@ def test_blocklist_filter_suffix_boundary(spark):
     assert not out["badads.example.com"].is_blocked
     assert not out["example.com"].is_blocked
     assert not out["clean.org"].is_blocked
+
+
+def test_domain_cap_ranks_and_flags(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import domain_cap
+
+    pages = spark.createDataFrame(
+        [
+            # big.com: 3 docs, quality 9/5/5 (tie broken by canon url)
+            ("https://big.com/a", 9),
+            ("https://big.com/b", 5),
+            ("https://www.big.com/c", 5),
+            ("https://tiny.org/x", 1),
+        ],
+        "url string, quality int",
+    )
+    out = {
+        r.url: (r.domain, r.domain_rank, r.domain_capped)
+        for r in domain_cap(pages, 2, order_col="quality").collect()
+    }
+    assert out["https://big.com/a"] == ("big.com", 1, False)
+    # tie at quality 5 → canonical url ascending: /b before /c
+    assert out["https://big.com/b"] == ("big.com", 2, False)
+    assert out["https://www.big.com/c"] == ("big.com", 3, True)
+    assert out["https://tiny.org/x"] == ("tiny.org", 1, False)
+
+
+def test_domain_cap_keeps_every_row(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import domain_cap
+
+    pages = spark.createDataFrame(
+        [(f"https://d{i % 3}.com/p{i}",) for i in range(30)], "url string"
+    )
+    out = domain_cap(pages, 5)
+    assert out.count() == 30  # verdict columns, no silent drops
+    assert out.filter("domain_capped").count() == 3 * 5

@@ -187,3 +187,50 @@ def test_c4_filter_null_text_survives(spark):
     out = {r.doc_id: r for r in c4_filter(docs).collect()}
     assert 0 in out and out[0].n_kept == 0 and not out[0].keep_doc
     assert out[1].n_kept == 1
+
+
+def test_badwords_filter_counts_and_flags(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import badwords_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the BAD wolf said bad things"),  # 2 hits, case-folded
+            (1, "a perfectly clean document"),
+            (2, ""),  # empty text: 0 words, never flagged
+            (3, "badge is not a bad-word token either"),  # no exact-token hit
+        ],
+        "doc_id long, text string",
+    )
+    bw = spark.createDataFrame([("bad",), ("evil",)], "word string")
+    out = {r.doc_id: r for r in badwords_filter(docs, bw).collect()}
+    assert (out[0].n_bad_words, out[0].is_flagged) == (2, True)
+    assert (out[1].n_bad_words, out[1].is_flagged) == (0, False)
+    assert (out[2].n_bad_words, out[2].n_words, out[2].bad_word_frac) == (0, 0, 0.0)
+    assert (out[3].n_bad_words, out[3].is_flagged) == (0, False)
+    assert abs(out[0].bad_word_frac - 2 / 6) < 1e-9
+
+
+def test_meta_robots_directives(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import meta_robots
+
+    pages = spark.createDataFrame(
+        [
+            (0, '<head><meta name="robots" content="noindex"></head>'),
+            (1, '<head><meta content="nofollow" name="robots"></head>'),  # attr order
+            (2, '<head><META NAME="robots" CONTENT="NOINDEX, NOFOLLOW"></head>'),
+            (3, '<head><meta name="robots" content="none"></head>'),  # shorthand
+            (4, "<head><title>no directives</title></head>"),
+            (5, '<head><meta name="robots" content="noindexing"></head>'),  # not a token
+        ],
+        "doc_id long, html string",
+    )
+    out = {
+        r.doc_id: (r.robots_noindex, r.robots_nofollow, r.robots_indexable)
+        for r in meta_robots(pages, "html", keep_cols=("doc_id",)).collect()
+    }
+    assert out[0] == (True, False, False)
+    assert out[1] == (False, True, True)
+    assert out[2] == (True, True, False)
+    assert out[3] == (True, True, False)
+    assert out[4] == (False, False, True)
+    assert out[5] == (False, False, True)
