@@ -954,6 +954,29 @@ def _q_meta_robots(spark, sf):
     return meta_robots(pages, "html", keep_cols=("doc_id",))
 
 
+def _q_latest_revision(spark, sf):
+    """Cross-snapshot URL revisit dedup: ~97 synthetic pages each
+    captured many times (colliding canonical urls, deterministic
+    warc_ts with ties) — newest capture wins, doc_id breaks ts ties."""
+    from pdf_context_extractor_agent_spark.functions.urls import latest_revision
+
+    pages = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW.example.COM/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("?utm_source=feed&x=Y#top"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(doc_id % 11 AS int), 0, 0, 0)"
+        ).alias("warc_ts"),
+    )
+    return latest_revision(pages, tie_col="doc_id").select(
+        "doc_id", "canon_url", "warc_ts", "revision_rank", "is_latest"
+    )
+
+
 _MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
 
 
@@ -1457,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": _q_domain_cap,
         "q_badwords": _q_badwords,
         "q_meta_robots": _q_meta_robots,
+        "q_latest_revision": _q_latest_revision,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -2305,6 +2329,42 @@ dim AS (
                      )::INT AS domain_rank
               FROM c)
             SELECT doc_id, domain, domain_rank, (domain_rank > 5) AS domain_capped
+            FROM r""",
+        # cross-snapshot revisit dedup: newest warc_ts per canonical
+        # url wins, doc_id breaks capture-time ties
+        "q_latest_revision": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://WWW.example.COM/p/' || (doc_id % 97)::VARCHAR
+                       || '?utm_source=feed&x=Y#top' AS url,
+                     TIMESTAMP '2024-01-01'
+                       + (doc_id % 11) * INTERVAL 1 DAY AS warc_ts
+              FROM documents),
+            c AS (
+              SELECT doc_id, warc_ts,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+                                   || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
+                                 '^([a-z]+://)www\.', '\1'),
+                               '#.*$', ''),
+                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                           '\?&+', '?'),
+                         '&&+', '&', 'g'),
+                       '[?&]+$', '') AS canon_url
+              FROM u),
+            r AS (
+              SELECT doc_id, canon_url, warc_ts,
+                     row_number() OVER (
+                       PARTITION BY canon_url ORDER BY warc_ts DESC, doc_id
+                     )::INT AS revision_rank
+              FROM c)
+            SELECT doc_id, canon_url, warc_ts, revision_rank,
+                   (revision_rank = 1) AS is_latest
             FROM r""",
         # C4-style bad-word gate: engine-wide word_array tokenization
         # (case-folded whitespace split), broadcast word dim, any-hit flag

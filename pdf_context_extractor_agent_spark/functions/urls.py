@@ -25,6 +25,7 @@ __all__ = [
     "registered_domain",
     "domain_stats",
     "domain_cap",
+    "latest_revision",
     "blocklist_filter",
 ]
 
@@ -129,6 +130,39 @@ def domain_cap(
         .withColumn("domain_rank", F.row_number().over(w))
         .withColumn("domain_capped", F.col("domain_rank") > n_per_domain)
         .drop("_canon")
+    )
+
+
+def latest_revision(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Cross-snapshot URL revisit dedup: a crawl refresh re-fetches
+    pages it already holds; training corpora keep exactly one revision
+    per page — the NEWEST capture wins (the CommonCrawl convention).
+
+    Ranks revisions per CANONICAL url (tracking params/fragments never
+    distinguish revisions) by ``ts_col`` descending, ``tie_col``
+    ascending as the deterministic tie-break for identical capture
+    timestamps. Output keeps EVERY input row with ``canon_url``,
+    ``revision_rank`` and ``is_latest`` verdict columns.
+
+    Scale shape: ONE shuffle on the canonical url — the key the
+    extraction pipeline already partitions by, so at 10^12 rows AQE
+    reuses the exchange; nothing else moves.
+    """
+    order = [F.col(ts_col).desc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url").orderBy(*order)
+    return (
+        pages.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .withColumn("revision_rank", F.row_number().over(w))
+        .withColumn("is_latest", F.col("revision_rank") == 1)
     )
 
 

@@ -191,3 +191,26 @@ def test_domain_cap_keeps_every_row(spark):
     out = domain_cap(pages, 5)
     assert out.count() == 30  # verdict columns, no silent drops
     assert out.filter("domain_capped").count() == 3 * 5
+
+
+def test_latest_revision_newest_capture_wins(spark):
+    from datetime import datetime
+
+    from pdf_context_extractor_agent_spark.functions.urls import latest_revision
+
+    pages = spark.createDataFrame(
+        [
+            (0, "https://a.com/x?utm_source=f", datetime(2024, 1, 3)),
+            (1, "https://www.a.com/x", datetime(2024, 1, 5)),  # same canon, newest
+            (2, "https://a.com/x#frag", datetime(2024, 1, 5)),  # ts tie → doc_id
+            (3, "https://b.com/y", datetime(2024, 1, 1)),
+        ],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    out = {r.doc_id: r for r in latest_revision(pages, tie_col="doc_id").collect()}
+    # docs 0-2 collapse to one canonical page
+    assert len({out[i].canon_url for i in (0, 1, 2)}) == 1
+    assert out[1].is_latest and out[1].revision_rank == 1  # ts tie: doc 1 < doc 2
+    assert not out[2].is_latest and out[2].revision_rank == 2
+    assert not out[0].is_latest and out[0].revision_rank == 3
+    assert out[3].is_latest
