@@ -977,6 +977,106 @@ def _q_latest_revision(spark, sf):
     )
 
 
+# robots.txt crawl-policy fixtures: 7 hosts, bodies written with '|'
+# line separators (translated to \n on both engines) so the Spark and
+# DuckDB inputs are character-identical. Coverage: group runs with
+# multiple User-agent lines (h2), specific-agent-beats-* (h1), comments
+# + directive case + empty Disallow (h3), inapplicable-agent (h4),
+# allow/disallow tie at equal path length (h5), empty body (h6).
+_ROBOTS_BODIES = [
+    "User-agent: *|Disallow: /private/|Allow: /private/public/|Crawl-delay: 2",
+    "User-agent: ccbot|Disallow: /no-cc/|Crawl-delay: 10||User-agent: *|Disallow: /",
+    "User-agent: foo|User-agent: ccbot|Disallow: /shared/|Allow: /shared/ok",
+    "# robots|USER-AGENT: *|DISALLOW:|Crawl-Delay: 0.5|Disallow: /cgi-bin/",
+    "User-agent: otherbot|Disallow: /",
+    "User-agent: *|Disallow: /a/|Allow: /a/|Disallow: /a/b",
+    "",
+]
+_FRONTIER_PATHS = [
+    "/",
+    "/private/x",
+    "/private/public/y",
+    "/no-cc/z",
+    "/a/b/c",
+    "/shared/ok/page",
+    "/a/zz",
+]
+
+
+def _robots_df(spark, sf):
+    """One robots.txt body per synthetic host h0..h6."""
+    hosts = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 7).alias("hid"))
+        .distinct()
+    )
+    body = F.element_at(
+        F.array(*[F.lit(b) for b in _ROBOTS_BODIES]), F.col("hid").cast("int") + 1
+    )
+    return hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.translate(body, "|", "\n").alias("robots_txt"),
+    )
+
+
+def _frontier_urls(spark, sf):
+    """Candidate URLs spread over the 7 robots hosts × 7 path shapes;
+    the ?id= suffix keeps every URL (hence its canonical form) unique."""
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in _FRONTIER_PATHS]),
+        F.expr("cast((doc_id div 7) % 7 as int)") + 1,
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".EXAMPLE.com"),
+            path,
+            F.lit("?id="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+def _q_robots_rules(spark, sf):
+    """robots.txt parse → per-host rules dimension for agent 'ccbot':
+    group-run detection, most-specific-agent-wins, empty-Disallow and
+    comment/case handling all land in the rule set."""
+    from pdf_context_extractor_agent_spark.functions.robots import robots_rules
+
+    return robots_rules(_robots_df(spark, sf), agent="ccbot")
+
+
+def _q_robots_check(spark, sf):
+    """URL allowance verdicts: longest-matched-path wins, allow beats
+    disallow on a length tie, unmatched (and rule-less hosts) allowed."""
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        robots_check,
+        robots_rules,
+    )
+
+    rules = robots_rules(_robots_df(spark, sf), agent="ccbot")
+    return robots_check(_frontier_urls(spark, sf), rules)
+
+
+def _q_crawl_frontier(spark, sf):
+    """Politeness-scheduled fetch frontier: per-host priority ordering
+    with Crawl-delay-spaced offsets (default 1s where no directive)."""
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        frontier_schedule,
+        robots_crawl_delay,
+    )
+
+    delays = robots_crawl_delay(_robots_df(spark, sf), agent="ccbot")
+    urls = _frontier_urls(spark, sf).withColumn(
+        "priority", (F.col("doc_id") % 13).cast("int")
+    )
+    return frontier_schedule(urls, delays, priority_col="priority")
+
+
 _MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
 
 
@@ -1480,6 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": _q_domain_cap,
         "q_badwords": _q_badwords,
         "q_meta_robots": _q_meta_robots,
+        "q_robots_rules": _q_robots_rules,
+        "q_robots_check": _q_robots_check,
+        "q_crawl_frontier": _q_crawl_frontier,
         "q_latest_revision": _q_latest_revision,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
@@ -1602,6 +1705,87 @@ a0 AS (
             for n in (5, 6, 7, 8, 9, 10)
         ]
     )
+    # robots.txt fixtures: same 7 bodies as _ROBOTS_BODIES ('|' → \n so
+    # the literals stay one-line); parse chain mirrors functions/robots.py
+    # step for step (comment strip → directive/value extract → group-run
+    # numbering via lag → most-specific-agent-wins → rule rows)
+    robots_body_cases = "\n           ".join(
+        f"WHEN {i} THEN '{b}'" for i, b in enumerate(_ROBOTS_BODIES[:-1])
+    )
+    robots_cte = rf"""
+WITH hosts AS (
+  SELECT DISTINCT (doc_id % 7) AS hid FROM documents
+), bodies AS (
+  SELECT 'h' || hid::VARCHAR || '.example.com' AS host,
+         replace(CASE hid
+           {robots_body_cases}
+           ELSE '' END, '|', chr(10)) AS body
+  FROM hosts
+), rsplit AS (
+  SELECT host, string_split(body, chr(10)) AS l FROM bodies
+), rlines AS (
+  SELECT host, unnest(generate_series(1, len(l))) AS pos, l FROM rsplit
+), rfields AS (
+  SELECT host, pos, trim(regexp_replace(l[pos], '#.*$', '')) AS line FROM rlines
+), rdirec AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z][A-Za-z-]*)\s*:', 1)) AS directive,
+         trim(regexp_extract(line, '^[A-Za-z][A-Za-z-]*\s*:(.*)$', 1)) AS value
+  FROM rfields
+  WHERE lower(regexp_extract(line, '^([A-Za-z][A-Za-z-]*)\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+), rmark AS (
+  SELECT host, pos, directive, value,
+         CASE WHEN directive = 'user-agent'
+               AND coalesce(lag(directive) OVER (PARTITION BY host ORDER BY pos), '')
+                   <> 'user-agent'
+              THEN 1 ELSE 0 END AS new_group
+  FROM rdirec
+), rgrp AS (
+  SELECT host, pos, directive, value,
+         sum(new_group) OVER (PARTITION BY host ORDER BY pos) AS group_id
+  FROM rmark
+), rgflags AS (
+  SELECT host, group_id,
+         max(CASE WHEN lower(value) = 'ccbot' THEN 1 ELSE 0 END) AS has_specific,
+         max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+  FROM rgrp WHERE directive = 'user-agent'
+  GROUP BY host, group_id
+), rapplies AS (
+  SELECT host, group_id FROM (
+    SELECT host, group_id, has_specific, has_star,
+           max(has_specific) OVER (PARTITION BY host) AS any_specific
+    FROM rgflags)
+  WHERE has_specific = 1 OR (any_specific = 0 AND has_star = 1)
+), rrules AS (
+  SELECT g.host, g.directive AS rule, g.value AS path, length(g.value) AS path_len
+  FROM rgrp g JOIN rapplies a USING (host, group_id)
+  WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
+)"""
+    frontier_urls_cte = r"""
+urls AS (
+  SELECT doc_id,
+         'https://www.h' || (doc_id % 7)::VARCHAR || '.EXAMPLE.com' ||
+         (CASE ((doc_id // 7) % 7)
+            WHEN 0 THEN '/' WHEN 1 THEN '/private/x' WHEN 2 THEN '/private/public/y'
+            WHEN 3 THEN '/no-cc/z' WHEN 4 THEN '/a/b/c' WHEN 5 THEN '/shared/ok/page'
+            ELSE '/a/zz' END) || '?id=' || doc_id::VARCHAR AS url
+  FROM documents
+)"""
+    url_canon_chain = r"""regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+                         || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
+                       '^([a-z]+://)www\.', '\1'),
+                     '#.*$', ''),
+                   '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                 '\?&+', '?'),
+               '&&+', '&', 'g'),
+             '[?&]+$', '')"""
     _top_max = {2: 0.20, 3: 0.18, 4: 0.16}
     _dup_max = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
     gopher_flag_cols = ",\n         ".join(
@@ -2390,6 +2574,58 @@ dim AS (
             LEFT JOIN nw USING (doc_id) LEFT JOIN hits USING (doc_id)""",
         # robots-directive extraction over deterministic synthesized
         # HTML; same regexps (RE2/Java common subset) on both engines
+        "q_robots_rules": robots_cte
+        + """
+SELECT host, rule, path, path_len FROM rrules""",
+        "q_robots_check": robots_cte
+        + ",\n"
+        + frontier_urls_cte.lstrip()
+        + r""",
+keyed AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                        '^www\.', '') AS host,
+         CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) END AS path
+  FROM urls
+), matched AS (
+  SELECT k.doc_id, k.url, k.host, k.path, r.rule, r.path AS rpath,
+         row_number() OVER (PARTITION BY k.doc_id
+                            ORDER BY r.path_len DESC NULLS LAST, r.rule ASC NULLS LAST)
+           AS rn
+  FROM keyed k LEFT JOIN rrules r
+    ON k.host = r.host AND starts_with(k.path, r.path)
+)
+SELECT doc_id, url, host, path, rule AS matched_rule, rpath AS matched_path,
+       (coalesce(rule, 'allow') = 'allow') AS allowed
+FROM matched WHERE rn = 1""",
+        "q_crawl_frontier": robots_cte
+        + r""",
+delays AS (
+  SELECT g.host, max(TRY_CAST(g.value AS DOUBLE)) AS crawl_delay
+  FROM rgrp g JOIN rapplies a USING (host, group_id)
+  WHERE g.directive = 'crawl-delay' AND TRY_CAST(g.value AS DOUBLE) IS NOT NULL
+  GROUP BY g.host
+),
+"""
+        + frontier_urls_cte.lstrip()
+        + rf""",
+keyed AS (
+  SELECT doc_id, url, (doc_id % 13)::INT AS priority,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                        '^www\.', '') AS host,
+         {url_canon_chain} AS canon
+  FROM urls
+), seq AS (
+  SELECT doc_id, url, priority, host,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, canon ASC)
+           AS fetch_seq
+  FROM keyed
+)
+SELECT s.doc_id, s.url, s.priority, s.host, s.fetch_seq,
+       coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+       (s.fetch_seq - 1) * coalesce(d.crawl_delay, 1.0) AS scheduled_offset_secs
+FROM seq s LEFT JOIN delays d USING (host)""",
         "q_meta_robots": r"""
             WITH v AS (
               SELECT doc_id,

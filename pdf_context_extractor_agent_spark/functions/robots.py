@@ -1,0 +1,289 @@
+"""robots.txt crawl policy: parse, match, schedule.
+
+The third leg of the crawl-policy family (URL blocklists in
+``urls.blocklist_filter``, in-page ``<meta name="robots">`` in
+``webtext.meta_robots``): parse raw ``robots.txt`` bodies into a
+per-host RULES DIMENSION, check candidate URLs against it with
+longest-path-match semantics, and turn ``Crawl-delay`` directives into
+a politeness-scheduled fetch frontier.
+
+Scale shape: robots bodies are one per HOST — even a 10^12-page crawl
+has ~10^8 hosts, so the parsed rules relation is a dimension table
+next to the pages fact. Parsing is narrow per-host work (split +
+windows partitioned by host); the URL check is an equi-join on host
+with a prefix predicate, where AQE picks broadcast-vs-shuffle from the
+dimension's runtime size. Nothing here touches page bodies.
+
+Parsing semantics (the deterministic subset of REP / RFC 9309 that is
+cross-engine exact — documented simplifications at each function):
+
+* lines split on ``\\n``; ``#`` comments stripped; fields are
+  ``directive: value`` with a case-insensitive directive name;
+* consecutive ``User-agent`` lines form one group header; the rules
+  that follow belong to every agent named in that header run;
+* a group applies to the target agent if it names it exactly
+  (case-insensitive); if any group on the host does, ``*`` groups are
+  ignored (most-specific-agent wins, per RFC 9309 §2.2.1);
+* ``Disallow:`` with an empty value is "allow everything" — it emits
+  no rule;
+* path matching is LITERAL PREFIX match (no ``*``/``$`` wildcards —
+  the reference subset; a wildcard-to-regex pass would slot into the
+  same join predicate);
+* longest matched path wins; on a length tie ``allow`` beats
+  ``disallow``; a URL with no matching rule is allowed.
+
+Reference parity note: the reference pipeline is file-driven
+(``src/main.py``) and has no crawler surface; this module is part of
+the beyond-reference web-curation layer for crawl-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "robots_lines",
+    "robots_rules",
+    "robots_crawl_delay",
+    "robots_check",
+    "frontier_schedule",
+]
+
+
+def _url_path(url: Column) -> Column:
+    """Path component of ``url`` (no query/fragment), ``/`` if empty."""
+    p = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*(/[^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_lines(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """Tokenize robots bodies into directive lines with group ids.
+
+    One row per recognized directive line: ``host, pos, directive
+    (lowercased), value, group_id`` where ``group_id`` numbers the
+    rule groups per host (a group starts at a ``User-agent`` line whose
+    predecessor directive line is NOT a ``User-agent`` line, so a run
+    of consecutive agent lines shares one header).
+
+    Narrow until the per-host window — and that window sorts a few
+    dozen lines per host, never page-scale data.
+    """
+    w = Window.partitionBy(host_col).orderBy("pos")
+    lines = (
+        robots.select(
+            host_col,
+            F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")).alias(
+                "pos", "raw"
+            ),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", r"#.*$", "")))
+        .withColumn(
+            "directive",
+            F.lower(F.regexp_extract("line", r"^([A-Za-z][A-Za-z-]*)\s*:", 1)),
+        )
+        .withColumn("value", F.trim(F.regexp_extract("line", r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)))
+        .filter(
+            F.col("directive").isin("user-agent", "allow", "disallow", "crawl-delay")
+        )
+        .drop("raw", "line")
+    )
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    new_group = (
+        (F.col("__is_ua") == 1)
+        & (F.coalesce(F.lag("__is_ua").over(w), F.lit(0)) == 0)
+    ).cast("int")
+    return (
+        lines.withColumn("__is_ua", is_ua)
+        .withColumn("__new_group", new_group)
+        .withColumn(
+            "group_id",
+            F.sum("__new_group").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("__is_ua", "__new_group")
+    )
+
+
+def _applicable_groups(
+    lines: DataFrame, agent: str, host_col: str = "host"
+) -> DataFrame:
+    """Groups whose header names ``agent`` — or ``*`` groups when no
+    group on the host names it (most-specific-agent wins)."""
+    flags = (
+        lines.filter(F.col("directive") == "user-agent")
+        .groupBy(host_col, "group_id")
+        .agg(
+            F.max((F.lower(F.col("value")) == agent.lower()).cast("int")).alias(
+                "has_specific"
+            ),
+            F.max((F.col("value") == "*").cast("int")).alias("has_star"),
+        )
+    )
+    wh = Window.partitionBy(host_col)
+    return (
+        flags.withColumn("__any_specific", F.max("has_specific").over(wh))
+        .filter(
+            (F.col("has_specific") == 1)
+            | ((F.col("__any_specific") == 0) & (F.col("has_star") == 1))
+        )
+        .select(host_col, "group_id")
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots bodies into the rules dimension for ``agent``.
+
+    Output: ``host, rule ('allow'|'disallow'), path, path_len`` — one
+    row per non-empty allow/disallow rule in the groups that apply to
+    ``agent``. Empty ``Disallow:`` (allow-all) emits nothing by design.
+    """
+    lines = robots_lines(robots, host_col, body_col)
+    groups = _applicable_groups(lines, agent, host_col)
+    return (
+        lines.join(groups, [host_col, "group_id"])
+        .filter(F.col("directive").isin("allow", "disallow") & (F.col("value") != ""))
+        .select(
+            host_col,
+            F.col("directive").alias("rule"),
+            F.col("value").alias("path"),
+            F.length("value").alias("path_len"),
+        )
+    )
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds, double) for ``agent``.
+
+    Hosts whose applicable groups carry no parseable delay are absent
+    (callers coalesce a default). Multiple delays (several applicable
+    groups) resolve to the MAXIMUM — the polite reading.
+    """
+    lines = robots_lines(robots, host_col, body_col)
+    groups = _applicable_groups(lines, agent, host_col)
+    delay = F.col("value").cast("double")
+    return (
+        lines.join(groups, [host_col, "group_id"])
+        .filter((F.col("directive") == "crawl-delay") & delay.isNotNull())
+        .groupBy(host_col)
+        .agg(F.max(delay).alias("crawl_delay"))
+    )
+
+
+def robots_check(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Verdict every URL against the parsed rules dimension.
+
+    Longest-matched-path wins; ties go to ``allow``; no match (or no
+    rules for the host) ⇒ allowed. Output keeps every input row plus
+    ``host, path, matched_rule, matched_path, allowed`` — audit
+    columns, not silent drops.
+
+    Plan shape: derive host+path narrowly, ONE equi-join on host with
+    the literal-prefix predicate pushed into the join condition, then a
+    per-URL window to pick the winning rule. The rules side is a
+    dimension (per-host, not per-page): AQE broadcasts it when small.
+    """
+    from .urls import url_host
+
+    keyed = urls.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "path", _url_path(F.col(url_col))
+    )
+    r = rules.select(
+        F.col(host_col).alias("__rhost"),
+        F.col("rule").alias("__rule"),
+        F.col("path").alias("__rpath"),
+        F.col("path_len").alias("__rlen"),
+    )
+    joined = keyed.join(
+        r,
+        (F.col("host") == F.col("__rhost"))
+        & F.col("path").startswith(F.col("__rpath")),
+        "left",
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in urls.columns], "host", "path")
+        .orderBy(
+            F.col("__rlen").desc_nulls_last(),
+            F.col("__rule").asc_nulls_last(),  # 'allow' < 'disallow': ties go to allow
+        )
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *urls.columns,
+            "host",
+            "path",
+            F.col("__rule").alias("matched_rule"),
+            F.col("__rpath").alias("matched_path"),
+            (F.coalesce(F.col("__rule"), F.lit("allow")) == "allow").alias("allowed"),
+        )
+    )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-scheduled fetch frontier.
+
+    Orders each host's candidate URLs (``priority_col`` DESCENDING when
+    given, canonical URL ascending as the deterministic tie-break) and
+    assigns ``fetch_seq`` (1-based per host) and ``scheduled_offset_secs
+    = (fetch_seq - 1) × crawl_delay`` — the earliest polite fetch time
+    relative to the host's first request. Hosts absent from ``delays``
+    use ``default_delay``.
+
+    ONE shuffle on the host key (zipfian — AQE skew handling applies);
+    the delay dim joins per host, broadcast when small.
+    """
+    from .urls import canonicalize_url, url_host
+
+    keyed = urls.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "__canon", canonicalize_url(F.col(url_col))
+    )
+    order = [F.col("__canon").asc()]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc()] + order
+    w = Window.partitionBy("host").orderBy(*order)
+    d = delays.select(
+        F.col(host_col).alias("host"), F.col("crawl_delay").alias("__delay")
+    )
+    return (
+        keyed.withColumn("fetch_seq", F.row_number().over(w))
+        .join(d, "host", "left")
+        .withColumn(
+            "crawl_delay", F.coalesce(F.col("__delay"), F.lit(float(default_delay)))
+        )
+        .withColumn(
+            "scheduled_offset_secs",
+            (F.col("fetch_seq") - F.lit(1)) * F.col("crawl_delay"),
+        )
+        .select(
+            *urls.columns,
+            "host",
+            "fetch_seq",
+            "crawl_delay",
+            "scheduled_offset_secs",
+        )
+    )

@@ -1,0 +1,111 @@
+"""robots.txt crawl policy: parsing groups, agent specificity,
+longest-match verdicts, crawl-delay frontier scheduling."""
+
+from __future__ import annotations
+
+from pdf_context_extractor_agent_spark.functions.robots import (
+    frontier_schedule,
+    robots_check,
+    robots_crawl_delay,
+    robots_rules,
+)
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame([(u,) for u in rows], "url string")
+
+
+def test_star_group_rules_and_comments(spark):
+    body = "# hi\nUSER-AGENT: *\nDisallow: /private/\nAllow: /private/pub\nDISALLOW:\n"
+    rules = robots_rules(_robots(spark, [("h.com", body)]), agent="anybot")
+    got = {(r.rule, r.path, r.path_len) for r in rules.collect()}
+    # empty Disallow emits nothing; comment line ignored; case-folded directives
+    assert got == {("disallow", "/private/", 9), ("allow", "/private/pub", 12)}
+
+
+def test_specific_agent_beats_star(spark):
+    body = (
+        "User-agent: ccbot\nDisallow: /no-cc/\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    df = _robots(spark, [("h.com", body)])
+    cc = {(r.rule, r.path) for r in robots_rules(df, agent="CCBot").collect()}
+    assert cc == {("disallow", "/no-cc/")}  # star group ignored for ccbot
+    other = {(r.rule, r.path) for r in robots_rules(df, agent="otherbot").collect()}
+    assert other == {("disallow", "/")}  # falls back to the * group
+
+
+def test_multi_agent_header_run_shares_rules(spark):
+    body = "User-agent: a\nUser-agent: b\nDisallow: /x/\n\nUser-agent: c\nDisallow: /y/\n"
+    df = _robots(spark, [("h.com", body)])
+    for agent in ("a", "b"):
+        got = {(r.rule, r.path) for r in robots_rules(df, agent=agent).collect()}
+        assert got == {("disallow", "/x/")}, agent
+    got_c = {(r.rule, r.path) for r in robots_rules(df, agent="c").collect()}
+    assert got_c == {("disallow", "/y/")}
+
+
+def test_check_longest_match_and_tie_goes_to_allow(spark):
+    body = "User-agent: *\nDisallow: /a/\nAllow: /a/\nDisallow: /a/b\n"
+    rules = robots_rules(_robots(spark, [("h.com", body)]), agent="bot")
+    urls = _urls(
+        spark,
+        [
+            "https://h.com/a/zz",  # tie /a/ vs /a/ -> allow
+            "https://h.com/a/b/c",  # /a/b (len 4) disallow wins
+            "https://h.com/other",  # no match -> allowed
+            "https://www.H.COM/a/b",  # host canonicalization still matches
+        ],
+    )
+    got = {r.url: (r.allowed, r.matched_path) for r in robots_check(urls, rules).collect()}
+    assert got["https://h.com/a/zz"] == (True, "/a/")
+    assert got["https://h.com/a/b/c"] == (False, "/a/b")
+    assert got["https://h.com/other"] == (True, None)
+    assert got["https://www.H.COM/a/b"] == (False, "/a/b")
+
+
+def test_check_host_without_rules_is_allowed(spark):
+    rules = robots_rules(
+        _robots(spark, [("h.com", "User-agent: *\nDisallow: /\n")]), agent="bot"
+    )
+    got = robots_check(_urls(spark, ["https://open.org/p"]), rules).collect()
+    assert got[0].allowed is True and got[0].matched_rule is None
+
+
+def test_crawl_delay_max_of_applicable_groups(spark):
+    body = (
+        "User-agent: bot\nCrawl-delay: 3\n\n"
+        "User-agent: bot\nCrawl-delay: 7\n\n"
+        "User-agent: *\nCrawl-delay: 99\n"
+    )
+    d = robots_crawl_delay(_robots(spark, [("h.com", body)]), agent="bot").collect()
+    assert len(d) == 1 and d[0].crawl_delay == 7.0  # max over bot groups, * ignored
+
+
+def test_frontier_schedule_politeness(spark):
+    delays = robots_crawl_delay(
+        _robots(spark, [("slow.com", "User-agent: *\nCrawl-delay: 10\n")]), agent="*"
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://slow.com/b", 1),
+            ("https://slow.com/a", 1),
+            ("https://slow.com/c", 5),
+            ("https://fast.com/x", 0),
+        ],
+        "url string, prio int",
+    )
+    out = {
+        r.url: (r.fetch_seq, r.crawl_delay, r.scheduled_offset_secs)
+        for r in frontier_schedule(urls, delays, priority_col="prio").collect()
+    }
+    # slow.com: priority 5 first, then canon ascending among the prio-1 ties
+    assert out["https://slow.com/c"] == (1, 10.0, 0.0)
+    assert out["https://slow.com/a"] == (2, 10.0, 10.0)
+    assert out["https://slow.com/b"] == (3, 10.0, 20.0)
+    # no delay directive -> default 1s spacing
+    assert out["https://fast.com/x"] == (1, 1.0, 0.0)
