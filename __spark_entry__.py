@@ -1077,6 +1077,114 @@ def _q_crawl_frontier(spark, sf):
     return frontier_schedule(urls, delays, priority_col="priority")
 
 
+# sitemap fixtures: 4 bodies ('|' → \n as with robots) covering a
+# urlset with full/bare entries, a sitemapindex, a multiline-element
+# body, and an empty body
+_SITEMAP_BODIES = [
+    "<urlset><url><loc>https://h0.example.com/a</loc><lastmod>2024-01-01</lastmod>"
+    "<priority>0.8</priority></url><url><loc>https://h0.example.com/b</loc></url>"
+    "</urlset>",
+    "<sitemapindex><sitemap><loc>https://h1.example.com/s1.xml</loc>"
+    "<lastmod>2024-02-02</lastmod></sitemap>"
+    "<sitemap><loc>https://h1.example.com/s2.xml</loc></sitemap></sitemapindex>",
+    "<urlset>|  <url>|    <loc> https://h2.example.com/pg </loc>|"
+    "    <priority>0.5</priority>|  </url>|</urlset>",
+    "",
+]
+
+
+def _q_sitemap_urls(spark, sf):
+    """Sitemap XML parse → URL-discovery relation: urlset entries,
+    sitemapindex children, multiline elements, optional lastmod and
+    priority fields."""
+    from pdf_context_extractor_agent_spark.functions.robots import sitemap_entries
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 4).alias("hid"))
+        .distinct()
+    )
+    body = F.element_at(
+        F.array(*[F.lit(b) for b in _SITEMAP_BODIES]), F.col("hid").cast("int") + 1
+    )
+    sitemaps = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.translate(body, "|", "\n").alias("sitemap_xml"),
+    )
+    return sitemap_entries(sitemaps)
+
+
+def _q_surt_keys(spark, sf):
+    """SURT keys over the frontier URLs: host case-fold + www-drop +
+    label reversal, path/query kept, sort-clusters sites."""
+    from pdf_context_extractor_agent_spark.sources.cdx import surt_key
+
+    return _frontier_urls(spark, sf).select(
+        "doc_id", "url", surt_key(F.col("url")).alias("surt")
+    )
+
+
+def _cdx_lines_df(spark, sf):
+    """Deterministic CDXJ lines synthesized from doc_id: every 3 docs
+    share one urlkey (revisits for latest-capture selection), statuses
+    and mimes vary on doc_id residues, ts/offset/length derived."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    g = F.expr("doc_id div 3")  # revisit group
+    status = F.when(F.col("doc_id") % 5 == 0, F.lit("404")).otherwise(F.lit("200"))
+    mime = F.when(F.col("doc_id") % 7 == 0, F.lit("application/pdf")).otherwise(
+        F.lit("text/html")
+    )
+    ts = F.format_string("2024%02d%02d120000", (F.col("doc_id") % 12) + 1,
+                         (F.col("doc_id") % 28) + 1)
+    return d.select(
+        F.concat(
+            F.lit("com,example,h"), (g % 11).cast("string"), F.lit(")/p/"),
+            g.cast("string"),
+            F.lit(" "), ts,
+            F.lit(' {"url": "https://h'), (g % 11).cast("string"),
+            F.lit(".example.com/p/"), g.cast("string"),
+            F.lit('", "status": "'), status,
+            F.lit('", "mime": "'), mime,
+            F.lit('", "digest": "sha1:D'), g.cast("string"),
+            F.lit('", "length": "'), ((F.col("doc_id") % 997) + 100).cast("string"),
+            F.lit('", "offset": "'), (F.col("doc_id") * 1000).cast("string"),
+            F.lit('", "filename": "crawl-'), (F.col("doc_id") % 4).cast("string"),
+            F.lit('.warc.gz"}'),
+        ).alias("cdx_line")
+    )
+
+
+def _q_cdx_parse(spark, sf):
+    """CDXJ line parse: urlkey/ts split + typed JSON field extraction."""
+    from pdf_context_extractor_agent_spark.sources.cdx import parse_cdxj
+
+    return parse_cdxj(_cdx_lines_df(spark, sf))
+
+
+def _q_cdx_latest(spark, sf):
+    """Capture selection over the parsed index: newest 200/text-html
+    capture per urlkey, deterministic under timestamp ties."""
+    from pdf_context_extractor_agent_spark.sources.cdx import (
+        cdx_select_latest,
+        parse_cdxj,
+    )
+
+    return cdx_select_latest(parse_cdxj(_cdx_lines_df(spark, sf)))
+
+
+def _q_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (Jegou et al. 2011): strided
+    deterministic codebooks, m-byte codes, integer-quantized lookup-
+    table scores — the codes-only 10^12-vector scan path."""
+    from pdf_context_extractor_agent_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return pq_topk(emb, [float(x) for x in qrow[0]], k=10, m=8, ksub=16, stride=31)
+
+
 _MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
 
 
@@ -1583,6 +1691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_rules": _q_robots_rules,
         "q_robots_check": _q_robots_check,
         "q_crawl_frontier": _q_crawl_frontier,
+        "q_sitemap_urls": _q_sitemap_urls,
+        "q_surt_keys": _q_surt_keys,
+        "q_cdx_parse": _q_cdx_parse,
+        "q_cdx_latest": _q_cdx_latest,
+        "q_pq_topk": _q_pq_topk,
         "q_latest_revision": _q_latest_revision,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
@@ -2367,6 +2480,53 @@ dim AS (
             FROM codes GROUP BY vec_id
             ORDER BY qscore DESC, vec_id LIMIT 10
         """,
+        # PQ-ADC oracle: rebuild the whole codec — strided codebooks
+        # (centroid j of subspace s = subvector s of row j*31), per-
+        # subspace argmin assignment, integer-quantized LUT scores.
+        # Distance/dot sums are UNROLLED 8-term left-assoc chains: the
+        # exact association order Spark's aggregate fold uses, so every
+        # double is bit-identical and no trunc slack is needed before
+        # the floor quantization.
+        "q_pq_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+            cents AS (
+              SELECT (vec_id // 31)::INT AS cent_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 496),
+            books AS (
+              SELECT sp.s AS subspace, c.cent_id,
+                     list_slice(c.cvec, sp.s * 8 + 1, sp.s * 8 + 8) AS bv
+              FROM cents c, sp),
+            parts AS (
+              SELECT e.vec_id, sp.s AS subspace,
+                     list_slice(e.embedding::DOUBLE[], sp.s * 8 + 1, sp.s * 8 + 8) AS ev
+              FROM embeddings e, sp),
+            codes AS (
+              SELECT vec_id, subspace, cent_id AS code FROM (
+                SELECT p.vec_id, p.subspace, b.cent_id,
+                       {d2} AS d2
+                FROM parts p JOIN books b USING (subspace))
+              QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                         ORDER BY d2 ASC, cent_id ASC) = 1),
+            lut AS (
+              SELECT b.subspace, b.cent_id,
+                     floor(({qd}) * 1048576.0)::BIGINT AS part_q
+              FROM books b, q)
+            SELECT c.vec_id, (sum(l.part_q) / 1048576.0)::DOUBLE AS pq_score
+            FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.cent_id
+            GROUP BY c.vec_id
+            ORDER BY pq_score DESC, c.vec_id LIMIT 10
+        """.format(
+            d2=" + ".join(
+                f"(p.ev[{i}] - b.bv[{i}]) * (p.ev[{i}] - b.bv[{i}])"
+                for i in range(1, 9)
+            ),
+            qd=" + ".join(
+                f"list_slice(q.qv, b.subspace * 8 + 1, b.subspace * 8 + 8)[{i}] * b.bv[{i}]"
+                for i in range(1, 9)
+            ),
+        ),
         # audio kernel oracle: re-derive the per-window integer features
         # straight from the deterministic PCM synthesis formula — the
         # binary container never needs decoding on the oracle side
@@ -2626,6 +2786,115 @@ SELECT s.doc_id, s.url, s.priority, s.host, s.fetch_seq,
        coalesce(d.crawl_delay, 1.0) AS crawl_delay,
        (s.fetch_seq - 1) * coalesce(d.crawl_delay, 1.0) AS scheduled_offset_secs
 FROM seq s LEFT JOIN delays d USING (host)""",
+        # sitemap fixtures: same 4 bodies as _SITEMAP_BODIES; element
+        # capture + per-element field extraction mirror functions/robots.py
+        "q_sitemap_urls": "WITH hosts AS (\n"
+        "  SELECT DISTINCT (doc_id % 4) AS hid FROM documents\n"
+        "), bodies AS (\n"
+        "  SELECT 'h' || hid::VARCHAR || '.example.com' AS host,\n"
+        "         replace(CASE hid\n           "
+        + "\n           ".join(
+            f"WHEN {i} THEN '{b}'" for i, b in enumerate(_SITEMAP_BODIES[:-1])
+        )
+        + r"""
+           ELSE '' END, '|', chr(10)) AS body
+  FROM hosts
+), lists AS (
+  SELECT host,
+         regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1) AS lu,
+         regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1) AS lm
+  FROM bodies
+), numbered AS (
+  SELECT host, 'url' AS kind, lu[i] AS raw, i - 1 AS pos
+  FROM lists, unnest(generate_series(1, len(lu))) AS t(i)
+  UNION ALL
+  SELECT host, 'sitemap' AS kind, lm[i] AS raw, len(lu) + i - 1 AS pos
+  FROM lists, unnest(generate_series(1, len(lm))) AS t(i)
+)
+SELECT host, pos, kind,
+       trim(regexp_extract(raw, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+       nullif(trim(regexp_extract(raw, '(?s)<lastmod>(.*?)</lastmod>', 1)), '') AS lastmod,
+       TRY_CAST(nullif(trim(regexp_extract(raw, '(?s)<priority>(.*?)</priority>', 1)), '')
+                AS DOUBLE) AS priority
+FROM numbered
+WHERE trim(regexp_extract(raw, '(?s)<loc>(.*?)</loc>', 1)) <> ''""",
+        # SURT: lowercase host minus www/default-port, labels reversed
+        # comma-joined, ')' + path+query (fragmentless), '/' if empty
+        "q_surt_keys": frontier_urls_cte.lstrip().replace("urls AS (", "WITH urls AS (", 1)
+        + r"""
+SELECT doc_id, url,
+       array_to_string(
+         list_reverse(string_split(
+           regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]*)', 1)),
+                          '(^www\.|:(80|443)$)', ''), '.')), ',')
+       || ')' ||
+       (CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^#]*)', 1) = ''
+             THEN '/'
+             ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^#]*)', 1) END) AS surt
+FROM urls""",
+        # CDXJ synthesis mirrored, then urlkey/ts split + JSON extraction
+        "q_cdx_parse": r"""
+WITH lines AS (
+  SELECT 'com,example,h' || ((doc_id // 3) % 11)::VARCHAR || ')/p/' || (doc_id // 3)::VARCHAR
+      || ' ' || printf('2024%02d%02d120000', (doc_id % 12) + 1, (doc_id % 28) + 1)
+      || ' {"url": "https://h' || ((doc_id // 3) % 11)::VARCHAR || '.example.com/p/'
+      || (doc_id // 3)::VARCHAR
+      || '", "status": "' || (CASE WHEN doc_id % 5 = 0 THEN '404' ELSE '200' END)
+      || '", "mime": "' || (CASE WHEN doc_id % 7 = 0 THEN 'application/pdf' ELSE 'text/html' END)
+      || '", "digest": "sha1:D' || (doc_id // 3)::VARCHAR
+      || '", "length": "' || ((doc_id % 997) + 100)::VARCHAR
+      || '", "offset": "' || (doc_id * 1000)::VARCHAR
+      || '", "filename": "crawl-' || (doc_id % 4)::VARCHAR || '.warc.gz"}' AS cdx_line
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(cdx_line, '^(\S+)', 1) AS urlkey,
+         regexp_extract(cdx_line, '^\S+\s+(\d{14})', 1) AS ts,
+         nullif(regexp_extract(cdx_line, '^\S+\s+\d{14}\s+(\{.*\})\s*$', 1), '') AS j
+  FROM lines
+)
+SELECT urlkey, ts,
+       json_extract_string(j, '$.url') AS url,
+       TRY_CAST(json_extract_string(j, '$.status') AS INT) AS status,
+       json_extract_string(j, '$.mime') AS mime,
+       json_extract_string(j, '$.digest') AS digest,
+       TRY_CAST(json_extract_string(j, '$.length') AS BIGINT) AS warc_length,
+       TRY_CAST(json_extract_string(j, '$.offset') AS BIGINT) AS warc_offset,
+       json_extract_string(j, '$.filename') AS filename
+FROM parsed""",
+        "q_cdx_latest": r"""
+WITH lines AS (
+  SELECT 'com,example,h' || ((doc_id // 3) % 11)::VARCHAR || ')/p/' || (doc_id // 3)::VARCHAR
+      || ' ' || printf('2024%02d%02d120000', (doc_id % 12) + 1, (doc_id % 28) + 1)
+      || ' {"url": "https://h' || ((doc_id // 3) % 11)::VARCHAR || '.example.com/p/'
+      || (doc_id // 3)::VARCHAR
+      || '", "status": "' || (CASE WHEN doc_id % 5 = 0 THEN '404' ELSE '200' END)
+      || '", "mime": "' || (CASE WHEN doc_id % 7 = 0 THEN 'application/pdf' ELSE 'text/html' END)
+      || '", "digest": "sha1:D' || (doc_id // 3)::VARCHAR
+      || '", "length": "' || ((doc_id % 997) + 100)::VARCHAR
+      || '", "offset": "' || (doc_id * 1000)::VARCHAR
+      || '", "filename": "crawl-' || (doc_id % 4)::VARCHAR || '.warc.gz"}' AS cdx_line
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(cdx_line, '^(\S+)', 1) AS urlkey,
+         regexp_extract(cdx_line, '^\S+\s+(\d{14})', 1) AS ts,
+         nullif(regexp_extract(cdx_line, '^\S+\s+\d{14}\s+(\{.*\})\s*$', 1), '') AS j
+  FROM lines
+), typed AS (
+  SELECT urlkey, ts,
+         json_extract_string(j, '$.url') AS url,
+         TRY_CAST(json_extract_string(j, '$.status') AS INT) AS status,
+         json_extract_string(j, '$.mime') AS mime,
+         json_extract_string(j, '$.digest') AS digest,
+         TRY_CAST(json_extract_string(j, '$.length') AS BIGINT) AS warc_length,
+         TRY_CAST(json_extract_string(j, '$.offset') AS BIGINT) AS warc_offset,
+         json_extract_string(j, '$.filename') AS filename
+  FROM parsed
+)
+SELECT urlkey, ts, url, status, mime, digest, warc_length, warc_offset, filename
+FROM typed
+WHERE status = 200 AND starts_with(mime, 'text/html')
+QUALIFY row_number() OVER (PARTITION BY urlkey
+                           ORDER BY ts DESC, filename DESC, warc_offset DESC) = 1""",
         "q_meta_robots": r"""
             WITH v AS (
               SELECT doc_id,

@@ -48,6 +48,7 @@ __all__ = [
     "robots_crawl_delay",
     "robots_check",
     "frontier_schedule",
+    "sitemap_entries",
 ]
 
 
@@ -286,4 +287,51 @@ def frontier_schedule(
             "crawl_delay",
             "scheduled_offset_secs",
         )
+    )
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, host_col: str = "host", body_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Parse sitemap XML bodies into a URL-discovery relation.
+
+    Handles both document kinds in one pass: ``<urlset>`` page entries
+    (kind ``url``) and ``<sitemapindex>`` child-sitemap entries (kind
+    ``sitemap``).  Output: ``host, kind, loc, lastmod (string|null),
+    priority (double|null)`` — one row per ``<url>``/``<sitemap>``
+    element, element order preserved per host via ``posexplode``.
+
+    Pure regexp algebra over the body ((?s) non-greedy element capture,
+    then per-element ``<loc>``/``<lastmod>``/``<priority>`` extraction)
+    — zero shuffles, rides the fetch scan.  Like robots bodies,
+    sitemaps are per-HOST dimension data: even a 10^12-page crawl
+    parses ~10^8 of them.  Entities and CDATA are NOT decoded (the
+    deterministic subset; a decode pass would slot in per-element).
+    """
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    urls = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?s)<url>(.*?)</url>"), 1),
+        lambda e: F.struct(F.lit("url").alias("kind"), e.alias("raw")),
+    )
+    maps = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1),
+        lambda e: F.struct(F.lit("sitemap").alias("kind"), e.alias("raw")),
+    )
+    exploded = sitemaps.select(
+        host_col, F.posexplode(F.concat(urls, maps)).alias("pos", "e")
+    )
+    raw = F.col("e.raw")
+    loc = F.trim(F.regexp_extract(raw, r"(?s)<loc>(.*?)</loc>", 1))
+    lastmod = F.trim(F.regexp_extract(raw, r"(?s)<lastmod>(.*?)</lastmod>", 1))
+    priority = F.trim(F.regexp_extract(raw, r"(?s)<priority>(.*?)</priority>", 1))
+    return (
+        exploded.select(
+            host_col,
+            "pos",
+            F.col("e.kind").alias("kind"),
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            F.when(priority != "", priority.cast("double")).alias("priority"),
+        )
+        .filter(F.col("loc") != "")
     )

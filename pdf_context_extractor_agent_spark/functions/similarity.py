@@ -296,3 +296,161 @@ def semdedup(
         ),
         id_col=id_col,
     )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks with DATA-DERIVED deterministic
+    centroids: the vector dimension splits into ``m`` contiguous
+    subspaces, and centroid ``j`` of every subspace is the matching
+    subvector of the corpus row with ``id = j * stride`` (strided
+    selection is seedless and engine-agnostic — the same rationale as
+    :func:`ivf_index`; trained centroids would change no plan shape).
+
+    Output: ``(subspace, cent_id, cvec)`` — ``m × ksub`` rows, a
+    driver-independent DIMENSION (broadcast everywhere downstream).
+    Rows whose ``id`` exceeds the corpus simply don't exist, so small
+    test corpora yield fewer centroids with identical semantics.
+    """
+    if dim is None:
+        dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    sub = dim // m
+    cents = emb.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < ksub * stride)
+    ).select((F.col(id_col) / stride).cast("int").alias("cent_id"), vec_col)
+    return cents.select(
+        "cent_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice(F.col(vec_col), s * sub + 1, sub).alias("cvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select(F.col("e.subspace").alias("subspace"), "cent_id", F.col("e.cvec").alias("cvec"))
+
+
+def pq_codes(
+    emb: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign every vector its ``m``-byte PQ code.
+
+    Per subspace: argmin squared-L2 distance to that subspace's
+    centroids, tie-broken toward the LOWER centroid id. The distance is
+    a fixed-length left-fold of IEEE doubles — one association order,
+    bit-identical on any engine.
+
+    Scale shape: vectors explode into ``m`` subvector rows, join the
+    BROADCAST codebook dim, and one groupBy on the (already co-located)
+    vector key picks the argmin — the output is ``m`` small ints per
+    vector, 16-32× denser than the float payload it replaces.
+
+    Output: ``(id, subspace, code)``.
+    """
+    if dim is None:
+        dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    sub = dim // m
+    parts = emb.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice(F.col(vec_col), s * sub + 1, sub).alias("svec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select(id_col, F.col("e.subspace").alias("subspace"), F.col("e.svec").alias("svec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("svec").cast("array<double>"),
+            F.col("cvec").cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = parts.join(F.broadcast(books), "subspace").select(
+        id_col, "subspace", d2.alias("d2"), "cent_id"
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("b")
+    )
+    return best.select(id_col, "subspace", F.col("b.cent_id").alias("code"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou et al., TPAMI 2011).
+
+    ADC: the query stays exact; each candidate's score is the sum over
+    subspaces of ``dot(query_sub, centroid[code])`` — an ``m``-term sum
+    of codebook lookups. The lookup table is ``m × ksub`` rows (query ×
+    codebook dim, broadcast); the scan touches only the CODES relation,
+    never the float payloads, which is the 10^12-vector layout: codes
+    live in the index table, vectors stay at rest.
+
+    Determinism: each LUT part is floor-quantized to a 2^-20 multiple
+    BEFORE the per-vector sum, so the aggregation is exact integer math
+    — partial-agg association order cannot perturb the score (summing
+    raw doubles then truncating would flip on boundaries; the same
+    discipline as the k-means centroid update). ``pq_score`` =
+    integer-sum / 2^20, bit-identical on any engine; ties break on id.
+    """
+    dim = len(query)
+    sub = dim // m
+    books = pq_codebooks(emb, m, ksub, stride, id_col, vec_col, dim=dim)
+    codes = pq_codes(emb, books, m, id_col, vec_col, dim=dim)
+    qsub = {
+        s: F.array(*[F.lit(float(x)) for x in query[s * sub : (s + 1) * sub]])
+        for s in range(m)
+    }
+    qdot = F.aggregate(
+        F.zip_with(
+            F.element_at(
+                F.array(*[qsub[s] for s in range(m)]), F.col("subspace").cast("int") + 1
+            ),
+            F.col("cvec").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = books.select(
+        F.col("subspace").alias("__s"),
+        F.col("cent_id").alias("__c"),
+        F.floor(qdot * F.lit(1048576.0)).cast("long").alias("part_q"),
+    )
+    scored = codes.join(
+        F.broadcast(lut),
+        (codes["subspace"] == F.col("__s")) & (codes["code"] == F.col("__c")),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg((F.sum("part_q") / F.lit(1048576.0)).alias("pq_score"))
+        .orderBy(F.desc("pq_score"), F.col(id_col))
+        .limit(k)
+    )
