@@ -1185,6 +1185,138 @@ def _q_pq_topk(spark, sf):
     return pq_topk(emb, [float(x) for x in qrow[0]], k=10, m=8, ksub=16, stride=31)
 
 
+def _q_hits(spark, sf):
+    """Fixed-point HITS (Kleinberg 1999), 2 iterations over the same
+    deterministic skewed link graph as q_pagerank. Scaled-integer
+    arithmetic with L1 normalization as a broadcast one-row aggregate
+    — auth/hub scores bit-identical across engines and shuffle
+    orders."""
+    from pdf_context_extractor_agent_spark.functions.graph import hits
+
+    docs = _t(spark, sf, "documents")
+    n = docs.count()
+    e1 = docs.selectExpr("doc_id AS src", f"(doc_id * doc_id + 3) % {n} AS dst")
+    e2 = docs.selectExpr("doc_id AS src", "doc_id % 97 AS dst")
+    return hits(e1.unionByName(e2), n, n_iter=2)
+
+
+def _q_hyperball(spark, sf):
+    """HyperBall (Boldi-Vigna 2013) neighborhood function + harmonic
+    centrality over the REVERSED skew graph (incoming-distance balls,
+    the classic harmonic direction). Per-node HLL registers in long
+    format; union-of-sketches = groupBy max — exactly mirrorable, so
+    even the estimates are bit-identical cross-engine."""
+    from pdf_context_extractor_agent_spark.functions.graph import hyperball
+
+    docs = _t(spark, sf, "documents")
+    n = docs.count()
+    e1 = docs.selectExpr(f"(doc_id * doc_id + 3) % {n} AS src", "doc_id AS dst")
+    e2 = docs.selectExpr("doc_id % 97 AS src", "doc_id AS dst")
+    return hyperball(e1.unionByName(e2), n, t_max=2)
+
+
+def _q_label_prop(spark, sf):
+    """Synchronous LPA communities, 2 rounds over the symmetrized skew
+    graph. Deterministic min-label tie-break (classic LPA's random
+    tie-break is unverifiable); the 97 hub nodes seed the clusters."""
+    from pdf_context_extractor_agent_spark.functions.graph import label_propagation
+
+    docs = _t(spark, sf, "documents")
+    n = docs.count()
+    e1 = docs.selectExpr("doc_id AS src", f"(doc_id * doc_id + 3) % {n} AS dst")
+    e2 = docs.selectExpr("doc_id AS src", "doc_id % 97 AS dst")
+    return label_propagation(e1.unionByName(e2), n, n_iter=2)
+
+
+def _meta_pages(spark, sf):
+    """Synthetic metadata-bearing HTML heads, 4 variants by doc_id%4:
+    full property-first order / content-first + href-first order /
+    http-equiv charset with og+canonical+date absent / bare (title,
+    charset, lang all absent)."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    r = F.col("doc_id") % 4
+    full = F.concat(
+        F.lit('<html lang="en"><head><title> Doc  '), i,
+        F.lit('\n</title><meta charset="UTF-8"><meta property="og:title" content="OG '),
+        i, F.lit('"/><link rel="canonical" href="https://example.com/c/'), i,
+        F.lit('"/><meta property="article:published_time" content="2024-01-02"/></head><body/></html>'),
+    )
+    flipped = F.concat(
+        F.lit('<html lang="fr-CA"><head><title>Doc '), i,
+        F.lit('</title><meta charset=utf-8><meta content="OG '), i,
+        F.lit(' flip" property="og:title"/><link href="https://example.com/c/'), i,
+        F.lit('" rel="canonical"/><meta content="2023-12-31T23:59:59Z" property="article:published_time"/></head></html>'),
+    )
+    httpequiv = F.concat(
+        F.lit('<html lang="zh"><head><title>Doc '), i,
+        F.lit('</title><meta http-equiv="Content-Type" content="text/html; charset=GBK"></head></html>'),
+    )
+    bare = F.lit("<html><head></head><body>no head fields</body></html>")
+    html = (
+        F.when(r == 0, full)
+        .when(r == 1, flipped)
+        .when(r == 2, httpequiv)
+        .otherwise(bare)
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _q_page_metadata(spark, sf):
+    """Trafilatura-style header pass: title/og:title/canonical/
+    published_time/charset/html-lang, attribute-order-insensitive."""
+    from pdf_context_extractor_agent_spark.functions.webtext import page_metadata
+
+    return page_metadata(_meta_pages(spark, sf), keep_cols=("doc_id",))
+
+
+def _q_snapshot_diff(spark, sf):
+    """Cross-snapshot crawl delta: old snapshot (doc_id%7!=0, www+utm
+    url variants) vs new snapshot (doc_id%5!=0, plain urls, every
+    third body revised) — canonicalization must join the variants so
+    revisits classify as changed/unchanged, not new+gone."""
+    from pdf_context_extractor_agent_spark.functions.urls import snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("h"), (F.col("doc_id") % 11).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.concat(F.lit("https://WWW."), base, F.lit("?utm_source=feed")).alias("url"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("https://"), base).alias("url"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("v2"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return snapshot_diff(old, new)
+
+
+def _q_fix_mojibake(spark, sf):
+    """ftfy-core mojibake repair: corrupt each document body with two
+    deterministic UTF-8-as-cp1252 injections ('e'→'Ã©', ','→'â€™'),
+    then run the full table-driven repair chain. Output keys the
+    repaired body by md5 plus the shrinkage-based corruption score —
+    the compact relation a curation pass persists."""
+    from pdf_context_extractor_agent_spark.functions.encoding import mojibake_stats
+
+    docs = _t(spark, sf, "documents")
+    corrupted = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("e"), F.lit("Ã©")),
+            F.lit(","),
+            F.lit("â€™"),
+        ).alias("text"),
+    )
+    return mojibake_stats(corrupted)
+
+
 _MIX_RATES = {"en": 0.5, "zh": 0.8, "de": 0.25, "es": 0.6}  # fr: dropped
 
 
@@ -1696,6 +1828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdx_parse": _q_cdx_parse,
         "q_cdx_latest": _q_cdx_latest,
         "q_pq_topk": _q_pq_topk,
+        "q_hits": _q_hits,
+        "q_hyperball": _q_hyperball,
+        "q_label_prop": _q_label_prop,
+        "q_snapshot_diff": _q_snapshot_diff,
+        "q_page_metadata": _q_page_metadata,
+        "q_fix_mojibake": _q_fix_mojibake,
         "q_latest_revision": _q_latest_revision,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
@@ -1987,6 +2125,255 @@ r0 AS MATERIALIZED (
         + """
 SELECT node, rank FROM r3"""
     )
+
+    # fixed-point HITS unrolled: 2 rounds, all-integer with L1
+    # normalizers as scalar subqueries (// == Spark DIV on
+    # non-negatives) — same exactness discipline as PageRank
+    _hits_rounds = []
+    for k in range(1, 3):
+        _hits_rounds.append(f"""
+araw{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub)::BIGINT AS raw
+  FROM h{k - 1} h JOIN e ON h.node = e.src GROUP BY e.dst),
+atot{k} AS MATERIALIZED (
+  SELECT coalesce(sum(raw), 1)::BIGINT AS tot FROM araw{k}),
+a{k} AS MATERIALIZED (
+  SELECT n.node,
+         (coalesce(r.raw, 0) * 1000000 // (SELECT tot FROM atot{k}))::BIGINT AS auth
+  FROM nodes n LEFT JOIN araw{k} r ON n.node = r.node),
+hraw{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth)::BIGINT AS raw
+  FROM a{k} a JOIN e ON a.node = e.dst GROUP BY e.src),
+htot{k} AS MATERIALIZED (
+  SELECT coalesce(sum(raw), 1)::BIGINT AS tot FROM hraw{k}),
+h{k} AS MATERIALIZED (
+  SELECT n.node,
+         (coalesce(r.raw, 0) * 1000000 // (SELECT tot FROM htot{k}))::BIGINT AS hub
+  FROM nodes n LEFT JOIN hraw{k} r ON n.node = r.node)""")
+    hits_sql = (
+        """
+WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * doc_id + 3) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 97 FROM documents),
+h0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS hub FROM nodes),"""
+        + ",".join(_hits_rounds)
+        + """
+SELECT a2.node, a2.auth, h2.hub FROM a2 JOIN h2 ON a2.node = h2.node"""
+    )
+
+    # HyperBall unrolled: per-node HLL registers in long format; the
+    # per-hop merge (union-of-sketches == max per register) and the
+    # per-node estimator (integer register sums, one double division,
+    # 4-dp floor truncation) restate functions/graph.py:hyperball with
+    # p=4 (m=16, wbits=56, field 57, m^2*2^57 = 2^65)
+    def _hb_est(st: str, col: str) -> str:
+        return f"""(
+  SELECT node,
+         floor((CASE WHEN raw <= 40.0 AND zeros > 0
+                     THEN 16.0 * ln(16.0 / zeros) ELSE raw END) * 10000.0)
+           / 10000.0 AS {col}
+  FROM (
+    SELECT node,
+           (0.7213 / (1.0 + 1.079 / 16.0)) * 36893488147419103232.0
+             / (ps + (16 - nz) * 144115188075855872::BIGINT) AS raw,
+           16 - nz AS zeros
+    FROM (SELECT node, count(*) AS nz,
+                 sum(1::BIGINT << (57 - rho))::BIGINT AS ps
+          FROM {st} GROUP BY node)))"""
+
+    _hb_steps = []
+    for t in (1, 2):
+        _hb_steps.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT * FROM s{t - 1}
+    UNION ALL
+    SELECT e.src AS node, s.bucket, s.rho FROM e JOIN s{t - 1} s ON e.dst = s.node)
+  GROUP BY node, bucket),
+est{t} AS MATERIALIZED {_hb_est(f"s{t}", f"n{t}")}""")
+    hyperball_sql = (
+        """
+WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+e AS MATERIALIZED (
+  SELECT (doc_id * doc_id + 3) % (SELECT n FROM nn) AS src, doc_id AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 97, doc_id FROM documents),
+s0 AS MATERIALIZED (
+  SELECT node, h % 16 AS bucket,
+         CASE WHEN (h // 16) = 0 THEN 57
+              ELSE 57 - length(bin(h // 16)) END AS rho
+  FROM (SELECT node,
+               ('0x' || substr(md5('0:' || node::VARCHAR), 1, 15))::BIGINT AS h
+        FROM nodes)),
+est0 AS MATERIALIZED """
+        + _hb_est("s0", "n0")
+        + ","
+        + ",".join(_hb_steps)
+        + """
+SELECT e0.node, e0.n0, e1.n1, e2.n2,
+       floor((0.0 + (e1.n1 - e0.n0) / 1.0 + (e2.n2 - e1.n1) / 2.0) * 10000.0)
+         / 10000.0 AS harmonic
+FROM est0 e0 JOIN est1 e1 ON e0.node = e1.node JOIN est2 e2 ON e0.node = e2.node"""
+    )
+
+    # synchronous LPA unrolled: per-round neighbor-label vote counts
+    # with the deterministic (count desc, label asc) tie-break as a
+    # QUALIFY row_number — the exact argmin-struct graph.py computes
+    _lpa_rounds = []
+    for k in (1, 2):
+        _lpa_rounds.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT e.src AS node, l.label, count(*) AS cnt
+  FROM e JOIN l{k - 1} l ON e.dst = l.node GROUP BY 1, 2),
+b{k} AS MATERIALIZED (
+  SELECT node, label AS new_label FROM v{k}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, label ASC) = 1),
+l{k} AS MATERIALIZED (
+  SELECT l.node, coalesce(b.new_label, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN b{k} b ON l.node = b.node)""")
+    lpa_sql = (
+        """
+WITH nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+e0 AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * doc_id + 3) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 97 FROM documents),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),"""
+        + ",".join(_lpa_rounds)
+        + """
+SELECT node, label FROM l2"""
+    )
+
+    # snapshot diff: the canonicalization chain (q_url_canon's twin)
+    # applied to both sides, then per-side min-digest collapse and a
+    # FULL OUTER join classified exactly as urls.snapshot_diff
+    def _canon_sql(col: str) -> str:
+        return (
+            r"""regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(%(c)s, '^([a-zA-Z]+://[^/?#]*)', 1))
+                      || regexp_extract(%(c)s, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
+                    '^([a-z]+://)www\.', '\1'),
+                  '#.*$', ''),
+                '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+              '\?&+', '?'),
+            '&&+', '&', 'g'),
+          '[?&]+$', '')"""
+            % {"c": col}
+        )
+
+    snapshot_diff_sql = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         'h' || (doc_id % 11)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS b
+  FROM documents),
+old AS (
+  SELECT {_canon_sql("('https://WWW.' || b || '?utm_source=feed')")} AS canon_url,
+         min(md5(text)) AS old_digest
+  FROM base WHERE doc_id % 7 <> 0 GROUP BY 1),
+new AS (
+  SELECT {_canon_sql("('https://' || b)")} AS canon_url,
+         min(md5(CASE WHEN doc_id % 3 = 0 THEN text || 'v2' ELSE text END))
+           AS new_digest
+  FROM base WHERE doc_id % 5 <> 0 GROUP BY 1)
+SELECT coalesce(old.canon_url, new.canon_url) AS canon_url,
+       old_digest, new_digest,
+       CASE WHEN old_digest IS NULL THEN 'new'
+            WHEN new_digest IS NULL THEN 'gone'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM old FULL OUTER JOIN new ON old.canon_url = new.canon_url"""
+
+    # page-metadata header pass: same 4 synthetic head variants, same
+    # attribute-order-insensitive regexps (RE2 and Java agree on the
+    # (?is)/lazy subset used), '' → NULL per field like the engine
+    page_metadata_sql = r"""
+WITH hsrc AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN '<html lang="en"><head><title> Doc  ' || doc_id::VARCHAR
+        || chr(10) || '</title><meta charset="UTF-8"><meta property="og:title" content="OG '
+        || doc_id::VARCHAR || '"/><link rel="canonical" href="https://example.com/c/'
+        || doc_id::VARCHAR
+        || '"/><meta property="article:published_time" content="2024-01-02"/></head><body/></html>'
+      WHEN 1 THEN '<html lang="fr-CA"><head><title>Doc ' || doc_id::VARCHAR
+        || '</title><meta charset=utf-8><meta content="OG ' || doc_id::VARCHAR
+        || ' flip" property="og:title"/><link href="https://example.com/c/'
+        || doc_id::VARCHAR
+        || '" rel="canonical"/><meta content="2023-12-31T23:59:59Z" property="article:published_time"/></head></html>'
+      WHEN 2 THEN '<html lang="zh"><head><title>Doc ' || doc_id::VARCHAR
+        || '</title><meta http-equiv="Content-Type" content="text/html; charset=GBK"></head></html>'
+      ELSE '<html><head></head><body>no head fields</body></html>'
+    END AS h
+  FROM documents)
+SELECT doc_id,
+  nullif(trim(regexp_replace(
+    regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1), '\s+', ' ', 'g')), '')
+    AS title,
+  nullif(CASE WHEN regexp_extract(h,
+           '(?is)<meta\s+[^>]*property\s*=\s*"og:title"[^>]*content\s*=\s*"([^"]*)"', 1) <> ''
+         THEN regexp_extract(h,
+           '(?is)<meta\s+[^>]*property\s*=\s*"og:title"[^>]*content\s*=\s*"([^"]*)"', 1)
+         ELSE regexp_extract(h,
+           '(?is)<meta\s+[^>]*content\s*=\s*"([^"]*)"[^>]*property\s*=\s*"og:title"', 1)
+         END, '') AS og_title,
+  nullif(CASE WHEN regexp_extract(h,
+           '(?is)<link\s+[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"', 1) <> ''
+         THEN regexp_extract(h,
+           '(?is)<link\s+[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"', 1)
+         ELSE regexp_extract(h,
+           '(?is)<link\s+[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"', 1)
+         END, '') AS canonical_link,
+  nullif(CASE WHEN regexp_extract(h,
+           '(?is)<meta\s+[^>]*property\s*=\s*"article:published_time"[^>]*content\s*=\s*"([^"]*)"', 1) <> ''
+         THEN regexp_extract(h,
+           '(?is)<meta\s+[^>]*property\s*=\s*"article:published_time"[^>]*content\s*=\s*"([^"]*)"', 1)
+         ELSE regexp_extract(h,
+           '(?is)<meta\s+[^>]*content\s*=\s*"([^"]*)"[^>]*property\s*=\s*"article:published_time"', 1)
+         END, '') AS published_time,
+  nullif(lower(coalesce(
+    nullif(regexp_extract(h, '(?is)<meta\s+charset\s*=\s*"?([a-z0-9_-]+)', 1), ''),
+    regexp_extract(h, '(?is)content-type[^>]*charset=([a-z0-9_-]+)', 1))), '')
+    AS charset,
+  nullif(regexp_extract(h, '(?is)<html\s+[^>]*lang\s*=\s*"([^"]*)"', 1), '')
+    AS html_lang
+FROM hsrc"""
+
+    # mojibake repair: the SAME generated (mojibake, fixed) table drives
+    # the SQL chain, applied in the identical order — replace() is
+    # all-non-overlapping-occurrences left-to-right in both engines
+    from pdf_context_extractor_agent_spark.functions.encoding import MOJIBAKE_PAIRS
+
+    _fix = "t"
+    for _moji, _fixed in MOJIBAKE_PAIRS:
+        _fix = f"replace({_fix}, '{_moji}', '{_fixed}')"
+    mojibake_sql = f"""
+WITH c AS (
+  SELECT doc_id,
+         coalesce(replace(replace(text, 'e', 'Ã©'), ',', 'â€™'), '') AS t
+  FROM documents),
+f AS (SELECT doc_id, length(t)::BIGINT AS n, {_fix} AS fixed FROM c)
+SELECT doc_id,
+       length(fixed)::BIGINT AS fixed_len,
+       (n - length(fixed))::BIGINT AS repaired_chars,
+       floor((n - length(fixed)) / greatest(n, 1) * 1000000.0)::BIGINT
+         AS moji_score_ppm,
+       md5(fixed) AS fixed_md5
+FROM f"""
 
     bpe_cte = (
         f"""
@@ -3415,6 +3802,12 @@ FROM flags""",
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
         "q_pagerank": pagerank_sql,
+        "q_hits": hits_sql,
+        "q_hyperball": hyperball_sql,
+        "q_label_prop": lpa_sql,
+        "q_snapshot_diff": snapshot_diff_sql,
+        "q_page_metadata": page_metadata_sql,
+        "q_fix_mojibake": mojibake_sql,
         "q5_local_supplier_volume": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1,4 +1,5 @@
-"""Link-graph analytics: outlink extraction + fixed-point PageRank.
+"""Link-graph analytics: outlink extraction, fixed-point PageRank and
+HITS, and HyperBall harmonic centrality.
 
 A crawl-curation pipeline ranks pages by link structure (seed
 prioritization, spam demotion — the OPIC/Harmonic/PageRank family that
@@ -30,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RANK_SCALE = 10**12
+HITS_SCALE = 10**6
 
 
 def extract_outlinks(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -131,3 +133,226 @@ def page_rank(
         if (it + 1) % 4 == 0:
             rank = rank.localCheckpoint(eager=False)
     return rank
+
+
+def hits(
+    edges: DataFrame,
+    n_nodes: int,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999) over ``0..n_nodes-1`` →
+    ``(node, auth, hub)``, scaled-integer scores (L1 mass ≈
+    HITS_SCALE each).
+
+    Same exactness discipline as :func:`page_rank`: every step is
+    integer add / multiply / truncating ``DIV``, so the distributed
+    sums are association-order-independent and the result bit-identical
+    across engines.  Per iteration::
+
+        auth_raw(v) = Σ_{u→v} hub(u)          -- one groupBy(dst)
+        auth(v)     = auth_raw(v)·S DIV Σ auth_raw
+        hub_raw(u)  = Σ_{u→v} auth(v)         -- one groupBy(src)
+        hub(u)      = hub_raw(u)·S DIV Σ hub_raw
+
+    The L1 normalizers are one-row aggregates cross-joined back
+    (broadcast), the HITS analog of PageRank's dangling-mass row.
+    ``S = 10^6`` keeps the worst intermediate (raw·S ≤ maxdeg·n·S²)
+    far inside long range for any graph this engine ranks per
+    partition of a sharded crawl graph.
+
+    Scale shape: rank state is two longs per node; each iteration is
+    two edge joins co-partitioned on their key + two groupBys — the
+    same exchange reused by AQE.  No driver fetch inside the loop.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    hub = nodes.withColumn("hub", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for it in range(n_iter):
+        araw = (
+            hub.join(e, hub["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        atot = araw.agg(F.coalesce(F.sum("raw"), F.lit(1)).alias("tot"))
+        auth = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .select("node", F.coalesce("raw", F.lit(0)).alias("raw"))
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                F.expr(f"CAST(raw * {HITS_SCALE} DIV tot AS LONG)").alias("auth"),
+            )
+        )
+        hraw = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("raw"))
+        )
+        htot = hraw.agg(F.coalesce(F.sum("raw"), F.lit(1)).alias("tot"))
+        hub = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .select("node", F.coalesce("raw", F.lit(0)).alias("raw"))
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                F.expr(f"CAST(raw * {HITS_SCALE} DIV tot AS LONG)").alias("hub"),
+            )
+        )
+        if (it + 1) % 4 == 0:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    return auth.join(hub, "node").select("node", "auth", "hub")
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_nodes: int,
+    n_iter: int = 2,
+    undirected: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over
+    ``0..n_nodes-1`` → ``(node, label)`` — the cheap community
+    detector crawl pipelines use to cluster mirror/duplicate HOSTS
+    from the link graph before content-level dedup ever runs.
+
+    Every node starts labeled with its own id; each round it adopts
+    the most frequent label among its neighbors (its own vote
+    excluded), ties broken toward the SMALLEST label — a total order,
+    so the result is deterministic across engines and partitionings
+    (classic LPA breaks ties randomly; that is unverifiable).
+    Isolated nodes keep their label.  ``undirected=True`` (default)
+    symmetrizes the edge list first — community structure ignores
+    link direction.
+
+    Scale shape: label state is two longs per node; each round is one
+    edge join + groupBy(node, label) count + one argmin-struct
+    aggregation per node — all on keys the graph is already
+    partitioned by.  Sync LPA on bipartite-ish structures can
+    oscillate; run a fixed small ``n_iter`` (the curation use) rather
+    than to convergence.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    lab = nodes.withColumn("label", F.col("node"))
+    for it in range(n_iter):
+        votes = (
+            e.join(lab, e["dst"] == lab["node"])
+            .select(e["src"].alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("b")
+        )
+        lab = (
+            lab.join(best.select("node", F.col("b.label").alias("new_label")),
+                     "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+        if (it + 1) % 4 == 0:
+            lab = lab.localCheckpoint(eager=False)
+    return lab
+
+
+def _hb_estimate(s: DataFrame, m: int, wbits: int, out: str) -> DataFrame:
+    """Per-node HLL estimate ``(node, <out>)`` from a long-format
+    register relation ``(node, bucket, rho)`` — the :mod:`sketch`
+    estimator (integer register sum, one double division, 4-dp floor
+    truncation), applied per node instead of globally."""
+    agg = s.groupBy("node").agg(
+        F.count("*").alias("nz"),
+        F.sum(F.expr(f"shiftleft(1L, {wbits + 1} - rho)")).alias("ps"),
+    )
+    reg_sum = F.col("ps") + (F.lit(m) - F.col("nz")) * F.lit(
+        1 << (wbits + 1)
+    ).cast("long")
+    raw = (
+        F.expr(f"0.7213 / (1.0 + 1.079 / {m}.0)")
+        * F.lit(float(m) * float(m) * float(1 << (wbits + 1)))
+        / reg_sum
+    )
+    zeros = F.lit(m) - F.col("nz")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    return agg.select("node", (F.floor(est * 10000.0) / 10000.0).alias(out))
+
+
+def hyperball(
+    edges: DataFrame,
+    n_nodes: int,
+    t_max: int = 2,
+    p: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node neighborhood function
+    and harmonic centrality via HLL counters — the algorithm behind
+    the host-rank lists crawl projects publish, and the ONLY way to
+    rank 10^10 nodes by centrality without all-pairs BFS.
+
+    Each node keeps an HLL sketch of the nodes reachable FROM it in
+    ≤ t hops (pass reversed edges for the incoming-distance variant
+    harmonic centrality classically uses).  The iteration is pure
+    register algebra in LONG format (node, bucket, rho):
+
+        S_{t+1}(v) = maxreg( S_t(v), S_t(w) for every edge v→w )
+
+    i.e. one edge join + one ``groupBy(node, bucket).max(rho)`` per
+    hop — union of HLL sketches IS element-wise max, so the merge is
+    associative, order-independent, and exactly mirrorable in SQL.
+    Registers use the :mod:`sketch` conventions (md5-positional 60-bit
+    hash, exact shiftright/base-2-length rho, integer register sums,
+    4-dp floor truncation) so every estimate is bit-identical across
+    engines.
+
+    Output: ``(node, n0 … n{t_max}, harmonic)`` — ``nt`` the estimated
+    ball size at radius t, ``harmonic = Σ_t (n_t − n_{t−1})/t`` over
+    the truncated estimates (a fixed left-to-right sum, deterministic).
+
+    Scale shape: state is ≤ n·2^p rows of three small ints; each hop
+    shuffles |E|·2^p register rows on the edge key then re-aggregates
+    on (node, bucket) — both keys the graph is already hash-partitioned
+    by, so AQE reuses the exchanges.  No driver fetch anywhere.
+    """
+    from .sketch import md5_hash60
+
+    m = 1 << p
+    wbits = 60 - p
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    h = md5_hash60(F.col("node").cast("string"), 0)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(w, 10, 2))
+    )
+    s = nodes.select("node", (h % m).alias("bucket"), rho.alias("rho"))
+    out = _hb_estimate(s, m, wbits, "n0")
+    for t in range(1, t_max + 1):
+        contrib = e.join(s, e["dst"] == s["node"]).select(
+            e["src"].alias("node"), "bucket", "rho"
+        )
+        s = (
+            s.unionByName(contrib)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        out = out.join(_hb_estimate(s, m, wbits, f"n{t}"), "node")
+    harmonic = F.lit(0.0)
+    for t in range(1, t_max + 1):
+        harmonic = harmonic + (F.col(f"n{t}") - F.col(f"n{t - 1}")) / float(t)
+    return out.select(
+        "node",
+        *[f"n{t}" for t in range(t_max + 1)],
+        (F.floor(harmonic * 10000.0) / 10000.0).alias("harmonic"),
+    )

@@ -166,6 +166,53 @@ def latest_revision(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Cross-snapshot delta: classify every CANONICAL url across two
+    crawl snapshots as ``new`` / ``changed`` / ``unchanged`` / ``gone``
+    — the overlap statistic crawl projects publish per release, and
+    the planning input for incremental extraction (only ``new`` +
+    ``changed`` need the kernel; ``gone`` feeds link-rot metrics).
+
+    Inputs are (url, digest) relations — digest any content hash (the
+    pipeline's md5(normalized_text)).  Each side is first collapsed to
+    one row per canonical url (min digest as the deterministic pick
+    for within-snapshot revisits), then FULL OUTER joined on the
+    canonical key.  Output: ``(canon_url, old_digest, new_digest,
+    change)``.
+
+    Scale shape: two groupBys and one full-outer join, all on the same
+    canonical-url key the pipeline partitions by — three reuses of one
+    exchange under AQE; the shuffle carries 16-byte digests, never
+    bodies.
+    """
+    def canon(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                canonicalize_url(F.col(url_col)).alias("canon_url"),
+                F.col(digest_col).alias(out),
+            )
+            .groupBy("canon_url")
+            .agg(F.min(out).alias(out))
+        )
+
+    o = canon(old, "old_digest")
+    n = canon(new, "new_digest")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "canon_url", "full_outer").select(
+        "canon_url", "old_digest", "new_digest", change.alias("change")
+    )
+
+
 def _host_registered_domain(host: Column) -> Column:
     return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
 

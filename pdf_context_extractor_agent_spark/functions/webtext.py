@@ -354,6 +354,75 @@ def _directive(content: Column, name: str) -> Column:
     return content.rlike(tok) | content.rlike(none)
 
 
+_META_PROP = (
+    r'(?is)<meta\s+[^>]*property\s*=\s*"{name}"[^>]*content\s*=\s*"([^"]*)"'
+)
+_META_PROP_FIRST = (
+    r'(?is)<meta\s+[^>]*content\s*=\s*"([^"]*)"[^>]*property\s*=\s*"{name}"'
+)
+
+
+def _meta_property(h, name: str):
+    a = F.regexp_extract(h, _META_PROP.format(name=name), 1)
+    b = F.regexp_extract(h, _META_PROP_FIRST.format(name=name), 1)
+    return F.when(a != "", a).otherwise(b)
+
+
+def page_metadata(
+    pages: DataFrame, html_col: str = "html", keep_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """Document-metadata header pass (the Trafilatura/newspaper recipe,
+    deterministic regexp subset): ``<title>``, OpenGraph title,
+    ``article:published_time`` (the recency signal cross-snapshot
+    dedup and data-mixing both key on), ``rel=canonical`` (the
+    publisher's OWN dedup key — when present it beats URL
+    canonicalization), declared charset, and ``<html lang>``.
+
+    All attribute-order-insensitive regexps over the raw bytes — zero
+    shuffle, rides the fetch scan; empty string → null per field.
+    Output: ``keep_cols`` + ``title, og_title, canonical_link,
+    published_time, charset, html_lang``.
+    """
+    h = F.col(html_col).cast("string")
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1),
+            r"\s+",
+            " ",
+        )
+    )
+    canonical = F.coalesce(
+        F.when(
+            (c := F.regexp_extract(
+                h, r'(?is)<link\s+[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"', 1
+            )) != "", c
+        ),
+        F.regexp_extract(
+            h, r'(?is)<link\s+[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"', 1
+        ),
+    )
+    charset = F.lower(
+        F.coalesce(
+            F.when(
+                (m := F.regexp_extract(h, r'(?is)<meta\s+charset\s*=\s*"?([a-z0-9_-]+)', 1))
+                != "", m
+            ),
+            F.regexp_extract(h, r"(?is)content-type[^>]*charset=([a-z0-9_-]+)", 1),
+        )
+    )
+    lang = F.regexp_extract(h, r'(?is)<html\s+[^>]*lang\s*=\s*"([^"]*)"', 1)
+    nul = lambda col: F.when(col != "", col)  # noqa: E731
+    return pages.select(
+        *keep_cols,
+        nul(title).alias("title"),
+        nul(_meta_property(h, "og:title")).alias("og_title"),
+        nul(canonical).alias("canonical_link"),
+        nul(_meta_property(h, "article:published_time")).alias("published_time"),
+        nul(charset).alias("charset"),
+        nul(lang).alias("html_lang"),
+    )
+
+
 def meta_robots(
     pages: DataFrame, html_col: str = "html", keep_cols: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -77,3 +77,110 @@ def test_extract_anchor_texts(spark):
     # multiline anchor with inner tags stripped; image-only anchor
     # (empty text) dropped
     assert out == {"https://x.example/a": "Read this\nreport", "/c": "plain"}
+
+
+# --- HITS ------------------------------------------------------------
+
+
+def test_hits_star_graph(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import HITS_SCALE, hits
+
+    # 1,2,3 -> 0: node 0 is the only authority, 1/2/3 are equal hubs
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0)])
+    r = {x["node"]: (x["auth"], x["hub"]) for x in hits(e, 4, n_iter=3).collect()}
+    assert r[0][0] == HITS_SCALE  # all authority mass
+    assert r[1][0] == r[2][0] == r[3][0] == 0
+    assert r[0][1] == 0  # node 0 links nowhere
+    assert r[1][1] == r[2][1] == r[3][1] == HITS_SCALE // 3
+
+
+def test_hits_l1_mass_and_determinism(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import HITS_SCALE, hits
+
+    e = _edges(
+        spark,
+        [(i, (i * i + 1) % 17) for i in range(17)]
+        + [(i, i % 5) for i in range(17)],
+    )
+    rows = hits(e, 17, n_iter=2).collect()
+    # truncating DIV loses <1 per node of L1 mass per normalization
+    assert HITS_SCALE - 17 <= sum(r["auth"] for r in rows) <= HITS_SCALE
+    assert HITS_SCALE - 17 <= sum(r["hub"] for r in rows) <= HITS_SCALE
+    a = sorted((r["node"], r["auth"], r["hub"]) for r in rows)
+    b = sorted(
+        (r["node"], r["auth"], r["hub"])
+        for r in hits(e.repartition(7), 17, n_iter=2).collect()
+    )
+    assert a == b  # integer sums: partial-agg order cannot perturb
+
+
+# --- HyperBall -------------------------------------------------------
+
+
+def test_hyperball_chain_counts(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import hyperball
+
+    # path 0->1->2->3: ball sizes from node 0 are 1, 2, 3 (t=0,1,2);
+    # with only 16 registers the estimates are coarse but must be
+    # monotone in t and ordered by true reach at every radius
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    r = {x["node"]: x for x in hyperball(e, 4, t_max=2).collect()}
+    for v in range(4):
+        assert r[v]["n0"] <= r[v]["n1"] + 1e-9 <= r[v]["n2"] + 2e-9
+    # node 3 reaches nothing: its ball never grows and harmonic = 0
+    assert r[3]["n0"] == r[3]["n1"] == r[3]["n2"]
+    assert r[3]["harmonic"] == 0.0
+    # every non-sink ball must register SOME growth over 2 hops (16
+    # registers can collide on a 4-node graph, so only weak ordering
+    # is guaranteed — cross-node rank needs more registers than this
+    # collision-prone fixture exercises)
+    for v in (0, 1, 2):
+        assert r[v]["n2"] > r[v]["n0"]
+        assert r[v]["harmonic"] > 0.0
+
+
+def test_hyperball_deterministic_across_partitioning(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import hyperball
+
+    e = _edges(
+        spark,
+        [(i, (i * 3 + 1) % 13) for i in range(13)]
+        + [((i * i) % 13, i) for i in range(13)],
+    )
+    a = sorted(tuple(r) for r in hyperball(e, 13, t_max=2).collect())
+    b = sorted(tuple(r) for r in hyperball(e.repartition(5), 13, t_max=2).collect())
+    assert a == b  # register max-merge is order-independent
+
+
+# --- Label propagation -----------------------------------------------
+
+
+def test_lpa_two_cliques_converge(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import label_propagation
+
+    # two triangles bridged by one weak edge: each triangle collapses
+    # to its minimum member label; min-label tie-break keeps it stable
+    e = _edges(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+    )
+    lab = {r["node"]: r["label"] for r in label_propagation(e, 6, n_iter=3).collect()}
+    assert lab[0] == lab[1] == lab[2] == 0
+    assert lab[3] == lab[4] == lab[5]
+
+
+def test_lpa_isolated_keeps_own_label_and_deterministic(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import label_propagation
+
+    e = _edges(spark, [(0, 1), (1, 2)])
+    lab = {r["node"]: r["label"] for r in label_propagation(e, 4, n_iter=2).collect()}
+    assert lab[3] == 3  # no edges: label never changes
+    a = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(e, 4, n_iter=2).collect()
+    )
+    b = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(e.repartition(3), 4, n_iter=2).collect()
+    )
+    assert a == b

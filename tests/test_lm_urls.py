@@ -214,3 +214,34 @@ def test_latest_revision_newest_capture_wins(spark):
     assert not out[2].is_latest and out[2].revision_rank == 2
     assert not out[0].is_latest and out[0].revision_rank == 3
     assert out[3].is_latest
+
+
+# --- snapshot diff ----------------------------------------------------
+
+
+def test_snapshot_diff_classes(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            ("https://WWW.a.com/p/1?utm_source=x", "d1"),
+            ("https://a.com/p/2", "d2"),
+            ("https://a.com/p/3", "d3"),
+        ],
+        "url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.com/p/1", "d1"),      # canonical match -> unchanged
+            ("https://a.com/p/2", "d2x"),     # changed
+            ("https://a.com/p/4", "d4"),      # new
+        ],
+        "url string, digest string",
+    )
+    rows = {r["canon_url"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert rows == {
+        "https://a.com/p/1": "unchanged",
+        "https://a.com/p/2": "changed",
+        "https://a.com/p/3": "gone",
+        "https://a.com/p/4": "new",
+    }

@@ -234,3 +234,48 @@ def test_meta_robots_directives(spark):
     assert out[3] == (True, True, False)
     assert out[4] == (False, False, True)
     assert out[5] == (False, False, True)
+
+
+# --- page metadata ---------------------------------------------------
+
+
+def test_page_metadata_order_insensitive(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import page_metadata
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<html lang="en"><head><title> A  B\n</title>'
+                '<meta charset="UTF-8">'
+                '<meta property="og:title" content="OG A"/>'
+                '<link rel="canonical" href="https://e.com/a"/>'
+                '<meta property="article:published_time" content="2024-01-02"/>'
+                "</head></html>",
+            ),
+            (
+                "u2",
+                "<html><head><title>B</title>"
+                '<meta content="OG B" property="og:title"/>'
+                '<link href="https://e.com/b" rel="canonical"/>'
+                '<meta http-equiv="Content-Type" content="text/html; charset=GBK">'
+                "</head></html>",
+            ),
+            ("u3", "<html><body>nothing</body></html>"),
+        ],
+        "url string, html string",
+    )
+    r = {x["url"]: x for x in page_metadata(pages).collect()}
+    assert r["u1"]["title"] == "A B"
+    assert r["u1"]["og_title"] == "OG A"
+    assert r["u1"]["canonical_link"] == "https://e.com/a"
+    assert r["u1"]["published_time"] == "2024-01-02"
+    assert r["u1"]["charset"] == "utf-8"
+    assert r["u1"]["html_lang"] == "en"
+    assert r["u2"]["og_title"] == "OG B"  # content-first attribute order
+    assert r["u2"]["canonical_link"] == "https://e.com/b"
+    assert r["u2"]["charset"] == "gbk"
+    assert r["u2"]["html_lang"] is None
+    assert all(r["u3"][c] is None for c in
+               ("title", "og_title", "canonical_link", "published_time",
+                "charset", "html_lang"))
