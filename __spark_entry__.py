@@ -1116,6 +1116,45 @@ def _q_sitemap_urls(spark, sf):
     return sitemap_entries(sitemaps)
 
 
+_FEED_BODIES = [
+    "<rss><channel><item><title>A0</title>"
+    "<link> https://h0.example.com/a </link>"
+    "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+    "<item><link>https://h0.example.com/b</link></item></channel></rss>",
+    '<feed><entry><title>E1</title>'
+    '<link rel="alternate" href="https://h1.example.com/x"/>'
+    "<updated>2024-02-03T04:05:06Z</updated></entry>"
+    '<entry><link href="https://h1.example.com/y"/></entry></feed>',
+    "<rss><channel><item><title>No link</title></item></channel></rss>"
+    '<feed><entry><link href="https://h2.example.com/z"/>'
+    "<updated>2024-05-06</updated></entry></feed>",
+    "",
+]
+
+
+def _q_feed_entries(spark, sf):
+    """RSS/Atom feed parse → URL-discovery relation: item link text
+    elements vs entry link href attributes, pubDate/updated fallback,
+    linkless items dropped with position preserved."""
+    from pdf_context_extractor_agent_spark.functions.robots import feed_entries
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 4).alias("hid"))
+        .distinct()
+    )
+    body = F.element_at(
+        F.array(*[F.lit(b) for b in _FEED_BODIES]), F.col("hid").cast("int") + 1
+    )
+    feeds = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        body.alias("feed_xml"),
+    )
+    return feed_entries(feeds)
+
+
 def _q_surt_keys(spark, sf):
     """SURT keys over the frontier URLs: host case-fold + www-drop +
     label reversal, path/query kept, sort-clusters sites."""
@@ -1183,6 +1222,27 @@ def _q_pq_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     return pq_topk(emb, [float(x) for x in qrow[0]], k=10, m=8, ksub=16, stride=31)
+
+
+def _q_anchor_profile(spark, sf):
+    """Per-target anchor-term profiles over a link graph where 7 hub
+    targets share inbound anchors: shared terms (doc/link) aggregate
+    per hub, each doc id term counts once; rank = (count desc, term
+    asc), top-5 kept."""
+    from pdf_context_extractor_agent_spark.functions.graph import anchor_profile
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<a href="/t'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(' <b>link</b></a><a href="/img"><img/></a>'),
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), html.alias("html")
+    )
+    return anchor_profile(pages, k=5)
 
 
 def _q_hits(spark, sf):
@@ -1824,10 +1884,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_check": _q_robots_check,
         "q_crawl_frontier": _q_crawl_frontier,
         "q_sitemap_urls": _q_sitemap_urls,
+        "q_feed_entries": _q_feed_entries,
         "q_surt_keys": _q_surt_keys,
         "q_cdx_parse": _q_cdx_parse,
         "q_cdx_latest": _q_cdx_latest,
         "q_pq_topk": _q_pq_topk,
+        "q_anchor_profile": _q_anchor_profile,
         "q_hits": _q_hits,
         "q_hyperball": _q_hyperball,
         "q_label_prop": _q_label_prop,
@@ -3205,6 +3267,46 @@ SELECT host, pos, kind,
                 AS DOUBLE) AS priority
 FROM numbered
 WHERE trim(regexp_extract(raw, '(?s)<loc>(.*?)</loc>', 1)) <> ''""",
+        # RSS/Atom discovery: same bodies, item/entry block lists with
+        # preserved positions, link-text vs href-attribute per dialect,
+        # pubDate→updated fallback, linkless blocks filtered
+        "q_feed_entries": "WITH hosts AS (\n"
+        "  SELECT DISTINCT (doc_id % 4) AS hid FROM documents\n"
+        "), bodies AS (\n"
+        "  SELECT 'h' || hid::VARCHAR || '.example.com' AS host,\n"
+        "         CASE hid\n           "
+        + "\n           ".join(
+            f"WHEN {i} THEN '{b}'" for i, b in enumerate(_FEED_BODIES[:-1])
+        )
+        + r"""
+           ELSE '' END AS body
+  FROM hosts
+), lists AS (
+  SELECT host,
+         regexp_extract_all(body, '(?s)<item>(.*?)</item>', 1) AS li,
+         regexp_extract_all(body, '(?s)<entry>(.*?)</entry>', 1) AS le
+  FROM bodies
+), numbered AS (
+  SELECT host, 'rss' AS kind, li[i] AS raw, i - 1 AS pos
+  FROM lists, unnest(generate_series(1, len(li))) AS t(i)
+  UNION ALL
+  SELECT host, 'atom' AS kind, le[i] AS raw, len(li) + i - 1 AS pos
+  FROM lists, unnest(generate_series(1, len(le))) AS t(i)
+), fields AS (
+  SELECT host, pos, kind,
+         CASE WHEN kind = 'rss'
+              THEN trim(regexp_extract(raw, '(?s)<link>(.*?)</link>', 1))
+              ELSE regexp_extract(raw, '(?s)<link\s+[^>]*href\s*=\s*"([^"]*)"', 1)
+         END AS link,
+         nullif(trim(regexp_extract(raw, '(?s)<title>(.*?)</title>', 1)), '')
+           AS title,
+         nullif(trim(coalesce(
+           nullif(regexp_extract(raw, '(?s)<pubDate>(.*?)</pubDate>', 1), ''),
+           regexp_extract(raw, '(?s)<updated>(.*?)</updated>', 1))), '')
+           AS published
+  FROM numbered)
+SELECT host, pos, kind, link, title, published
+FROM fields WHERE link <> ''""",
         # SURT: lowercase host minus www/default-port, labels reversed
         # comma-joined, ')' + path+query (fragmentless), '/' if empty
         "q_surt_keys": frontier_urls_cte.lstrip().replace("urls AS (", "WITH urls AS (", 1)
@@ -3802,6 +3904,20 @@ FROM flags""",
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
         "q_pagerank": pagerank_sql,
+        # anchor profile: terms restated from the synthesis (doc/link
+        # shared per hub target, each id once), same total-order rank
+        "q_anchor_profile": """
+            WITH t AS (
+              SELECT '/t' || (doc_id % 7)::VARCHAR AS outlink, u AS term
+              FROM documents,
+                   unnest(['doc', doc_id::VARCHAR, 'link']) s(u)),
+            c AS (SELECT outlink, term, count(*)::BIGINT AS n
+                  FROM t GROUP BY 1, 2)
+            SELECT outlink, rank, term, n FROM (
+              SELECT outlink, term, n,
+                     row_number() OVER (PARTITION BY outlink
+                                        ORDER BY n DESC, term ASC) AS rank
+              FROM c) WHERE rank <= 5""",
         "q_hits": hits_sql,
         "q_hyperball": hyperball_sql,
         "q_label_prop": lpa_sql,

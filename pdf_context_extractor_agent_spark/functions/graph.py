@@ -74,6 +74,40 @@ def extract_anchor_texts(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def anchor_profile(
+    pages: DataFrame, html_col: str = "html", k: int = 5
+) -> DataFrame:
+    """Per-TARGET anchor-term profile: the top-k terms other pages use
+    when linking to a URL — query-independent document expansion (the
+    classic web-search signal; for corpus curation it surfaces what
+    the web *calls* a page, independent of the page's own text).
+
+    Pipeline: anchor triples → whitespace terms (the ``lm.word_array``
+    convention) → one ``groupBy(outlink, term)`` count → per-target
+    rank (count desc, term asc — a total order) → keep ``rank ≤ k``.
+
+    Scale shape: the count groupBy and the rank window share the
+    outlink key, so the second stage reuses the first's exchange; the
+    shuffle carries (outlink, term, count), never page bodies.
+    """
+    from pyspark.sql import Window
+
+    from .lm import word_array
+
+    terms = (
+        extract_anchor_texts(pages, html_col)
+        .select("outlink", F.explode(word_array(F.col("anchor_text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = terms.groupBy("outlink", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("outlink").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("outlink", "rank", "term", "n")
+    )
+
+
 def page_rank(
     edges: DataFrame,
     n_nodes: int,

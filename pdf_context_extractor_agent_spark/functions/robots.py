@@ -49,6 +49,7 @@ __all__ = [
     "robots_check",
     "frontier_schedule",
     "sitemap_entries",
+    "feed_entries",
 ]
 
 
@@ -334,4 +335,62 @@ def sitemap_entries(
             F.when(priority != "", priority.cast("double")).alias("priority"),
         )
         .filter(F.col("loc") != "")
+    )
+
+
+def feed_entries(
+    feeds: DataFrame, host_col: str = "host", body_col: str = "feed_xml"
+) -> DataFrame:
+    """Parse RSS/Atom feed bodies into a URL-discovery relation — the
+    third discovery channel next to sitemaps and outlinks (feeds carry
+    the freshest per-site URLs plus publication timestamps, the
+    recency signal crawl scheduling keys on).
+
+    Both dialects in one pass: RSS ``<item>`` blocks (``<link>`` text
+    element, ``<pubDate>``) and Atom ``<entry>`` blocks (``<link
+    href="..."/>`` attribute, ``<updated>``).  Output: ``host, pos,
+    kind ('rss'|'atom'), link, title (string|null), published
+    (string|null)`` — element order preserved per host.
+
+    Same scale posture as :func:`sitemap_entries`: pure regexp algebra,
+    zero shuffles, and feeds are per-HOST dimension data — even a
+    10^12-page crawl parses ~10^8 of them.  Entities/CDATA are not
+    decoded (deterministic subset).
+    """
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    items = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?s)<item>(.*?)</item>"), 1),
+        lambda e: F.struct(F.lit("rss").alias("kind"), e.alias("raw")),
+    )
+    entries = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?s)<entry>(.*?)</entry>"), 1),
+        lambda e: F.struct(F.lit("atom").alias("kind"), e.alias("raw")),
+    )
+    exploded = feeds.select(
+        host_col, F.posexplode(F.concat(items, entries)).alias("pos", "e")
+    )
+    raw = F.col("e.raw")
+    rss_link = F.trim(F.regexp_extract(raw, r"(?s)<link>(.*?)</link>", 1))
+    atom_link = F.regexp_extract(raw, r'(?s)<link\s+[^>]*href\s*=\s*"([^"]*)"', 1)
+    link = F.when(F.col("e.kind") == "rss", rss_link).otherwise(atom_link)
+    title = F.trim(F.regexp_extract(raw, r"(?s)<title>(.*?)</title>", 1))
+    published = F.trim(
+        F.coalesce(
+            F.when(
+                (p := F.regexp_extract(raw, r"(?s)<pubDate>(.*?)</pubDate>", 1)) != "",
+                p,
+            ),
+            F.regexp_extract(raw, r"(?s)<updated>(.*?)</updated>", 1),
+        )
+    )
+    return (
+        exploded.select(
+            host_col,
+            "pos",
+            F.col("e.kind").alias("kind"),
+            link.alias("link"),
+            F.when(title != "", title).alias("title"),
+            F.when(published != "", published).alias("published"),
+        )
+        .filter(F.col("link") != "")
     )

@@ -184,3 +184,27 @@ def test_lpa_isolated_keeps_own_label_and_deterministic(spark):
         for r in label_propagation(e.repartition(3), 4, n_iter=2).collect()
     )
     assert a == b
+
+
+# --- anchor profile --------------------------------------------------
+
+
+def test_anchor_profile_aggregates_shared_targets(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import anchor_profile
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<a href="/t">Great Site</a>'.encode()),
+            ("u2", '<a href="/t">great <b>site</b></a>'.encode()),
+            ("u3", '<a href="/t">other</a><a href="/x">solo</a>'.encode()),
+        ],
+        "url string, html binary",
+    )
+    rows = [
+        (r["outlink"], r["rank"], r["term"], r["n"])
+        for r in anchor_profile(pages, k=2).collect()
+    ]
+    assert ("/t", 1, "great", 2) in rows and ("/t", 2, "site", 2) in rows
+    assert ("/x", 1, "solo", 1) in rows
+    # k=2 cap: 'other' (n=1) ranks 3rd for /t and is cut
+    assert all(not (o == "/t" and t == "other") for o, _, t, _ in rows)

@@ -109,3 +109,36 @@ def test_frontier_schedule_politeness(spark):
     assert out["https://slow.com/b"] == (3, 10.0, 20.0)
     # no delay directive -> default 1s spacing
     assert out["https://fast.com/x"] == (1, 1.0, 0.0)
+
+
+# --- feed discovery --------------------------------------------------
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from pdf_context_extractor_agent_spark.functions.robots import feed_entries
+
+    feeds = spark.createDataFrame(
+        [
+            (
+                "h0",
+                "<rss><channel><item><title>T</title><link> /a </link>"
+                "<pubDate>Mon, 01 Jan 2024</pubDate></item>"
+                "<item><link>/b</link></item>"
+                "<item><title>linkless</title></item></channel></rss>"
+                '<feed><entry><link rel="alt" href="/c"/>'
+                "<updated>2024-05-06</updated></entry></feed>",
+            ),
+            ("h1", None),
+        ],
+        "host string, feed_xml string",
+    )
+    rows = sorted(
+        (r["host"], r["pos"], r["kind"], r["link"], r["title"], r["published"])
+        for r in feed_entries(feeds).collect()
+    )
+    assert rows == [
+        ("h0", 0, "rss", "/a", "T", "Mon, 01 Jan 2024"),
+        ("h0", 1, "rss", "/b", None, None),
+        # pos 2 = linkless item, filtered; atom entry keeps pos 3
+        ("h0", 3, "atom", "/c", None, "2024-05-06"),
+    ]
