@@ -102,6 +102,8 @@ HEADLINE = [
     "q_cosine_neardup",
     "q_sq_topk",
     "q_bloom_probe",
+    "q_pq_topk",
+    "q_hyperball",
 ]
 
 
