@@ -1357,6 +1357,29 @@ def _q_snapshot_diff(spark, sf):
     return snapshot_diff(old, new)
 
 
+def _q_url_templates(spark, sf):
+    """Crawler-trap detection: 4 URL families (calendar {d} segments,
+    md5-session {h} segments, item-N {w} slugs, literal+query-skeleton)
+    collapse to 4 templates; distinct-canonical-url counts flag the
+    unbounded ones at threshold 100."""
+    from pdf_context_extractor_agent_spark.functions.urls import url_template_stats
+
+    docs = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit("https://t0.example.com/cal/2024/"),
+            (i % 12 + 1).cast("string"), F.lit("/"), (i % 28 + 1).cast("string")))
+        .when(i % 4 == 1, F.concat(
+            F.lit("https://t1.example.com/s/"), F.md5(i.cast("string"))))
+        .when(i % 4 == 2, F.concat(
+            F.lit("https://t2.example.com/article/item-"), i.cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://t3.example.com/about?page="), (i % 7).cast("string")))
+    )
+    return url_template_stats(docs.select(url.alias("url")), trap_threshold=100)
+
+
 def _q_fix_mojibake(spark, sf):
     """ftfy-core mojibake repair: corrupt each document body with two
     deterministic UTF-8-as-cp1252 injections ('e'→'Ã©', ','→'â€™'),
@@ -1894,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hyperball": _q_hyperball,
         "q_label_prop": _q_label_prop,
         "q_snapshot_diff": _q_snapshot_diff,
+        "q_url_templates": _q_url_templates,
         "q_page_metadata": _q_page_metadata,
         "q_fix_mojibake": _q_fix_mojibake,
         "q_latest_revision": _q_latest_revision,
@@ -2359,6 +2383,44 @@ SELECT coalesce(old.canon_url, new.canon_url) AS canon_url,
             WHEN old_digest = new_digest THEN 'unchanged'
             ELSE 'changed' END AS change
 FROM old FULL OUTER JOIN new ON old.canon_url = new.canon_url"""
+
+    # URL templates: same 4 families, segment classification as a
+    # list_transform CASE (the lookaround-free formulation both regex
+    # engines share), canonical-distinct counts, threshold 100
+    url_templates_sql = f"""
+WITH u AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'https://t0.example.com/cal/2024/'
+      || (doc_id % 12 + 1)::VARCHAR || '/' || (doc_id % 28 + 1)::VARCHAR
+    WHEN 1 THEN 'https://t1.example.com/s/' || md5(doc_id::VARCHAR)
+    WHEN 2 THEN 'https://t2.example.com/article/item-' || doc_id::VARCHAR
+    ELSE 'https://t3.example.com/about?page=' || (doc_id % 7)::VARCHAR
+    END AS url
+  FROM documents),
+t AS (
+  SELECT
+    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1))
+    || (CASE WHEN tp = '' THEN '/' ELSE tp END)
+    || (CASE WHEN qs = '' THEN ''
+             ELSE '?' || regexp_replace(qs, '=[^&]*', '', 'g') END) AS template,
+    {_canon_sql("url")} AS canon
+  FROM (
+    SELECT url,
+      array_to_string(list_transform(
+        string_split(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)?', 1), '/'),
+        s -> CASE
+          WHEN regexp_full_match(s, '[0-9]+') THEN '{{d}}'
+          WHEN regexp_full_match(s, '[0-9a-f]{{8,}}')
+               AND regexp_matches(s, '[0-9]') THEN '{{h}}'
+          WHEN regexp_full_match(s, '[0-9a-z_-]+')
+               AND regexp_matches(s, '[0-9]')
+               AND regexp_matches(s, '[a-z]') THEN '{{w}}'
+          ELSE s END), '/') AS tp,
+      regexp_extract(url, '\\?([^#]*)', 1) AS qs
+    FROM u))
+SELECT template, count(DISTINCT canon)::BIGINT AS n_urls,
+       count(DISTINCT canon) >= 100 AS is_trap
+FROM t GROUP BY template"""
 
     # page-metadata header pass: same 4 synthetic head variants, same
     # attribute-order-insensitive regexps (RE2 and Java agree on the
@@ -3922,6 +3984,7 @@ FROM flags""",
         "q_hyperball": hyperball_sql,
         "q_label_prop": lpa_sql,
         "q_snapshot_diff": snapshot_diff_sql,
+        "q_url_templates": url_templates_sql,
         "q_page_metadata": page_metadata_sql,
         "q_fix_mojibake": mojibake_sql,
         "q5_local_supplier_volume": """

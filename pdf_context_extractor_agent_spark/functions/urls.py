@@ -213,6 +213,62 @@ def snapshot_diff(
     )
 
 
+def url_template(url: Column) -> Column:
+    """Generalize a URL's path into its TEMPLATE: every path segment
+    that is all digits → ``{d}``, all hex (with at least one digit,
+    len ≥ 8) → ``{h}``, mixed word-digit → ``{w}``; literal segments
+    stay.  Query string is reduced to its sorted-less key skeleton
+    (names kept, values dropped).  ``host + template`` is the
+    crawler-trap / infinite-space detection key."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#:]*)", 1))
+    path = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*(/[^?#]*)?", 1)
+    # per-SEGMENT classification (split/transform/join, not lookarounds
+    # — RE2 oracles have none): all-digits, long-hex-with-digit, then
+    # mixed letter+digit slug; literal segments stay
+    seg = lambda s: (  # noqa: E731
+        F.when(s.rlike("^[0-9]+$"), F.lit("{d}"))
+        .when(s.rlike("^[0-9a-f]{8,}$") & s.rlike("[0-9]"), F.lit("{h}"))
+        .when(
+            s.rlike("^[0-9a-z_-]+$") & s.rlike("[0-9]") & s.rlike("[a-z]"),
+            F.lit("{w}"),
+        )
+        .otherwise(s)
+    )
+    p = F.array_join(F.transform(F.split(path, "/"), seg), "/")
+    q = F.regexp_replace(
+        F.regexp_extract(url, r"\?([^#]*)", 1), r"=[^&]*", ""
+    )
+    return F.concat(
+        host,
+        F.when(p == "", F.lit("/")).otherwise(p),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def url_template_stats(
+    pages: DataFrame, url_col: str = "url", trap_threshold: int = 1000
+) -> DataFrame:
+    """Crawler-trap detection: count distinct URLs per (host, url
+    template).  Calendars, session-id paths, faceted search and other
+    infinite URL spaces collapse to one template with a huge count —
+    the frontier then caps or drops the template (the Heritrix/
+    Nutch-style trap heuristic, relationally).
+
+    Output: ``(template, n_urls, is_trap)``, one shuffle on the
+    template key; the count is over the already-canonicalized url so
+    revisits don't inflate it.
+    """
+    t = pages.select(
+        url_template(F.col(url_col)).alias("template"),
+        canonicalize_url(F.col(url_col)).alias("canon"),
+    )
+    return (
+        t.groupBy("template")
+        .agg(F.countDistinct("canon").alias("n_urls"))
+        .withColumn("is_trap", F.col("n_urls") >= trap_threshold)
+    )
+
+
 def _host_registered_domain(host: Column) -> Column:
     return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
 

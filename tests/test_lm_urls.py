@@ -245,3 +245,43 @@ def test_snapshot_diff_classes(spark):
         "https://a.com/p/3": "gone",
         "https://a.com/p/4": "new",
     }
+
+
+def test_url_template_families(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import url_template
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/cal/2024/3/17",),
+            ("https://a.com/s/0123456789abcdef0123456789abcdef",),
+            ("https://a.com/article/item-42",),
+            ("https://a.com/about?page=3&q=x",),
+            ("https://a.com",),
+            ("https://a.com/words/only",),
+        ],
+        "url string",
+    )
+    out = [r["t"] for r in df.select(url_template(F.col("url")).alias("t")).collect()]
+    assert out == [
+        "a.com/cal/{d}/{d}/{d}",
+        "a.com/s/{h}",
+        "a.com/article/{w}",
+        "a.com/about?page&q",
+        "a.com/",
+        "a.com/words/only",
+    ]
+
+
+def test_url_template_stats_flags_traps(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import url_template_stats
+
+    rows = [(f"https://a.com/p/{i}",) for i in range(30)] + [
+        ("https://a.com/about",),
+        ("https://a.com/about",),  # revisit: canonical-distinct collapses
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["template"]: (r["n_urls"], r["is_trap"])
+           for r in url_template_stats(df, trap_threshold=10).collect()}
+    assert out["a.com/p/{d}"] == (30, True)
+    assert out["a.com/about"] == (1, False)
