@@ -25,8 +25,10 @@ def _norm_cell(v) -> str:
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # NO int-collapse: the driver stringifies exactly, so a DuckDB
+        # HUGEINT→float64 vs Spark bigint divergence must FAIL here
+        # ("1.000000" vs "1"), not be normalized away — that exact
+        # hole hid the r2 q_sessionize dtype artifact twice.
         return f"{v:.6f}"
     return str(v)
 
