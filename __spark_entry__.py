@@ -1357,6 +1357,39 @@ def _q_snapshot_diff(spark, sf):
     return snapshot_diff(old, new)
 
 
+def _q_temperature_mix(spark, sf):
+    """mT5-style α=0.5 temperature mixing rates per language: sqrt is
+    the one IEEE-exact power, weights floor-quantized to 2^-20 BIGINTs
+    before the normalizing sum — exact on any engine."""
+    from pdf_context_extractor_agent_spark.functions.sampling import (
+        temperature_mix_rates,
+    )
+
+    return temperature_mix_rates(_t(spark, sf, "documents"), "lang")
+
+
+def _q_hll_union(spark, sf):
+    """Cross-snapshot HLL merge: token sketches of two overlapping
+    document slices (doc_id%2==0 vs %3==0) plus their union estimated
+    from the MERGED registers (element-wise max) — the dimension-sized
+    union that replaces any re-scan at 10^12 rows."""
+    from pdf_context_extractor_agent_spark.functions.lm import word_array
+    from pdf_context_extractor_agent_spark.functions.sketch import hll_union_estimate
+
+    docs = _t(spark, sf, "documents")
+
+    def toks(cond):
+        return (
+            docs.filter(cond)
+            .select(F.explode(word_array(F.col("text"))).alias("token"))
+            .filter(F.col("token") != "")
+        )
+
+    return hll_union_estimate(
+        toks(F.col("doc_id") % 2 == 0), toks(F.col("doc_id") % 3 == 0)
+    )
+
+
 def _q_url_templates(spark, sf):
     """Crawler-trap detection: 4 URL families (calendar {d} segments,
     md5-session {h} segments, item-N {w} slugs, literal+query-skeleton)
@@ -1918,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_prop": _q_label_prop,
         "q_snapshot_diff": _q_snapshot_diff,
         "q_url_templates": _q_url_templates,
+        "q_temperature_mix": _q_temperature_mix,
+        "q_hll_union": _q_hll_union,
         "q_page_metadata": _q_page_metadata,
         "q_fix_mojibake": _q_fix_mojibake,
         "q_latest_revision": _q_latest_revision,
@@ -2421,6 +2456,77 @@ t AS (
 SELECT template, count(DISTINCT canon)::BIGINT AS n_urls,
        count(DISTINCT canon) >= 100 AS is_trap
 FROM t GROUP BY template"""
+
+    # temperature mixing: sqrt (IEEE-correctly-rounded) + floor-
+    # quantized integer weights, exact sums, single exact divisions
+    temperature_mix_sql = """
+WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS n_docs
+           FROM documents GROUP BY 1),
+w AS (SELECT stratum, n_docs,
+             floor(sqrt(n_docs) * 1048576.0)::BIGINT AS weight_q FROM c),
+t AS (SELECT sum(weight_q)::BIGINT AS tot, max(weight_q)::BIGINT AS maxw FROM w)
+SELECT stratum, n_docs, weight_q,
+       floor(weight_q / tot * 1000000.0) / 1000000.0 AS p_mix,
+       (weight_q * 1000000 // maxw) / 1000000.0 AS sample_rate
+FROM w, t"""
+
+    # HLL union: the q_hll register/estimator pattern applied to two
+    # token slices and to their MERGED registers (max per bucket)
+    def _hll_side_sql(regs: str, toks: str, side: str) -> str:
+        return f"""
+SELECT '{side}' AS side, 256 AS m, nonzero_registers,
+       (present_sum + (256 - nonzero_registers) * (1::BIGINT << 53))::BIGINT
+         AS register_sum,
+       floor((CASE WHEN raw <= 640.0 AND zeros > 0
+                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END) * 10000.0)
+         / 10000.0 AS hll_estimate,
+       exact_distinct
+FROM (SELECT *,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 590295810358705651712.0
+               / (present_sum + (256 - nonzero_registers) * (1::BIGINT << 53))
+               AS raw,
+             (256 - nonzero_registers) AS zeros
+      FROM (SELECT count(*) AS nonzero_registers,
+                   sum((1::BIGINT << (53 - rho_max)))::BIGINT AS present_sum
+            FROM {regs}),
+           (SELECT count(DISTINCT token)::BIGINT AS exact_distinct
+            FROM {toks}))"""
+
+    def _hll_regs_sql(toks: str) -> str:
+        return f"""(
+  SELECT h % 256 AS bucket,
+         max(CASE WHEN (h // 256) = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS rho_max
+  FROM (SELECT ('0x' || substr(md5('0:' || token), 1, 15))::BIGINT AS h
+        FROM {toks}) GROUP BY 1)"""
+
+    hll_union_sql = (
+        r"""
+WITH ta AS MATERIALIZED (
+  SELECT t AS token FROM (
+    SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS t
+    FROM documents WHERE doc_id % 2 = 0) WHERE t <> ''),
+tb AS MATERIALIZED (
+  SELECT t AS token FROM (
+    SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS t
+    FROM documents WHERE doc_id % 3 = 0) WHERE t <> ''),
+tu AS MATERIALIZED (
+  SELECT token FROM ta UNION ALL SELECT token FROM tb),
+ra AS MATERIALIZED """
+        + _hll_regs_sql("ta")
+        + ",\nrb AS MATERIALIZED "
+        + _hll_regs_sql("tb")
+        + """,
+rm AS MATERIALIZED (
+  SELECT bucket, max(rho_max) AS rho_max FROM
+    (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1)
+"""
+        + _hll_side_sql("ra", "ta", "a")
+        + "\nUNION ALL"
+        + _hll_side_sql("rb", "tb", "b")
+        + "\nUNION ALL"
+        + _hll_side_sql("rm", "tu", "union")
+    )
 
     # page-metadata header pass: same 4 synthetic head variants, same
     # attribute-order-insensitive regexps (RE2 and Java agree on the
@@ -3985,6 +4091,8 @@ FROM flags""",
         "q_label_prop": lpa_sql,
         "q_snapshot_diff": snapshot_diff_sql,
         "q_url_templates": url_templates_sql,
+        "q_temperature_mix": temperature_mix_sql,
+        "q_hll_union": hll_union_sql,
         "q_page_metadata": page_metadata_sql,
         "q_fix_mojibake": mojibake_sql,
         "q5_local_supplier_volume": """

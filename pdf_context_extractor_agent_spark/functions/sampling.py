@@ -54,6 +54,52 @@ def stratified_sample(
     return docs.withColumn("u", F.round(u, 6)).filter(F.col("u") < rate)
 
 
+def temperature_mix_rates(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-based mixing rates (the mT5/XLM-R α=0.5 recipe):
+    mixing weight per stratum ∝ n_s^0.5, which upweights low-resource
+    strata relative to proportional sampling.
+
+    Exactness discipline: α is fixed at 0.5 so the power is ``sqrt``
+    — the ONE power IEEE requires correctly rounded, bit-identical on
+    any engine (generic ``pow`` is not, so an arbitrary-α variant
+    could not be oracle-checked).  Weights are floor-quantized to
+    2^-20 multiples as BIGINTs BEFORE the normalizing sum, making the
+    sum exact and order-independent; the mix proportion and the
+    max-normalized sampling rate are then single exact divisions.
+
+    Output per stratum: ``(stratum, n_docs, weight_q, p_mix,
+    sample_rate)`` — a DIMENSION (broadcast into the actual sampling
+    filter via :func:`stratified_sample`-style draws).  One groupBy on
+    the stratum key; nothing else moves.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wq = F.floor(F.sqrt(F.col("n_docs")) * F.lit(float(scale))).cast("long")
+    w = Window.partitionBy()
+    out = counts.withColumn("weight_q", wq).withColumns(
+        {
+            "__tot": F.sum("weight_q").over(w),
+            "__max": F.max("weight_q").over(w),
+        }
+    )
+    return out.select(
+        "stratum",
+        "n_docs",
+        "weight_q",
+        (F.floor(F.col("weight_q") / F.col("__tot") * 1e6) / 1e6).alias("p_mix"),
+        (
+            F.expr("weight_q * 1000000 DIV __max") / F.lit(1e6)
+        ).alias("sample_rate"),
+    )
+
+
 def stratified_topk(
     docs: DataFrame,
     quotas: dict[str, int],

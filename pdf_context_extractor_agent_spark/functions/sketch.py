@@ -48,6 +48,7 @@ __all__ = [
     "cm_build",
     "cm_query",
     "cm_heavy_hitters",
+    "hll_union_estimate",
 ]
 
 # standard bias constant for m = 256 registers (Flajolet et al. 2007),
@@ -177,6 +178,74 @@ def hll_doc_term_estimate(
         )
     )
     return hll_estimate_keys(pairs, "token", p)
+
+
+def hll_union_estimate(
+    a: DataFrame, b: DataFrame, key_col: str = "token", p: int = 8
+) -> DataFrame:
+    """Cross-snapshot sketch MERGE: distinct-key estimates for two key
+    relations and for their union, where the union estimate comes from
+    merging the two REGISTER sets (element-wise max) — never from
+    re-scanning the data.  This is the property that makes HLL the
+    per-snapshot artifact at 100 TB: each crawl keeps its 2^p
+    registers, and any union across snapshots/partitions is a
+    dimension-sized max-merge.
+
+    Output: ``(side 'a'|'b'|'union', m, nonzero_registers,
+    register_sum, hll_estimate, exact_distinct)`` — the exact count
+    rides along as the built-in accuracy check (dropped at production
+    scale).
+    """
+    m = 1 << p
+    wbits = 60 - p
+    ra = hll_registers(a, key_col, p)
+    rb = hll_registers(b, key_col, p)
+    rm = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+
+    def one(regs: DataFrame, keys: DataFrame, side: str) -> DataFrame:
+        agg = regs.agg(
+            F.count("*").alias("nonzero_registers"),
+            F.sum(F.expr(f"shiftleft(1L, {wbits + 1} - rho_max)")).alias("ps"),
+        )
+        exact = keys.agg(F.countDistinct(key_col).alias("exact_distinct"))
+        comb = agg.crossJoin(exact).select(
+            F.lit(side).alias("side"),
+            F.lit(m).alias("m"),
+            "nonzero_registers",
+            (
+                F.col("ps")
+                + (F.lit(m) - F.col("nonzero_registers"))
+                * F.lit(1 << (wbits + 1)).cast("long")
+            ).alias("register_sum"),
+            "exact_distinct",
+        )
+        raw = (
+            F.expr(_ALPHA_EXPR.format(m=m))
+            * F.lit(float(m) * float(m) * float(1 << (wbits + 1)))
+            / F.col("register_sum")
+        )
+        zeros = F.lit(m) - F.col("nonzero_registers")
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(m) / zeros),
+        ).otherwise(raw)
+        return comb.select(
+            "side",
+            "m",
+            "nonzero_registers",
+            "register_sum",
+            (F.floor(est * 10000.0) / 10000.0).alias("hll_estimate"),
+            "exact_distinct",
+        )
+
+    u = a.select(key_col).unionByName(b.select(key_col))
+    return one(ra, a, "a").unionByName(one(rb, b, "b")).unionByName(
+        one(rm, u, "union")
+    )
 
 
 def cm_build(

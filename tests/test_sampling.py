@@ -184,3 +184,21 @@ def test_deterministic_shuffle_permutation_and_plan(spark):
     )
     assert re.search(r"windowspecdefinition\(_pid#\d+, shuffle_key#\d+ ASC", plan), plan
     assert not re.search(r"windowspecdefinition\(shuffle_key#\d+ ASC", plan), plan
+
+
+def test_temperature_mix_rates_upweight_low_resource(spark):
+    from pdf_context_extractor_agent_spark.functions.sampling import (
+        temperature_mix_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 900 else "sw") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    r = {x["stratum"]: x for x in temperature_mix_rates(docs).collect()}
+    assert r["en"]["n_docs"] == 900 and r["sw"]["n_docs"] == 100
+    # alpha=0.5: sw mix share sqrt(100)/(sqrt(900)+sqrt(100)) = 0.25 —
+    # 2.5x its 0.1 proportional share
+    assert abs(r["sw"]["p_mix"] - 0.25) < 1e-4
+    assert r["en"]["sample_rate"] == 1.0  # max stratum anchors at 1
+    assert abs(r["sw"]["sample_rate"] - 1 / 3) < 1e-4  # sqrt(100)/sqrt(900)

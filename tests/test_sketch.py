@@ -109,3 +109,21 @@ def test_sketch_relations_are_model_sized(spark, docs):
     toks = _tokens(docs, "text")
     assert cm_build(toks, width=16, depth=4).count() <= 16 * 4
     assert hll_registers(toks, p=8).count() <= 256
+
+
+def test_hll_union_estimate_merge(spark):
+    from pdf_context_extractor_agent_spark.functions.sketch import hll_union_estimate
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(300)], "token string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(200, 500)], "token string")
+    rows = {r["side"]: r for r in hll_union_estimate(a, b).collect()}
+    assert rows["a"]["exact_distinct"] == 300
+    assert rows["union"]["exact_distinct"] == 500
+    # merged-register estimate must track the union, not the sum of
+    # sides (overlap 100 keys) — generous sketch-error envelope
+    est = rows["union"]["hll_estimate"]
+    assert 350 <= est <= 650
+    # merge can only grow registers: union register_sum <= each side's
+    # (smaller sum == larger rho values == more mass seen)
+    assert rows["union"]["register_sum"] <= rows["a"]["register_sum"]
+    assert rows["union"]["register_sum"] <= rows["b"]["register_sum"]
