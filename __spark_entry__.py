@@ -692,6 +692,60 @@ def _q_audio_features(spark, sf):
     return audio_features(media, window=256)
 
 
+def _ahash_media(spark):
+    """80 FAKE images: 64 distinct (width 16..23 cycling) + 16 exact
+    duplicate payloads under fresh ids (media_id 64+j duplicates j), so
+    the near-dup join provably has hits. base id = media_id % 64."""
+    from pdf_context_extractor_agent_spark.functions.multimodal import make_fake_image
+
+    return spark.createDataFrame(
+        [(i, "image", make_fake_image(i % 64, 16 + (i % 64) % 8, 16)) for i in range(80)],
+        "media_id long, kind string, payload binary",
+    )
+
+
+def _q_image_ahash(spark, sf):
+    """Perceptual average-hash over the FAKE image corpus. Unlike the
+    float-histogram features (rows-only), the aHash codec is
+    integer-exact, so the oracle recomputes the ENTIRE pipeline —
+    nearest-neighbor 8×8 downsample, strict integer mean threshold,
+    two's-complement bit pack — from the pixel synthesis formula in
+    plain SQL."""
+    from pdf_context_extractor_agent_spark.functions.multimodal import image_ahash
+
+    return image_ahash(_ahash_media(spark))
+
+
+def _q_image_neardup(spark, sf):
+    """aHash near-duplicate pairs via the banded Hamming join. At
+    max_hamming=3 with four 16-bit bands the banded join is exhaustive
+    (pigeonhole), so the oracle's all-pairs scan is an exact twin."""
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        image_ahash,
+        image_near_dups,
+    )
+
+    return image_near_dups(image_ahash(_ahash_media(spark)), max_hamming=3).select(
+        "media_a", "media_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _q_sentences(spark, sf):
+    """Rule-based sentence segmentation. The synthetic documents carry
+    no punctuation, so both engines first inject a period after every
+    7th word with the SAME deterministic regex; the op under test is
+    the boundary-mark-then-split segmentation."""
+    from pdf_context_extractor_agent_spark.functions.webtext import split_sentences
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"((\w+ ){6}\w+) ", "$1. "
+        ).alias("text"),
+    )
+    return split_sentences(docs)
+
+
 _BLOOM_M = 1 << 14
 _BLOOM_K = 5
 
@@ -1928,6 +1982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_stats": _q_corpus_stats,
         "q_compression_ratio": _q_compression_ratio,
         "q_audio_features": _q_audio_features,
+        "q_image_ahash": _q_image_ahash,
+        "q_image_neardup": _q_image_neardup,
+        "q_sentences": _q_sentences,
         "q_bloom_words": _q_bloom_words,
         "q_bloom_probe": _q_bloom_probe,
         "q_url_canon": _q_url_canon,
@@ -3166,6 +3223,78 @@ dim AS (
                    sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (s < 0)
                        THEN 1 ELSE 0 END)::INT AS zero_crossings
             FROM w GROUP BY media_id, window_idx
+        """,
+        # image aHash oracle: recompute the WHOLE perceptual-hash codec
+        # from the FAKEIMG1 pixel synthesis formula — nearest-neighbor
+        # 8x8 downsample (x = b*w//8, y = a*2 at h=16), strict integer
+        # mean threshold (64*p > sum), row-major two's-complement pack
+        # (CASE for bit 63, as in the Bloom oracle below). base image
+        # id is media_id % 64: ids 64..79 duplicate payloads 0..15.
+        "q_image_ahash": """
+            WITH m AS (
+              SELECT i AS media_id, (i % 64) AS base, 16 + (i % 64) % 8 AS w
+              FROM range(80) t(i)),
+            g AS (
+              SELECT media_id, a, b,
+                     ((base * 31 + ((b * w) // 8) * 7 + (a * 2) * 13) % 256)::BIGINT AS p
+              FROM m, range(8) ta(a), range(8) tb(b)),
+            s AS (SELECT media_id, sum(p) AS total FROM g GROUP BY media_id),
+            bits AS (
+              SELECT g.media_id, (a * 8 + b)::INT AS k,
+                     CASE WHEN 64 * p > total THEN 1 ELSE 0 END AS bit
+              FROM g JOIN s ON g.media_id = s.media_id)
+            SELECT media_id::BIGINT AS media_id,
+                   sum(bit * (CASE WHEN k = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE (1::BIGINT << k) END))::BIGINT AS ahash64
+            FROM bits GROUP BY media_id
+        """,
+        # near-dup pairs: the engine's banded join is exhaustive at
+        # Hamming <= 3 (pigeonhole over four 16-bit bands), so the
+        # oracle can be a plain all-pairs xor/bit_count scan
+        "q_image_neardup": """
+            WITH m AS (
+              SELECT i AS media_id, (i % 64) AS base, 16 + (i % 64) % 8 AS w
+              FROM range(80) t(i)),
+            g AS (
+              SELECT media_id, a, b,
+                     ((base * 31 + ((b * w) // 8) * 7 + (a * 2) * 13) % 256)::BIGINT AS p
+              FROM m, range(8) ta(a), range(8) tb(b)),
+            s AS (SELECT media_id, sum(p) AS total FROM g GROUP BY media_id),
+            bits AS (
+              SELECT g.media_id, (a * 8 + b)::INT AS k,
+                     CASE WHEN 64 * p > total THEN 1 ELSE 0 END AS bit
+              FROM g JOIN s ON g.media_id = s.media_id),
+            hv AS (
+              SELECT media_id::BIGINT AS media_id,
+                     sum(bit * (CASE WHEN k = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                                ELSE (1::BIGINT << k) END))::BIGINT AS ahash64
+              FROM bits GROUP BY media_id)
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   bit_count(xor(a.ahash64, b.ahash64))::INT AS hamming
+            FROM hv a JOIN hv b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ahash64, b.ahash64)) <= 3
+        """,
+        # sentence segmentation: both engines inject the same
+        # deterministic punctuation (period after every 7th word), then
+        # the oracle restates mark-boundary-then-split with RE2 syntax
+        # (\\1 backreference, explicit 'g' flag)
+        "q_sentences": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((\w+ ){6}\w+) ', '\1. ', 'g') AS t
+              FROM documents WHERE doc_id < 200),
+            marked AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(t, '([.!?。！？])\s+',
+                                                 '\1' || chr(30), 'g'),
+                                  chr(30)) AS l
+              FROM src),
+            idx AS (
+              SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+              FROM marked)
+            SELECT doc_id, (i - 1)::INT AS sent_idx, trim(l[i]) AS sentence
+            FROM idx WHERE length(trim(l[i])) > 0
         """,
         # Bloom build/probe: md5-positional hashing is reproduced
         # verbatim (first 15 hex nibbles -> 60-bit int mod m); the word

@@ -59,6 +59,41 @@ def split_lines(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# Sentence boundary: terminal punctuation (ASCII + CJK full-width)
+# followed by whitespace. The boundary is marked with an ASCII record
+# separator (U+001E — never in prose) and split on it, because a
+# zero-width split needs lookbehind, which RE2-family engines (the
+# DuckDB oracle) don't support; replace-then-split is engine-portable.
+SENTENCE_BOUNDARY_RE = r"([.!?。！？])\s+"
+_SENT_SEP = "\x1e"
+
+
+def split_sentences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sent_idx, sentence) — rule-based sentence segmentation.
+
+    The segmentation every chunk-level op downstream (packing, chunk
+    dedup, decontamination windows) wants as its unit when "line" is
+    too coarse: split after terminal punctuation + whitespace, keep the
+    punctuation with its sentence, drop whitespace-only fragments.
+    Pure expression algebra (regexp_replace → split → posexplode):
+    narrow except for the explode fan-out, no Python, no shuffle.
+    """
+    marked = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), SENTENCE_BOUNDARY_RE, "$1" + _SENT_SEP
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(marked, _SENT_SEP)).alias("sent_idx", "raw"),
+        )
+        .withColumn("sentence", F.trim(F.col("raw")))
+        .filter(F.length("sentence") > 0)
+        .select("doc_id", "sent_idx", "sentence")
+    )
+
+
 def c4_line_flags(
     line: Column,
     min_words: int = 5,

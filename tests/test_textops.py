@@ -184,6 +184,47 @@ def test_multimodal_features_and_resize(spark):
     assert frames.filter(F.col("media_id") == 0).count() == 4  # 8 rows / 2
 
 
+def test_image_ahash_duplicates_and_resize_fixpoint(spark):
+    from pdf_context_extractor_agent_spark.functions.multimodal import image_ahash
+
+    media = spark.createDataFrame(
+        # 6 distinct + ids 6,7 duplicating payloads 0,1
+        [(i, "image", make_fake_image(i % 6, 16 + (i % 6) % 5, 16)) for i in range(8)],
+        "media_id long, kind string, payload binary",
+    )
+    hashes = {r.media_id: r.ahash64 for r in image_ahash(media).collect()}
+    assert hashes[6] == hashes[0] and hashes[7] == hashes[1]
+    # ahash samples the same nearest-neighbor grid a resize-to-8x8
+    # does, so hashing the resized image is a fixpoint of the codec
+    resized_hashes = {
+        r.media_id: r.ahash64 for r in image_ahash(resize_images(media, 8, 8)).collect()
+    }
+    assert resized_hashes == hashes
+
+
+def test_image_neardup_band_join_exhaustive_at_hamming_3(spark):
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        image_ahash,
+        image_near_dups,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "image", make_fake_image(i % 24, 16 + (i % 24) % 8, 16)) for i in range(32)],
+        "media_id long, kind string, payload binary",
+    )
+    hdf = image_ahash(media)
+    hashes = {r.media_id: r.ahash64 for r in hdf.collect()}
+    expected = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {(r.media_a, r.media_b) for r in image_near_dups(hdf, max_hamming=3).collect()}
+    assert got == expected
+    assert expected  # the duplicate ids guarantee at least 8 hits
+
+
 def test_labels_join(spark):
     from pdf_context_extractor_agent_spark.functions.labels import (
         BALANCE_SHEET_LABELS,

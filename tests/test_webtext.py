@@ -279,3 +279,33 @@ def test_page_metadata_order_insensitive(spark):
     assert all(r["u3"][c] is None for c in
                ("title", "og_title", "canonical_link", "published_time",
                 "charset", "html_lang"))
+
+
+def test_split_sentences_boundaries_and_nulls(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "One two. Three four! Five?  Six"),
+            (1, "全角句号。次の文！最後？终"),
+            (2, "No terminal punctuation here"),
+            (3, "Trailing period."),
+            (4, None),
+            (5, "Dots... then more.   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = split_sentences(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    assert [s for _, s in sorted(by_doc[0])] == [
+        "One two.", "Three four!", "Five?", "Six"
+    ]
+    assert [s for _, s in sorted(by_doc[1])] == ["全角句号。次の文！最後？终"]  # no space after CJK punct -> no split
+    assert [s for _, s in sorted(by_doc[2])] == ["No terminal punctuation here"]
+    assert [s for _, s in sorted(by_doc[3])] == ["Trailing period."]
+    assert 4 not in by_doc  # null text -> zero sentences, not a crash
+    # "Dots... then more.   " -> boundary after the ellipsis' final dot;
+    # the trailing-whitespace fragment is dropped
+    assert [s for _, s in sorted(by_doc[5])] == ["Dots...", "then more."]
