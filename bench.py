@@ -317,7 +317,7 @@ def run_extraction(spark, n_docs: int, parts: int, check_identity: bool = True) 
     # independent sinks; Spark's scheduler interleaves the two jobs'
     # stages over the same executor pool.
     threads = [
-        threading.Thread(target=_materialize, args=(res[k],))
+        threading.Thread(target=_materialize, args=(res[k],), name=k)
         for k in ("parsed", "checks")
     ]
     for t in threads:

@@ -47,14 +47,19 @@ def merged_clean_rows(raw_rows: DataFrame) -> DataFrame:
     AFTER empty-row removal, exactly like clean_table_data which drops
     empty rows before the parser ever sees indices).
     """
-    w_doc = Window.partitionBy("url").orderBy("page", "table_idx")
+    # Both windows share ONE spec so the plan sorts each url partition
+    # exactly once (a dense_rank over the shorter (page, table_idx)
+    # order would force a second full sort of every row; "non-first
+    # table" only needs the doc's FIRST (page, table_idx), which the
+    # running first_value yields under the full row order).
     w_rows = Window.partitionBy("url").orderBy("page", "table_idx", "row_in_table")
 
-    df = raw_rows.withColumn("table_ord", F.dense_rank().over(w_doc))
+    tbl = F.struct("page", "table_idx")
+    df = raw_rows.withColumn("_is_cont_tbl", tbl != F.first(tbl).over(w_rows))
     # M2: drop row 0 of non-first tables iff it is a repeated header
     df = df.filter(
-        ~((F.col("table_ord") > 1) & (F.col("row_in_table") == 0) & is_header_row(F.col("cells")))
-    )
+        ~(F.col("_is_cont_tbl") & (F.col("row_in_table") == 0) & is_header_row(F.col("cells")))
+    ).drop("_is_cont_tbl")
     # M3: clean cells, drop all-empty rows
     df = df.withColumn("cells", clean_cells(F.col("cells")))
     df = df.filter(F.exists(F.col("cells"), lambda c: c != ""))

@@ -45,7 +45,10 @@ def run_leg(cores: int, n_docs: int, evt_dir: str) -> float:
     group = ["warm"]
 
     def tagged(df):
-        df.sparkSession.sparkContext.setJobGroup(group[0], group[0])
+        import threading as _th
+
+        tag = f"{group[0]}:{_th.current_thread().name}"
+        df.sparkSession.sparkContext.setJobGroup(tag, tag)
         orig(df)
 
     bench._materialize = tagged
@@ -138,7 +141,7 @@ def parse_events(evt_dir: str, t0_wall: float, cores: int) -> None:
             busy = task_time.get(sid, 0.0)
             busy_total += busy
             util = busy / (sw * cores) if sw > 0 else 0
-            print(f"{sid:>5} {s['tasks']:>5} {sw:>8.2f} {busy:>8.2f} {util:>5.0%}")
+            print(f"{sid:>5} {s['tasks']:>5} {sw:>8.2f} {busy:>8.2f} {util:>5.0%}  {s['name']}")
         spans = sorted((stages[s]["sub"], stages[s]["done"]) for s in timed_stage_ids)
         covered, cur0, cur1 = 0.0, None, None
         for a, b in spans:

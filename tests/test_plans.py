@@ -54,6 +54,52 @@ def test_pattern_bank_is_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_match_dictionary_equals_inline(spark):
+    """The dictionary-encoded J1 path (bank over DISTINCT names, pid
+    joined back) must agree with the inline per-row when-chain on every
+    output relation — including name-probing edge shapes (overlapping
+    优先股 slots, totals, unmatched, empty-bank statements)."""
+    from pdf_context_extractor_agent_spark.operators.match import match_items
+
+    rows = [
+        ("u1", "balance_sheet", 1, "货币资金", "1.0", "0.9", None),
+        ("u1", "balance_sheet", 2, "货币资金", "2.0", "1.9", None),  # dup slot
+        ("u1", "balance_sheet", 3, "其中：优先股", "3.0", None, None),
+        ("u1", "balance_sheet", 4, "资产总计", "9.0", "8.0", None),
+        ("u1", "balance_sheet", 5, "no such item", "0", None, None),
+        ("u2", "income_statement", 1, "其中：营业收入", "5.0", "4.0", "1"),
+        ("u2", "cash_flow", 1, "销售商品、提供劳务收到的现金", "6.0", None, None),
+        ("u3", "balance_sheet", 1, "", None, None, None),
+    ]
+    items = spark.createDataFrame(
+        rows,
+        "url string, statement_type string, row_idx int, item_name string, "
+        "current_period string, previous_period string, note string",
+    )
+    a = match_items(items, spark, dictionary=False)
+    b = match_items(items, spark, dictionary=True)
+    for k in ("parsed", "slots", "matched", "unmatched"):
+        ra = sorted(map(tuple, a[k].collect()))
+        rb = sorted(map(tuple, b[k].select(*a[k].columns).collect()))
+        assert ra == rb, f"{k} diverged between dictionary and inline J1"
+
+
+def test_pattern_dim_is_total_constant_per_slot(spark):
+    """match_items' min_by/max_by slot aggregation groups on is_total,
+    which is only correct while no (statement, section, standard_name)
+    slot mixes totals and category patterns — pin that dim property."""
+    from pdf_context_extractor_agent_spark.patterns import item_pattern_df
+
+    mixed = (
+        item_pattern_df(spark)
+        .groupBy("statement_type", "section_path", "standard_name")
+        .agg(F.countDistinct("is_total").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert mixed == 0
+
+
 def test_kernel_input_pruned_to_url_html(spark):
     """The layout kernel ships only (url, html) into Python — never the
     text/lang columns (at 100 TB, `text` alone is tens of TB)."""
