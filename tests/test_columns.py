@@ -119,3 +119,4 @@ def test_note_type_check():
     assert vals["note"] == "六、1"
     vals = extract_values(["货币资金", "1.00", "2.00", "不是附注啊这个"], cmap)
     assert vals["note"] is None
+
