@@ -746,6 +746,31 @@ def _q_sentences(spark, sf):
     return split_sentences(docs)
 
 
+def _q_fuzzy_neardup(spark, sf):
+    """Exact Levenshtein near-dup with length-bucket blocking. Twins
+    (first character swapped for '~', distance exactly 1) are planted
+    under offset ids so the candidate join provably has hits; the
+    blocking is exhaustive at the threshold (|len diff| <= max_dist),
+    so the oracle can be a plain all-pairs scan."""
+    from pdf_context_extractor_agent_spark.functions.dedup import edit_distance_pairs
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+    twins = base.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return edit_distance_pairs(base.unionByName(twins), max_dist=2, bucket=16)
+
+
+def _q_char_diversity(spark, sf):
+    """Character-level Gini-Simpson diversity — integer-exact up to one
+    final IEEE division, so the oracle matches bit-for-bit (unlike a
+    log2 entropy, which can diverge by an ulp across libm builds)."""
+    from pdf_context_extractor_agent_spark.functions.quality import char_diversity
+
+    return char_diversity(_t(spark, sf, "documents"))
+
+
 _BLOOM_M = 1 << 14
 _BLOOM_K = 5
 
@@ -1985,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_ahash": _q_image_ahash,
         "q_image_neardup": _q_image_neardup,
         "q_sentences": _q_sentences,
+        "q_fuzzy_neardup": _q_fuzzy_neardup,
+        "q_char_diversity": _q_char_diversity,
         "q_bloom_words": _q_bloom_words,
         "q_bloom_probe": _q_bloom_probe,
         "q_url_canon": _q_url_canon,
@@ -3295,6 +3322,44 @@ dim AS (
               FROM marked)
             SELECT doc_id, (i - 1)::INT AS sent_idx, trim(l[i]) AS sentence
             FROM idx WHERE length(trim(l[i])) > 0
+        """,
+        # fuzzy near-dup: the engine's length-bucket blocking is
+        # exhaustive at the threshold (lev <= k forces |len diff| <= k),
+        # so an all-pairs Levenshtein scan is an exact twin
+        "q_fuzzy_neardup": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            twins AS (
+              SELECT doc_id + 1000 AS doc_id, '~' || substr(text, 2) AS text
+              FROM base WHERE doc_id < 60),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text)::INT AS edit_distance
+            FROM u a JOIN u b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 2
+        """,
+        # char diversity: integer counts all the way; one final IEEE
+        # division + floor-trunc, identical across engines. LEFT JOIN
+        # keeps zero-char documents visible (Spark emits them with a
+        # null diversity).
+        "q_char_diversity": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(coalesce(text, ''), ''),
+                                        x -> x <> '')) AS c
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY doc_id, c),
+            agg AS (
+              SELECT doc_id, sum(k * (k - 1))::BIGINT AS s,
+                     sum(k)::BIGINT AS n, count(*)::INT AS d
+              FROM cnt GROUP BY doc_id)
+            SELECT dd.doc_id, coalesce(a.n, 0)::BIGINT AS n_chars_counted,
+                   coalesce(a.d, 0)::INT AS n_distinct_chars,
+                   CASE WHEN a.n >= 2 THEN
+                     floor((1.0::DOUBLE - a.s::DOUBLE / (a.n * (a.n - 1))::DOUBLE) * 1e6) / 1e6
+                   END AS char_diversity
+            FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id
         """,
         # Bloom build/probe: md5-positional hashing is reproduced
         # verbatim (first 15 hex nibbles -> 60-bit int mod m); the word

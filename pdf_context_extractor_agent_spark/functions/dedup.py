@@ -699,3 +699,57 @@ def remove_duplicate_spans(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("w") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (fuzzy match)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 4,
+    bucket: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by exact Levenshtein distance ≤ ``max_dist``,
+    with length-bucket blocking.
+
+    Exhaustiveness argument: ``lev(a, b) ≤ k ⇒ |len(a) − len(b)| ≤ k``,
+    so the left side emits every bucket its length could pair with
+    (``⌊(n−k)/B⌋ … ⌊(n+k)/B⌋``) while the right side emits exactly one —
+    an equi-join on the bucket id meets every qualifying pair exactly
+    once (the left's emitted bucket ids are distinct), so no
+    ``.distinct()`` is needed and the output equals an all-pairs scan.
+    The JVM-side ``levenshtein`` verify runs only within buckets; at
+    corpus scale the join never materializes cross-length candidates.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("n"),
+    )
+    right = base.withColumn("bkt", F.floor(F.col("n") / bucket))
+    left = base.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("n") - max_dist) / bucket),
+                F.floor((F.col("n") + max_dist) / bucket),
+            )
+        ).alias("bkt"),
+    )
+    return (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("l.text"), F.col("r.text")).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )

@@ -617,3 +617,42 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
         kernel,
         schema="doc_id long, n_bytes long, n_compressed long, compression_ratio double",
     )
+
+
+def char_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-level Gini–Simpson diversity: ``1 − Σ cᵢ(cᵢ−1) / (n(n−1))``
+    where ``cᵢ`` are per-character counts — 0 for a one-character spam
+    string, →1 for maximally varied text. The repetitiveness signal an
+    entropy score gives, WITHOUT the cross-engine hazard: everything is
+    integer arithmetic until one final correctly-rounded IEEE division,
+    so Spark and any oracle agree bit-for-bit (log2-based entropy can
+    diverge by an ulp between libm implementations and flip a floor).
+
+    Zero-shuffle per-row expressions: the char and distinct-char arrays
+    are materialized as columns BEFORE the counting lambdas reference
+    them (an expression referenced inside a transform lambda is
+    re-evaluated per element — the quadratic-blowup lesson from
+    repetition_features). O(n·distinct) per row with distinct ≤ charset.
+    """
+    chars = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), ""), lambda x: x != "")
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .withColumn("_chars", chars)
+        .withColumn("_distinct", F.array_distinct(F.col("_chars")))
+    )
+    counts = F.transform(
+        F.col("_distinct"),
+        lambda c: F.size(F.filter(F.col("_chars"), lambda x: x == c)).cast("long"),
+    )
+    s = F.aggregate(counts, F.lit(0).cast("long"), lambda acc, c: acc + c * (c - 1))
+    n = F.size(F.col("_chars")).cast("long")
+    div = F.when(
+        n >= 2,
+        F.floor((F.lit(1.0) - s.cast("double") / (n * (n - 1)).cast("double")) * 1e6) / 1e6,
+    )
+    return out.select(
+        "doc_id",
+        n.alias("n_chars_counted"),
+        F.size(F.col("_distinct")).alias("n_distinct_chars"),
+        div.alias("char_diversity"),
+    )

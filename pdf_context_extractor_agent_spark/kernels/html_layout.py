@@ -70,6 +70,9 @@ _SKIP_TAGS = {"script", "style", "nav", "footer", "aside", "header", "noscript",
 _SKIP_CLASS_HINTS = ("nav", "footer", "menu", "sidebar", "banner", "advert", "cookie")
 _TEXT_TAGS = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre", "span", "a", "b", "i", "em", "strong"}
 _VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"}
+# paragraph-flushing block tags (p/li/blockquote/pre + h1..h6) as one
+# set lookup — these run once per start AND end tag corpus-wide
+_FLUSH_TAGS = {"p", "li", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6"}
 
 
 def _norm(s: str) -> str:
@@ -135,7 +138,7 @@ class _LayoutParser(HTMLParser):
         elif tag in ("td", "th") and self._row is not None:
             self._cell = []
         elif tag in _TEXT_TAGS and self._table is None:
-            if tag in ("p", "li", "blockquote", "pre") or tag.startswith("h"):
+            if tag in _FLUSH_TAGS:
                 self._flush_buf()
                 self._buf = []
         elif tag == "br" and self._buf is not None:
@@ -245,9 +248,12 @@ def _fast_feed(parser: _LayoutParser, text: str) -> None:
     text = _COMMENT_RE.sub("", text)
     if "<!" in text or "<?" in text:
         text = _DECL_RE.sub("", text)
-    lower = text.lower()
-    pos = 0
-    search = _TAG_RE.search
+    lower = None  # full-text lowercase copy built lazily: only the
+    pos = 0       # script/style CDATA search needs it, and most crawl
+    search = _TAG_RE.search  # documents in the hot loop have neither
+    handle_data = parser.handle_data
+    handle_start = parser.handle_starttag
+    handle_end = parser.handle_endtag
     while True:
         m = search(text, pos)
         if m is None:
@@ -255,29 +261,31 @@ def _fast_feed(parser: _LayoutParser, text: str) -> None:
         s = m.start()
         if s > pos:
             data = text[pos:s]
-            parser.handle_data(unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
         pos = m.end()
-        tag = m.group(2).lower()
-        if m.group(1):
-            parser.handle_endtag(tag)
+        closing, tag, rest = m.group(1, 2, 3)
+        tag = tag.lower()
+        if closing:
+            handle_end(tag)
             continue
-        rest = m.group(3)
         attrs: list[tuple[str, str | None]] = []
         if "class" in rest or "CLASS" in rest:
             cm = _CLASS_ATTR_RE.search(rest)
             if cm:
                 attrs = [("class", cm.group(1) or cm.group(2) or cm.group(3) or "")]
-        parser.handle_starttag(tag, attrs)
+        handle_start(tag, attrs)
         if rest.rstrip().endswith("/"):
-            parser.handle_endtag(tag)
+            handle_end(tag)
         elif tag in ("script", "style"):
             # CDATA content mode: everything until the closing tag is raw
             # (a '<div>' inside a JS string must not become an event)
+            if lower is None:
+                lower = text.lower()
             close = lower.find("</" + tag, pos)
             pos = len(text) if close < 0 else close
     if pos < len(text):
         data = text[pos:]
-        parser.handle_data(unescape(data) if "&" in data else data)
+        handle_data(unescape(data) if "&" in data else data)
 
 
 def parse_html_doc(html_bytes: bytes) -> list[dict]:

@@ -574,3 +574,56 @@ def test_compression_ratio_repetitive_vs_random(spark):
     assert out[0].n_bytes == len(rep.encode())
     # null text → empty doc, ratio pinned to 1.0
     assert (out[2].n_bytes, out[2].compression_ratio) == (0, 1.0)
+
+
+def test_edit_distance_pairs_blocking_exhaustive(spark):
+    """Length-bucket blocking must find exactly the all-pairs results
+    (lev <= k forces |len diff| <= k), including pairs whose lengths
+    straddle a bucket boundary, with no duplicate rows."""
+    from pdf_context_extractor_agent_spark.functions.dedup import edit_distance_pairs
+
+    texts = {
+        0: "abcdefghijklmno",    # len 15 — bucket boundary at 16
+        1: "abcdefghijklmnop",   # len 16, lev=1 vs 0
+        2: "abcdefghijklmnopq",  # len 17, lev=2 vs 0
+        3: "abcdefghijklmnoX",   # len 16, lev vs 1 = 1
+        4: "zzzzzzzzzzzzzzzz",   # len 16, far from all
+        5: "abcdefghijklmno",    # exact dup of 0
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in edit_distance_pairs(docs, max_dist=2, bucket=16).collect()
+    }
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+    expected = {
+        (a, b): lev(texts[a], texts[b])
+        for a in texts
+        for b in texts
+        if a < b and lev(texts[a], texts[b]) <= 2
+    }
+    assert got == expected
+    assert (0, 5) in got and got[(0, 5)] == 0
+    assert (0, 2) in got and got[(0, 2)] == 2  # straddles the 16-bucket edge
+
+
+def test_char_diversity_hand_computed(spark):
+    from pdf_context_extractor_agent_spark.functions.quality import char_diversity
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "a"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in char_diversity(docs).collect()}
+    assert r[0].char_diversity == 0.0                      # 1 - 12/12
+    assert abs(r[1].char_diversity - (1 - 4 / 12)) < 1e-6  # two chars ×2
+    assert r[2].char_diversity == 1.0                      # all distinct
+    assert r[3].char_diversity is None and r[3].n_chars_counted == 1
+    assert r[4].char_diversity is None and r[4].n_chars_counted == 0
+    assert r[5].char_diversity is None and r[5].n_distinct_chars == 0
