@@ -78,9 +78,19 @@ N_SCALING_DOCS = int(
 # metric-independent)
 SCALING_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6")))
 SCALING_TARGET = 0.8
-# hard wall-clock budget for the scaling section: extra adaptive pairs
-# are skipped past this point so a noisy host can't stall the bench
-SCALING_BUDGET_SECS = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
+# hard wall-clock budget for the scaling section: extra pairs are
+# skipped past this point so a noisy host can't stall the bench. Sized
+# so all 6 interleaved pairs complete even when neighbor storms run
+# individual legs 2× slow (observed): min-of-N only works if the pair
+# count survives the storm that makes it necessary.
+SCALING_BUDGET_SECS = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+# a calibration window this far below the ideal speedup means the host
+# is in a visible interference storm RIGHT NOW; briefly waiting for it
+# to pass costs budget but keeps a whole 4-minute pair from being
+# burned. The gate reads ONLY the raw-CPU calibration (never the
+# measured pipeline times), so it cannot optional-stop the metric.
+STORM_HW_EFF = float(os.environ.get("SPARK_GRAFT_STORM_HW_EFF", "0.65"))
+STORM_WAIT_SECS = float(os.environ.get("SPARK_GRAFT_STORM_WAIT", "45"))
 
 # AQE stays ON, matching the engine defaults: with no forced broadcast
 # hints on per-document relations (they would OOM at 10^12 rows), AQE
@@ -197,8 +207,13 @@ _EXEC_COMM_PREFIXES = (
     "RemoteBlock-",
 )
 # driver-side CPU allowance, IDENTICAL on both legs (the analog of the
-# driver node a real N-vs-4N cluster comparison holds constant)
-DRIVER_CPUS = int(os.environ.get("SPARK_GRAFT_DRIVER_CPUS", "2"))
+# driver node a real N-vs-4N cluster comparison holds constant). 4 CPUs:
+# the driver work on the leg's critical path — AQE query-stage planning,
+# BROADCAST RELATION BUILDS (hashing the per-doc dims runs driver-side),
+# py4j, DAG scheduling — measurably starves at 2 (multi-second
+# near-idle BroadcastExchange stages in the event log); a production
+# driver node is a full machine, so 2 under-provisions the analog.
+DRIVER_CPUS = int(os.environ.get("SPARK_GRAFT_DRIVER_CPUS", "4"))
 
 
 def _pin_leg_split(cores: int) -> tuple[int, int]:
@@ -412,7 +427,18 @@ def scaling_runs(n_docs: int, reps: int) -> tuple[dict, dict, list[dict]]:
     for r in range(reps):
         if r > 0 and time.monotonic() - t0 > SCALING_BUDGET_SECS:
             break  # metric-INDEPENDENT early exit: slow host, not a read of the result
-        calibs.append(cpu_calibration())
+        calib = cpu_calibration()
+        # storm gate: if the adjacent raw-CPU window shows the host in a
+        # visible interference burst, wait once for it to pass before
+        # spending a multi-minute pair. Reads only host capacity — never
+        # the measured legs — so the fixed pair count stays unbiased.
+        if (
+            calib["hw_efficiency"] < STORM_HW_EFF
+            and time.monotonic() - t0 < SCALING_BUDGET_SECS - STORM_WAIT_SECS
+        ):
+            time.sleep(STORM_WAIT_SECS)
+            calib = cpu_calibration()
+        calibs.append(calib)
         # alternate leg order per pair (low-first, then high-first, …) so a
         # monotone host-load drift cancels instead of biasing one leg
         order = (

@@ -27,6 +27,9 @@ def run_leg(cores: int, n_docs: int, evt_dir: str) -> float:
     import bench
     from pdf_context_extractor_agent_spark.session import get_spark, stop_spark
 
+    # PROFILE_PIN=1 reproduces the bench's executor/driver split pinning
+    # so the decomposition matches the timed scaling-leg conditions
+    pin = os.environ.get("PROFILE_PIN", "0") == "1"
     stop_spark()
     spark = get_spark(
         app_name=f"profile{cores}",
@@ -38,6 +41,8 @@ def run_leg(cores: int, n_docs: int, evt_dir: str) -> float:
             "spark.eventLog.dir": f"file://{evt_dir}",
         },
     )
+    if pin:
+        bench._pin_leg_split(cores)
     # tag the materialization jobs from INSIDE each driver thread:
     # pinned-thread mode means a job group set on the main Python
     # thread does not reach jobs submitted from worker threads
@@ -53,6 +58,8 @@ def run_leg(cores: int, n_docs: int, evt_dir: str) -> float:
 
     bench._materialize = tagged
     bench.run_extraction(spark, 200, cores * 2, check_identity=False)
+    if pin:
+        bench._pin_leg_split(cores)  # catch workers spawned by the warmup
     t0 = time.monotonic()
     # PROFILE_PARTS: comma list of input partition counts, one timed
     # rep per entry; first entries can serve as JIT warm reps
@@ -69,6 +76,8 @@ def run_leg(cores: int, n_docs: int, evt_dir: str) -> float:
             f"rep {r} parts={parts}: leg secs: {out['secs']:.2f}", flush=True
         )
     stop_spark()
+    if pin:
+        bench._pin_tree(bench.ALL_CPUS)
     return t0
 
 
@@ -105,8 +114,23 @@ def parse_events(evt_dir: str, t0_wall: float, cores: int) -> None:
                 si = e["Stage Info"]
                 if "Submission Time" not in si:
                     continue
+                # RDD scope names identify the PLAN OPERATORS inside the
+                # stage (WholeStageCodegen ids, Exchange, AQEShuffleRead,
+                # mapInPandas …) — the callsite alone is useless in a
+                # threaded driver
+                scopes = []
+                for rdd in si.get("RDD Info", ()):
+                    sc = rdd.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except json.JSONDecodeError:
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[si["Stage ID"]] = {
                     "name": si["Stage Name"].split("\n")[0][:70],
+                    "ops": ",".join(scopes[:6])[:90],
                     "sub": si["Submission Time"] / 1000.0,
                     "done": si["Completion Time"] / 1000.0,
                     "tasks": si["Number of Tasks"],
@@ -141,7 +165,10 @@ def parse_events(evt_dir: str, t0_wall: float, cores: int) -> None:
             busy = task_time.get(sid, 0.0)
             busy_total += busy
             util = busy / (sw * cores) if sw > 0 else 0
-            print(f"{sid:>5} {s['tasks']:>5} {sw:>8.2f} {busy:>8.2f} {util:>5.0%}  {s['name']}")
+            print(
+                f"{sid:>5} {s['tasks']:>5} {sw:>8.2f} {busy:>8.2f} {util:>5.0%}  "
+                f"{s.get('ops') or s['name']}"
+            )
         spans = sorted((stages[s]["sub"], stages[s]["done"]) for s in timed_stage_ids)
         covered, cur0, cur1 = 0.0, None, None
         for a, b in spans:
