@@ -327,13 +327,66 @@ _BOILER_TAIL = (
 )
 
 
-def render_html(pages: list[Page]) -> str:
+def _span_tiles(rows: list[list[str]]) -> list[list[tuple[str, int, int]]]:
+    """Tile a cell grid into maximal equal-value rectangles (row-major
+    greedy): per uncovered cell, extend right while equal, then extend the
+    whole strip down while every covered row matches. Each grid position
+    is covered exactly once, so the HTML-table placement algorithm
+    (colspan/rowspan expansion, spanned values repeated) reconstructs the
+    grid byte-for-byte — which is what the corpus byte-identity invariant
+    then certifies about the kernel."""
+    covered = [[False] * len(r) for r in rows]
+    out: list[list[tuple[str, int, int]]] = []
+    for r, row in enumerate(rows):
+        cells: list[tuple[str, int, int]] = []
+        for c, val in enumerate(row):
+            if covered[r][c]:
+                continue
+            w = 1
+            while c + w < len(row) and not covered[r][c + w] and row[c + w] == val:
+                w += 1
+            h = 1
+            while (
+                r + h < len(rows)
+                and len(rows[r + h]) >= c + w
+                and not any(
+                    covered[r + h][c2] or rows[r + h][c2] != val
+                    for c2 in range(c, c + w)
+                )
+            ):
+                h += 1
+            for rr in range(r, r + h):
+                for cc in range(c, c + w):
+                    covered[rr][cc] = True
+            cells.append((val, w, h))
+        out.append(cells)
+    return out
+
+
+def render_html(pages: list[Page], spans: bool = False) -> str:
     parts = [_BOILER_HEAD]
     for page in pages:
         parts.append('<div class="page">')
         for kind, payload in page:
             if kind == "p":
                 parts.append(f"<p>{_html.escape(payload)}</p>")
+            elif spans:
+                # web-real tables: adjacent equal cells merged into
+                # colspan/rowspan spans (Common-Crawl HTML uses these
+                # constantly); the kernel must re-normalize the grid
+                parts.append("<table>")
+                for cells in _span_tiles(payload):
+                    tds = "".join(
+                        "<td%s%s>%s</td>"
+                        % (
+                            f' colspan="{w}"' if w > 1 else "",
+                            f' rowspan="{h}"' if h > 1 else "",
+                            _html.escape(v),
+                        )
+                        for v, w, h in cells
+                    )
+                    parts.append(f"<tr>{tds}</tr>")
+                parts.append("</table>")
             else:
                 parts.append("<table>")
                 for row in payload:
@@ -569,7 +622,10 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
             objstm=(i % 50 == 24),
         )
     else:
-        blob = render_html(pages).encode("utf-8")
+        # every seventh HTML doc renders its tables with colspan/rowspan
+        # merges of adjacent equal cells (the web-real table shape), so
+        # corpus byte-identity certifies the kernel's grid normalization
+        blob = render_html(pages, spans=(i % 7 == 1)).encode("utf-8")
     return url, warc_ts, blob, render_text(pages), lang
 
 

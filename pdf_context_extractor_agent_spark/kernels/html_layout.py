@@ -80,6 +80,20 @@ def _norm(s: str) -> str:
     return " ".join(s.split())
 
 
+# colspan/rowspan clamp: hostile crawl HTML carries colspan="2000000000";
+# expanding that per cell would allocate gigabytes inside one task. 512
+# comfortably exceeds any real table while bounding worst-case cell fanout.
+_SPAN_CAP = 512
+
+
+def _span_int(v) -> int:
+    try:
+        n = int(str(v).strip())
+    except (TypeError, ValueError):
+        return 1
+    return 1 if n < 1 else min(n, _SPAN_CAP)
+
+
 class _LayoutParser(HTMLParser):
     """Single-pass DOM-less layout walk (stdlib only, fully deterministic)."""
 
@@ -92,8 +106,16 @@ class _LayoutParser(HTMLParser):
         self._saw_page_div = False
         self._buf: list[str] | None = None          # paragraph text buffer
         self._table: list[list[str]] | None = None
-        self._row: list[str] | None = None
+        self._row_cells: list[tuple[str, int, int]] | None = None
         self._cell: list[str] | None = None
+        self._cell_span: tuple[int, int] = (1, 1)
+        # pending rowspan coverage: grid column → (rows remaining, value).
+        # The standard HTML table algorithm: each <tr> places its cells
+        # left-to-right, skipping columns still covered by a rowspan from
+        # an earlier row; spanned positions repeat the cell's value
+        # (pandas.read_html semantics), so downstream always sees the
+        # fully-normalized rectangular grid.
+        self._rowspans: dict[int, tuple[int, str]] = {}
 
     # -- helpers ---------------------------------------------------------
     def _target(self) -> list[tuple]:
@@ -105,6 +127,43 @@ class _LayoutParser(HTMLParser):
             if text:
                 self._target().append(("p", text))
             self._buf = None
+
+    def _place_row(self) -> None:
+        """Materialize the finished <tr> into the normalized grid.
+
+        Cells fill left-to-right, skipping columns still covered by a
+        rowspan from an earlier row; a colspan-c cell occupies c columns
+        (value repeated), a rowspan-r cell registers r-1 rows of pending
+        coverage. Uncovered holes under a pending rowspan further right
+        pad with "" so the grid stays rectangular per-row.
+        """
+        cells = self._row_cells
+        spans = self._rowspans
+        out: list[str] = []
+        col = idx = 0
+        while idx < len(cells) or (spans and col <= max(spans)):
+            pending = spans.get(col)
+            if pending is not None:
+                rem, val = pending
+                out.append(val)
+                if rem <= 1:
+                    del spans[col]
+                else:
+                    spans[col] = (rem - 1, val)
+            elif idx < len(cells):
+                text, cs, rs = cells[idx]
+                idx += 1
+                for _ in range(cs):
+                    out.append(text)
+                    if rs > 1:
+                        spans[col] = (rs - 1, text)
+                    col += 1
+                continue
+            else:
+                out.append("")  # hole left of a pending rowspan column
+            col += 1
+        self._table.append(out)
+        self._row_cells = None
 
     # -- HTMLParser hooks --------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
@@ -133,9 +192,18 @@ class _LayoutParser(HTMLParser):
         if tag == "table":
             self._flush_buf()
             self._table = []
+            self._rowspans = {}
         elif tag == "tr" and self._table is not None:
-            self._row = []
-        elif tag in ("td", "th") and self._row is not None:
+            self._row_cells = []
+        elif tag in ("td", "th") and self._row_cells is not None:
+            cs = rs = 1
+            if attrs:
+                for k, v in attrs:
+                    if k == "colspan":
+                        cs = _span_int(v)
+                    elif k == "rowspan":
+                        rs = _span_int(v)
+            self._cell_span = (cs, rs)
             self._cell = []
         elif tag in _TEXT_TAGS and self._table is None:
             if tag in _FLUSH_TAGS:
@@ -150,14 +218,15 @@ class _LayoutParser(HTMLParser):
                 self._skip_stack.pop()
             return
         if tag in ("td", "th") and self._cell is not None:
-            self._row.append(_norm("".join(self._cell)))
+            self._row_cells.append((_norm("".join(self._cell)), *self._cell_span))
             self._cell = None
-        elif tag == "tr" and self._row is not None:
-            self._table.append(self._row)
-            self._row = None
+        elif tag == "tr" and self._row_cells is not None:
+            self._place_row()
         elif tag == "table" and self._table is not None:
             self._target().append(("table", self._table))
             self._table = None
+            self._row_cells = None
+            self._rowspans = {}
         elif tag in ("p", "li", "blockquote", "pre") or (len(tag) == 2 and tag[0] == "h"):
             self._flush_buf()
         elif tag == "div" and self._blocks is not None and self._saw_page_div:
@@ -242,6 +311,9 @@ _DECL_RE = re.compile(
 )
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>", re.S)
 _CLASS_ATTR_RE = re.compile(r"""class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_SPAN_ATTR_RE = re.compile(
+    r"""(colspan|rowspan)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
 
 
 def _fast_feed(parser: _LayoutParser, text: str) -> None:
@@ -273,6 +345,13 @@ def _fast_feed(parser: _LayoutParser, text: str) -> None:
             cm = _CLASS_ATTR_RE.search(rest)
             if cm:
                 attrs = [("class", cm.group(1) or cm.group(2) or cm.group(3) or "")]
+        # span attributes matter only on table cells; the overwhelmingly
+        # common attr-less <td> skips this entirely via the `rest` guard
+        if rest and tag in ("td", "th") and ("span" in rest or "SPAN" in rest or "Span" in rest):
+            for sm in _SPAN_ATTR_RE.finditer(rest):
+                attrs.append(
+                    (sm.group(1).lower(), sm.group(2) or sm.group(3) or sm.group(4) or "")
+                )
         handle_start(tag, attrs)
         if rest.rstrip().endswith("/"):
             handle_end(tag)

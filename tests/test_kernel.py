@@ -643,3 +643,107 @@ def test_minipdf_objstm_corpus_byte_identity():
         assert b"/ObjStm" in blob, i
         got = "\n".join(p["page_text"] for p in parse_doc(blob))
         assert got == text, i
+
+
+def test_colspan_rowspan_grid_normalization():
+    """Standard HTML table algorithm: colspan-c occupies c columns,
+    rowspan-r covers r rows, spanned positions repeat the cell value
+    (pandas.read_html semantics) — downstream always sees the full grid."""
+    html = (
+        "<html><body><div class='page'><table>"
+        '<tr><td colspan="2">ab</td><td rowspan="2">r</td></tr>'
+        "<tr><td>x</td><td>y</td></tr>"
+        '<tr><td rowspan="2" colspan="2">blk</td><td>z</td></tr>'
+        "<tr><td>tail</td></tr>"
+        "</table></div></body></html>"
+    )
+    pages = parse_html_doc(html.encode())
+    assert pages[0]["tables"][0][3] == [
+        ["ab", "ab", "r"],
+        ["x", "y", "r"],
+        ["blk", "blk", "z"],
+        ["blk", "blk", "tail"],
+    ]
+
+
+def test_colspan_rowspan_malformed_values():
+    """colspan='junk'/'0'/negative default to 1; absurd spans clamp so a
+    hostile crawl record cannot allocate gigabytes inside one task."""
+    html = (
+        "<html><body><table>"
+        '<tr><td colspan="junk">a</td><td colspan="0">b</td>'
+        '<td rowspan="-3">c</td><td colspan="2000000000">d</td></tr>'
+        "</table></body></html>"
+    )
+    pages = parse_html_doc(html.encode())
+    row = pages[0]["tables"][0][3][0]
+    assert row[:3] == ["a", "b", "c"]
+    assert set(row[3:]) == {"d"} and len(row) == 3 + 512  # clamp cap
+
+
+def test_span_corpus_byte_identity_and_fuzz():
+    """Corpus span docs (i ≡ 1 mod 7, HTML kinds) carry real colspan/
+    rowspan markup and stay byte-identical; random ragged grids round-trip
+    through the greedy rectangle tiler."""
+    import random
+
+    from pdf_context_extractor_agent_spark.corpus import _span_tiles
+
+    seen_span_doc = False
+    for i in (1, 8, 15, 22, 29, 36, 50):
+        _, _, blob, text, _ = make_doc(i)
+        if blob.startswith((b"FPDF1", b"%PDF")):
+            continue
+        if b'colspan="' in blob or b'rowspan="' in blob:
+            seen_span_doc = True
+        got = "\n".join(p["page_text"] for p in parse_html_doc(blob))
+        assert got == text, i
+    assert seen_span_doc
+
+    rng = random.Random(13)
+    for _ in range(120):
+        rows = [
+            [rng.choice(["a", "b", "", "cc"]) for _ in range(rng.randint(1, 6))]
+            for _ in range(rng.randint(1, 6))
+        ]
+        body = []
+        for cells in _span_tiles(rows):
+            tds = "".join(
+                "<td%s%s>%s</td>"
+                % (
+                    f' colspan="{w}"' if w > 1 else "",
+                    f' rowspan="{h}"' if h > 1 else "",
+                    v,
+                )
+                for v, w, h in cells
+            )
+            body.append(f"<tr>{tds}</tr>")
+        html = (
+            "<html><body><div class='page'><table>"
+            + "".join(body)
+            + "</table></div></body></html>"
+        )
+        pages = parse_html_doc(html.encode())
+        got_rows = [list(r) for r in (pages[0]["tables"][0][3] if pages[0]["tables"] else [])]
+        assert got_rows == rows
+
+
+def test_span_fast_path_matches_stdlib():
+    """The regex fast path must extract colspan/rowspan attrs exactly as
+    html.parser hands them to the same handlers (case/quote variants)."""
+    from pdf_context_extractor_agent_spark.kernels.html_layout import (
+        _fast_feed,
+        _LayoutParser,
+    )
+
+    docs = [
+        '<table><tr><td COLSPAN=2>a</td><td ROWSPAN="2">b</td></tr><tr><td>c</td></tr></table>',
+        "<table><tr><td colspan='3' rowspan='2'>a</td></tr><tr></tr></table>",
+        '<table><tr><td class="wide" colspan="2">a</td><td>b</td></tr></table>',
+    ]
+    for doc in docs:
+        fast, slow = _LayoutParser(), _LayoutParser()
+        _fast_feed(fast, doc)
+        slow.feed(doc)
+        slow.close()
+        assert fast.result() == slow.result(), doc
