@@ -356,6 +356,19 @@ def _q_quality(spark, sf):
     )
 
 
+def _q_readability(spark, sf):
+    from pdf_context_extractor_agent_spark.functions.quality import readability_features
+
+    return readability_features(_t(spark, sf, "documents")).select(
+        "doc_id",
+        "n_sentences",
+        "n_syllables",
+        "words_per_sentence",
+        "syllables_per_word",
+        "flesch",
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     from pdf_context_extractor_agent_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -1970,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": _q_token_counts,
         "q_lang_scores": _q_lang_scores,
         "q_quality": _q_quality,
+        "q_readability": _q_readability,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_repetition": _q_repetition,
         "q_pii_scrub": _q_pii_scrub,
@@ -2999,6 +3013,24 @@ dim AS (
                      (CASE WHEN n_words >= 50 THEN 0.4 ELSE n_words / 125.0 END)
                      + (CASE WHEN n_chars / greatest(n_words, 1) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
                      + least((n_stop / greatest(n_words, 1)) * 2, 0.3), 4) AS quality_score
+            FROM f""",
+        "q_readability": """
+            WITH f AS (
+              SELECT doc_id,
+                     greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?。！？]+')), 1) AS n_sentences,
+                     list_sum(list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)
+                     ))::BIGINT AS n_syllables
+              FROM documents)
+            SELECT doc_id,
+                   n_sentences,
+                   n_syllables,
+                   floor(n_words::DOUBLE / n_sentences * 10000) / 10000 AS words_per_sentence,
+                   floor(n_syllables::DOUBLE / n_words * 10000) / 10000 AS syllables_per_word,
+                   floor((206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                          - 84.6 * (n_syllables::DOUBLE / n_words)) * 10000) / 10000 AS flesch
             FROM f""",
         "q_ngram_jaccard": f"""
             {shingle_cte},

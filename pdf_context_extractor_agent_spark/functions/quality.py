@@ -79,6 +79,47 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def readability_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease-style readability signals (words/sentence,
+    syllables/word via vowel-group counting with a 1-syllable floor per
+    word — the standard heuristic), fully JVM-side per row, zero shuffle.
+
+    Floats are floor-truncated at 4dp (``floor(x*1e4)/1e4``) rather than
+    rounded: Spark's ``F.round`` HALF_UPs the shortest-decimal BigDecimal
+    while DuckDB rounds the raw double, and the two diverge on .xxxx5
+    boundaries — truncation is bit-identical across engines (the same
+    trick sketch.py documents).
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?。！？]+")), F.lit(1))
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.regexp_count(F.lower(w), F.lit(r"[aeiouy]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words.cast("double") / n_sents
+    spw = syl.cast("double") / n_words
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+
+    def trunc4(c: Column) -> Column:
+        return F.floor(c * F.lit(1e4)) / F.lit(1e4)
+
+    return (
+        docs.withColumn("n_sentences", n_sents.cast("long"))
+        .withColumn("n_syllables", syl.cast("long"))
+        .withColumn("words_per_sentence", trunc4(wps))
+        .withColumn("syllables_per_word", trunc4(spw))
+        .withColumn("flesch", trunc4(flesch))
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     t = F.col(text_col)

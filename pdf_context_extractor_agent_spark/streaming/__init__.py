@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     streaming_exact_dedup,
     streaming_extract_statements,
     streaming_lang_counts,
+    streaming_minhash_neardup,
     streaming_page_text,
     streaming_quality,
 )

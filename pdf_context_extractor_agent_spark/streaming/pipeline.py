@@ -126,6 +126,135 @@ def streaming_extract_statements(
     )
 
 
+_NEARDUP_OUT = T.StructType(
+    [
+        T.StructField("doc_a", T.StringType()),
+        T.StructField("doc_b", T.StringType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+# per-bucket state cap: an LSH bucket at web scale is small by design
+# (the band hash spreads docs over 2^64 buckets); a degenerate bucket
+# (e.g. empty-text docs all sharing one signature) must not grow state
+# without bound, so arrivals past the cap still emit pairs against the
+# stored members but are not appended.
+_NEARDUP_MAX_BUCKET = 256
+
+
+def _neardup_threshold_holder(threshold: float):
+    def _fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            urls, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            urls, sigs = [], []
+        arrivals: list[tuple[str, list[int]]] = []
+        for pdf in pdfs:
+            for url, sig in zip(pdf["url"], pdf["sig"]):
+                # plain-Python ints: numpy.int64 in the state tuple breaks
+                # the JVM-side unpickler on state.update
+                arrivals.append((str(url), [int(x) for x in sig]))
+        arrivals.sort(key=lambda r: r[0])  # deterministic within a batch
+        seen = set(urls)
+        out = []
+        for url, sig in arrivals:
+            if url in seen:  # replayed micro-batch: already in state
+                continue
+            k = len(sig)
+            for u2, s2 in zip(urls, sigs):
+                est = sum(a == b for a, b in zip(sig, s2)) / k
+                if est >= threshold:
+                    a, b = (url, u2) if url < u2 else (u2, url)
+                    out.append((a, b, est))
+            if len(urls) < _NEARDUP_MAX_BUCKET:
+                urls.append(url)
+                sigs.append(sig)
+                seen.add(url)
+        state.update((urls, sigs))
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    return _fn
+
+
+def streaming_minhash_neardup(
+    pages_stream: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    n: int = 3,
+    threshold: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-micro-batch MinHash-LSH near-dup detection.
+
+    The batch pipeline (functions/dedup.py: shingles → minhash_signatures
+    → lsh_candidate_pairs) needs a groupBy over exploded shingles plus a
+    bucket self-join — neither composes incrementally on a stream. This
+    operator restates it stream-natively with identical hash semantics:
+
+    * the signature is computed PER ROW (``array_min`` over a transform
+      of the row's own shingle array — a doc's shingles never leave its
+      row, so no streaming aggregation is needed), with the exact same
+      ``xxhash64(shingle, seed+k)`` values as the batch ``minhash_signatures``;
+    * band hashes are the same ``xxhash64(mh_b*r .. mh_b*r+r-1)`` the
+      batch ``lsh_candidate_pairs`` computes, so a doc lands in the SAME
+      buckets streaming or batch;
+    * the bucket self-join becomes per-bucket state
+      (``applyInPandasWithState`` keyed on (band_idx, band_hash)): each
+      arrival emits a pair against every stored member with estimated
+      Jaccard ≥ ``threshold`` (matching-component fraction — the standard
+      MinHash estimate), then joins the state.
+
+    With an unhit state cap the emitted pair set is EXACTLY the batch
+    ``lsh_candidate_pairs`` output (at threshold 0) no matter how the
+    corpus straddles micro-batches — the differential test in
+    tests/test_streaming.py asserts set equality on a two-batch split.
+    Like the batch generator, a pair sharing several bands is emitted
+    once per band; the downstream per-pair aggregation collapses these.
+    """
+    from ..functions.dedup import normalized_text
+
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    mh_cols = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + k)))).alias(
+            f"mh_{k}"
+        )
+        for k in range(num_hashes)
+    ]
+    sigs = pages_stream.select(F.col("url"), *mh_cols)
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                *[F.col(f"mh_{k}") for k in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    keyed = sigs.select(
+        "url",
+        F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("url", F.col("band.band_idx"), F.col("band.band_hash"), "sig")
+    return keyed.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _neardup_threshold_holder(threshold),
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: cross-micro-batch exact dedup.
 

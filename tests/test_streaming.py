@@ -102,3 +102,50 @@ def test_streaming_extract_statements_matches_batch(spark, stream_dir, tmp_path)
 
     g, w = rows(got), rows(want)
     assert g == w and len(g) > 0
+
+
+def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
+    """The stateful LSH near-dup operator must emit exactly the batch
+    ``lsh_candidate_pairs`` pair set (threshold 0, state cap unhit) even
+    when the corpus straddles micro-batches — the cross-batch pair is the
+    stateful part a per-batch join could never find."""
+    from pdf_context_extractor_agent_spark.corpus import PAGES_SCHEMA
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from pdf_context_extractor_agent_spark.streaming import streaming_minhash_neardup
+
+    base = pages_df(spark, 8).select("url", "warc_ts", "html", "text", "lang")
+    mirror = base.filter(F.col("url").contains("doc00000006")).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?mirror=1"))
+    )
+    d = tmp_path / "neardup_src"
+    base.write.mode("overwrite").parquet(str(d / "batch1.parquet"))
+    mirror.write.mode("overwrite").parquet(str(d / "batch2.parquet"))
+
+    # batch expectation on the SAME documents (doc_id = url)
+    static = spark.read.schema(PAGES_SCHEMA).parquet(str(d / "*"))
+    sigs = minhash_signatures(shingles(static.select(F.col("url").alias("doc_id"), "text")))
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs).distinct().collect()
+    }
+    assert expected  # the mirror pair at minimum
+
+    # maxFilesPerTrigger=1 → availableNow processes the two files as two
+    # micro-batches, so the mirror pair can only come from bucket state
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    _run_to_memory(
+        streaming_minhash_neardup(src), "neardup_out", tmp_path, output_mode="update"
+    )
+    rows = spark.sql("select * from neardup_out").collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == expected
+    mirror_pairs = [r for r in rows if "mirror=1" in r.doc_b]
+    assert mirror_pairs and all(r.est_jaccard == 1.0 for r in mirror_pairs)
