@@ -614,6 +614,24 @@ def _q_cosine_neardup(spark, sf):
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _q_bitext_margin(spark, sf):
+    """Margin-based bitext mining over the embeddings table: even
+    vec_ids play the source language, odd the target. Forward-best
+    pairs with ratio margin ≥ 1.0 plus the mutual-best flag."""
+    from pdf_context_extractor_agent_spark.functions.similarity import (
+        margin_bitext_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return margin_bitext_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        n_planes=4,
+        threshold=1.0,
+    )
+
+
 def _q_semdedup(spark, sf):
     """SemDeDup composition: hyperplane-LSH cosine near-dup pairs →
     connected components → one canonical vector per semantic cluster.
@@ -2063,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_neardup": _q_simhash,
         "q_ann_topk": _q_ann_topk,
         "q_cosine_neardup": _q_cosine_neardup,
+        "q_bitext_margin": _q_bitext_margin,
         "q_extract_parsed": _q_extract_parsed,
         "q_extract_checks": _q_extract_checks,
         "q_extract_notes": _q_extract_notes,
@@ -2783,6 +2802,13 @@ dim AS (
         "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
         f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
         for i, plane in enumerate(_planes)
+    )
+    # 4-plane variant for the bitext-margin query (16 buckets → real
+    # multi-probe coverage on the 250-per-side split)
+    bucket4_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
+        for i, plane in enumerate(_hyperplanes(64, 4))
     )
     cos_expr = (
         "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
@@ -4479,6 +4505,47 @@ GROUP BY sym""",
             FROM buckets l JOIN buckets r
               ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             WHERE {cos_expr.format(a='l.embedding', b='r.embedding')} >= 0.5""",
+        # bitext margin mining: full Artetxe-Schwenk ratio-margin chain
+        # (multi-probe LSH candidates → per-side kNN means over SORTED
+        # cosine lists so the fold order matches Spark's aggregate →
+        # forward-best + mutual flag); planes are the same md5 literals
+        "q_bitext_margin": f"""
+            WITH isrc AS (
+              SELECT vec_id AS src_id, embedding, {bucket4_expr} AS bucket
+              FROM embeddings WHERE vec_id % 2 = 0),
+            itgt AS (
+              SELECT vec_id AS tgt_id, embedding, {bucket4_expr} AS bucket
+              FROM embeddings WHERE vec_id % 2 = 1),
+            probes AS (
+              SELECT src_id, embedding,
+                     unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                             xor(bucket, 4), xor(bucket, 8)]) AS bucket
+              FROM isrc),
+            cand AS (
+              SELECT s.src_id, t.tgt_id,
+                     {cos_expr.format(a='s.embedding', b='t.embedding')} AS cos
+              FROM probes s JOIN itgt t USING (bucket)),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rf,
+                     row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb
+              FROM cand),
+            a_src AS (
+              SELECT src_id,
+                     list_reduce(list_sort(list(cos)), (a, b) -> a + b) / count(*) AS a_src
+              FROM ranked WHERE rf <= 4 GROUP BY src_id),
+            a_tgt AS (
+              SELECT tgt_id,
+                     list_reduce(list_sort(list(cos)), (a, b) -> a + b) / count(*) AS a_tgt
+              FROM ranked WHERE rb <= 4 GROUP BY tgt_id),
+            bb AS (SELECT tgt_id, src_id AS best_src FROM ranked WHERE rb = 1),
+            fwd AS (SELECT src_id, tgt_id, cos FROM ranked WHERE rf = 1)
+            SELECT src_id, tgt_id, round(cos, 6) AS cos_sim,
+                   floor(cos / ((a_src + a_tgt) / 2) * 1e6) / 1e6 AS margin,
+                   (bb.best_src = fwd.src_id) AS is_mutual
+            FROM fwd JOIN a_src USING (src_id) JOIN a_tgt USING (tgt_id)
+                     JOIN bb USING (tgt_id)
+            WHERE floor(cos / ((a_src + a_tgt) / 2) * 1e6) / 1e6 >= 1.0""",
         # SemDeDup: the q_cosine_neardup pair generation composed with
         # the q_dup_clusters recursive-CTE transitive closure
         "q_semdedup": f"""

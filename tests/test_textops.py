@@ -627,3 +627,37 @@ def test_char_diversity_hand_computed(spark):
     assert r[3].char_diversity is None and r[3].n_chars_counted == 1
     assert r[4].char_diversity is None and r[4].n_chars_counted == 0
     assert r[5].char_diversity is None and r[5].n_distinct_chars == 0
+
+
+def test_margin_bitext_mutual_translation_pair(spark):
+    """A planted translation pair (near-identical vectors) must be
+    mined as each other's forward-best with a margin above its
+    neighbourhood average, flagged mutual; a hub-adjacent source whose
+    best target is claimed harder by another source stays non-mutual."""
+    from pdf_context_extractor_agent_spark.functions.similarity import (
+        margin_bitext_pairs,
+    )
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0]), (2, [0.0, 1.0, 0.1, 0.0]),
+         (4, [0.1, 0.9, 0.05, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.04, 0.0, 0.0]), (3, [0.05, 1.0, 0.1, 0.0]),
+         (5, [-1.0, 0.2, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.src_id: r
+        for r in margin_bitext_pairs(
+            src, tgt, k=2, n_planes=4, dim=4, threshold=0.0
+        ).collect()
+    }
+    assert rows[0].tgt_id == 1 and rows[0].is_mutual
+    # margin == 1.0 exactly when the probed neighbourhood is just the
+    # pair itself (cos / mean-of-one-cos); never below its average
+    assert rows[0].margin >= 1.0
+    # 2 and 4 both want target 3; only 3's own best (higher cos) is mutual
+    contested = [r for r in (rows.get(2), rows.get(4)) if r and r.tgt_id == 3]
+    assert contested and sum(r.is_mutual for r in contested) <= 1
