@@ -1780,6 +1780,32 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), budget_tokens=2048)
 
 
+def _q_seq_manifest(spark, sf):
+    """Training-shard slice manifest: per (window × doc) intersection,
+    the exact token slice that fills it, plus the shard each window
+    lands in (8 windows/shard here so the shard key is exercised)."""
+    from pdf_context_extractor_agent_spark.functions.sampling import sequence_manifest
+
+    return sequence_manifest(
+        _t(spark, sf, "documents"), budget_tokens=2048, seqs_per_shard=8
+    )
+
+
+def _q_shard_manifest(spark, sf):
+    """Per-shard loader manifest: windows, distinct docs, and tokens
+    per output shard (one groupBy on the shard partition key)."""
+    from pdf_context_extractor_agent_spark.functions.sampling import (
+        sequence_manifest,
+        shard_manifest,
+    )
+
+    return shard_manifest(
+        sequence_manifest(
+            _t(spark, sf, "documents"), budget_tokens=2048, seqs_per_shard=8
+        )
+    )
+
+
 def _q5_local_supplier_volume(spark, sf):
     """TPC-H Q5 shape: revenue per nation where customer and supplier
     share the nation, customers restricted to one region — the classic
@@ -2013,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": _q_nfc_normalize,
         "q_assign_splits": _q_assign_splits,
         "q_pack_sequences": _q_pack_sequences,
+        "q_seq_manifest": _q_seq_manifest,
+        "q_shard_manifest": _q_shard_manifest,
         "q_det_shuffle": _q_det_shuffle,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokens": _q_bpe_tokens,
@@ -4403,6 +4431,66 @@ GROUP BY sym""",
                    (floor(greatest(end_offset - 1, end_offset - n_tokens) / 2048.0)
                     - floor((end_offset - n_tokens) / 2048.0) + 1)::BIGINT AS n_seqs
             FROM c""",
+        # same prefix-sum chain as q_pack_sequences, then one window-x-doc
+        # intersection row per straddled window (generate_series) with the
+        # slice bounds as pure BIGINT arithmetic on the global offsets
+        "q_seq_manifest": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT AS end_offset
+              FROM t),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     (end_offset - n_tokens)::BIGINT AS start_offset,
+                     floor((end_offset - n_tokens) / 2048.0)::BIGINT AS first_seq,
+                     floor(greatest(end_offset - 1, end_offset - n_tokens) / 2048.0)::BIGINT AS last_seq
+              FROM c WHERE n_tokens > 0),
+            e AS (
+              SELECT doc_id, n_tokens, start_offset,
+                     unnest(generate_series(first_seq, last_seq)) AS seq_id
+              FROM p)
+            SELECT seq_id,
+                   floor(seq_id / 8.0)::BIGINT AS shard_id,
+                   doc_id,
+                   (greatest(seq_id * 2048, start_offset) - start_offset)::BIGINT AS tok_start,
+                   (least((seq_id + 1) * 2048, start_offset + n_tokens)
+                    - greatest(seq_id * 2048, start_offset))::BIGINT AS tok_len
+            FROM e""",
+        "q_shard_manifest": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT AS end_offset
+              FROM t),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     (end_offset - n_tokens)::BIGINT AS start_offset,
+                     floor((end_offset - n_tokens) / 2048.0)::BIGINT AS first_seq,
+                     floor(greatest(end_offset - 1, end_offset - n_tokens) / 2048.0)::BIGINT AS last_seq
+              FROM c WHERE n_tokens > 0),
+            e AS (
+              SELECT doc_id, n_tokens, start_offset,
+                     unnest(generate_series(first_seq, last_seq)) AS seq_id
+              FROM p),
+            m AS (
+              SELECT seq_id, floor(seq_id / 8.0)::BIGINT AS shard_id, doc_id,
+                     (least((seq_id + 1) * 2048, start_offset + n_tokens)
+                      - greatest(seq_id * 2048, start_offset))::BIGINT AS tok_len
+              FROM e)
+            SELECT shard_id,
+                   count(DISTINCT seq_id) AS n_seqs,
+                   count(DISTINCT doc_id) AS n_docs,
+                   sum(tok_len)::BIGINT AS n_tokens,
+                   min(seq_id) AS first_seq,
+                   max(seq_id) AS last_seq
+            FROM m GROUP BY shard_id""",
         # weight = first 16 bits of md5(term) / 2^16 - 0.5 — exact
         # multiples of 2^-16, so the per-doc sums are order-independent
         # exact doubles on both engines

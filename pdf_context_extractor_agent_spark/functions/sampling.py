@@ -314,3 +314,87 @@ def deterministic_shuffle(
             (F.col("_local_rank") - 1 + F.col("_offset")).alias("shuffle_pos"),
         )
     )
+
+
+def sequence_manifest(
+    docs: DataFrame,
+    budget_tokens: int,
+    seqs_per_shard: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-shard slice manifest: for every (training sequence ×
+    document) intersection, WHICH token slice of WHICH document fills
+    the window — the WebDataset/MDS-style index a shard writer consumes
+    to materialize fixed-context training shards without re-scanning
+    the corpus.
+
+    Builds on :func:`pack_sequences` (two-phase global prefix sum):
+    each doc explodes into one row per window it straddles (bounded by
+    ``ceil(n_tokens / budget) + 1`` — narrow, no shuffle), the slice
+    bounds are pure arithmetic on the global offsets, and
+    ``shard_id = seq_id // seqs_per_shard`` groups windows into
+    fixed-size output shards. The only exchange downstream consumers
+    need is a repartition on ``shard_id`` — which is exactly the
+    partitioned write :func:`write_shards` performs.
+
+    → ``(seq_id, shard_id, doc_id, tok_start, tok_len)`` where
+    ``tok_start`` is 0-based within the document and every window's
+    slices concatenate (ordered by global offset) to exactly
+    ``budget_tokens`` tokens, except the corpus-final window.
+    """
+    b = F.lit(budget_tokens)
+    packed = pack_sequences(docs, budget_tokens, id_col, text_col)
+    rows = packed.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    win_lo = F.col("seq_id") * b
+    win_hi = win_lo + b
+    doc_lo = F.col("start_offset")
+    doc_hi = doc_lo + F.col("n_tokens")
+    lo = F.greatest(win_lo, doc_lo)
+    hi = F.least(win_hi, doc_hi)
+    return rows.select(
+        "seq_id",
+        F.floor(F.col("seq_id") / F.lit(seqs_per_shard)).alias("shard_id"),
+        "doc_id",
+        (lo - doc_lo).alias("tok_start"),
+        (hi - lo).alias("tok_len"),
+    )
+
+
+def shard_manifest(seq_manifest: DataFrame) -> DataFrame:
+    """Per-shard summary over :func:`sequence_manifest` output — the
+    artifact a training launcher reads to size its data loader: one
+    groupBy on the shard key (the partition key the write already
+    clusters by), counting windows, distinct contributing documents,
+    and total tokens per shard."""
+    return (
+        seq_manifest.groupBy("shard_id")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tok_len").alias("n_tokens"),
+            F.min("seq_id").alias("first_seq"),
+            F.max("seq_id").alias("last_seq"),
+        )
+    )
+
+
+def write_shards(seq_manifest: DataFrame, path: str) -> None:
+    """Materialize the manifest partitioned by ``shard_id`` — one
+    directory per training shard, slices ordered within each file by
+    (seq_id, tok_start). ``repartition("shard_id")`` first so each
+    shard is one task's single file, not a fragment per upstream
+    partition (10^5 shards × 10^3 upstream partitions would otherwise
+    write 10^8 small files)."""
+    (
+        seq_manifest.repartition("shard_id")
+        .sortWithinPartitions("seq_id", "doc_id", "tok_start")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

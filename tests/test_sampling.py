@@ -202,3 +202,56 @@ def test_temperature_mix_rates_upweight_low_resource(spark):
     assert abs(r["sw"]["p_mix"] - 0.25) < 1e-4
     assert r["en"]["sample_rate"] == 1.0  # max stratum anchors at 1
     assert abs(r["sw"]["sample_rate"] - 1 / 3) < 1e-4  # sqrt(100)/sqrt(900)
+
+
+def test_sequence_manifest_windows_fill_exactly(spark, tmp_path):
+    """Every training window's slices must sum to exactly the token
+    budget (except the corpus-final window), slices must tile each doc
+    without gaps, and the partitioned shard write must produce one
+    directory per shard."""
+    from pdf_context_extractor_agent_spark.functions.sampling import (
+        sequence_manifest,
+        shard_manifest,
+        write_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(7 + 13 * i))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    man = sequence_manifest(docs, budget_tokens=32, seqs_per_shard=2)
+    rows = man.collect()
+
+    per_seq = {}
+    for r in rows:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.tok_len
+        assert r.shard_id == r.seq_id // 2
+        assert r.tok_len > 0 and r.tok_start >= 0
+    last = max(per_seq)
+    assert all(per_seq[s] == 32 for s in per_seq if s != last)
+    assert 0 < per_seq[last] <= 32
+
+    # slices tile each doc: sorted (tok_start, len) chain covers [0, n)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.tok_len))
+    n_tok = {i: 7 + 13 * i for i in range(12)}
+    for d, slices in by_doc.items():
+        pos = 0
+        for s, ln in sorted(slices):
+            assert s == pos
+            pos += ln
+        assert pos == n_tok[d]
+
+    sh = {r.shard_id: r for r in shard_manifest(man).collect()}
+    assert sum(r.n_seqs for r in sh.values()) == len(per_seq)
+    assert all(r.n_tokens == sum(
+        tl for row in rows if row.shard_id == k for tl in [row.tok_len]
+    ) for k, r in sh.items())
+
+    out = str(tmp_path / "shards")
+    write_shards(man, out)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == len(sh)
