@@ -252,6 +252,48 @@ def _webtext_pages(i: int) -> list[Page]:
     return pages
 
 
+def _twocol_page(i: int) -> Page:
+    """A two-column appendix page (positioned-glyph kinds only).
+
+    The physical layout puts the first four lines in a left column and
+    the next four in a right column at the same Ys (``colstart`` /
+    ``colbreak`` markers); logical reading order — what render_text
+    emits and byte-identity therefore asserts — is left column in full,
+    then right column. A flat Y sort would interleave them, so corpus
+    identity on these docs certifies the kernel's XY-cut. First words
+    cycle through distinct lengths so no ≥3 consecutive lines share an
+    X-anchor signature (keeps alignment-table detection quiet here).
+    """
+    leads = ("key", "data", "query")  # lengths 3/4/5 → distinct anchors
+    def line(k: int) -> str:
+        tail = " ".join(
+            _WORDS[(i * 13 + k * 5 + j) % len(_WORDS)] for j in range(3)
+        )
+        return f"{leads[k % 3]} {tail}"
+
+    page: Page = [("p", "appendix digest"), ("colstart", None)]
+    page += [("p", line(k)) for k in range(4)]
+    page.append(("colbreak", None))
+    page += [("p", line(k + 4)) for k in range(4)]
+    return page
+
+
+def _aligned_table_page(i: int) -> Page:
+    """A page whose table renders with NO ruling lines (``atable``):
+    cells anchor at shared column Xs only, so the kernel must detect it
+    from column alignment. Cell widths are fixed per column (gap stays
+    below the XY-cut gutter threshold — a cut can't slice the table)."""
+    rows = [["metr0", "cur0", "prv0"]] + [
+        [
+            f"m{r:04d}",
+            f"{(i * 7 + r * 3) % 10000:04d}",
+            f"{(i * 13 + r * 5) % 10000:04d}",
+        ]
+        for r in range(1, 5)
+    ]
+    return [("p", "metrics digest"), ("atable", rows)]
+
+
 def doc_content(i: int) -> tuple[list[Page], str]:
     """Logical content of document ``i`` → (pages, lang)."""
     kind = i % 10
@@ -291,6 +333,14 @@ def doc_content(i: int) -> tuple[list[Page], str]:
     pages.append([("p", "合并利润表"), ("table", _income_rows(m, comma))])
     pages.append([("p", "合并现金流量表"), ("table", _cash_flow_rows(m, comma))])
     pages.extend(_notes_pages(m, comma))
+    if kind in (3, 4):
+        # positioned-glyph layout slices (byte-identity certifies the
+        # kernel's XY-cut and alignment-table paths; slice 4 composes
+        # two-column layout with the CID/ObjStm minipdf encodings)
+        if i % 30 in (3, 4, 14, 23):
+            pages.append(_twocol_page(i))
+        if i % 30 in (13, 23, 24):
+            pages.append(_aligned_table_page(i))
     return pages, "zh"
 
 
@@ -307,7 +357,9 @@ def render_text(pages: list[Page]) -> str:
         for kind, payload in page:
             if kind == "p":
                 lines.append(payload)
-            else:
+            elif kind in ("colstart", "colbreak"):
+                continue  # layout markers carry no text
+            else:  # "table" | "atable" (unruled): rows join by tabs
                 for row in payload:
                     lines.append("\t".join(row))
     return "\n".join(lines)
@@ -368,6 +420,8 @@ def render_html(pages: list[Page], spans: bool = False) -> str:
     for page in pages:
         parts.append('<div class="page">')
         for kind, payload in page:
+            if kind in ("colstart", "colbreak"):
+                continue  # physical-layout markers have no HTML analog
             if kind == "p":
                 parts.append(f"<p>{_html.escape(payload)}</p>")
             elif spans:
@@ -402,39 +456,56 @@ def render_html(pages: list[Page], spans: bool = False) -> str:
 _CHAR_W = 6
 
 
+_COL2_X = 340  # right-column X base on two-column pages (gutter ≥ 100 px)
+
+
 def render_pdfish(pages: list[Page]) -> bytes:
     """Render the content model as an FPDF1 positioned-glyph content
     stream — positions only, NO structure: paragraph lines become
     word-runs with deterministic ±1 Y jitter (the kernel must re-cluster
     them), tables become ruling-line grids plus cell glyphs (the kernel
-    must re-detect rows/columns geometrically)."""
+    must re-detect rows/columns geometrically). ``atable`` blocks render
+    the same cell glyphs WITHOUT ruling segments (the kernel must detect
+    the table from column alignment alone), and ``colstart``/``colbreak``
+    markers lay the enclosed paragraphs out in two physical columns (the
+    kernel must recover logical reading order via XY-cut — a flat Y sort
+    would interleave the columns)."""
     out = ["FPDF1"]
     for page in pages:
         out.append("P 612 792")
         y = 20
+        x_base = 20
+        col_top = 20
         for kind, payload in page:
-            if kind == "p":
-                x = 20
+            if kind == "colstart":
+                col_top = y
+            elif kind == "colbreak":
+                x_base = _COL2_X
+                y = col_top
+            elif kind == "p":
+                x = x_base
                 for wi, word in enumerate(payload.split(" ")):
                     jit = (wi * 7 + y) % 3 - 1
                     out.append(f"T {x} {y + jit} {word}")
                     x += (len(word) + 1) * _CHAR_W
                 y += 12
             else:
+                ruled = kind == "table"
                 rows = payload
                 ncols = max(len(r) for r in rows)
                 col_w = [
                     max((len(r[c]) if c < len(r) else 0) for r in rows) * _CHAR_W + 8
                     for c in range(ncols)
                 ]
-                cols_x = [20]
+                cols_x = [x_base]
                 for w in col_w:
                     cols_x.append(cols_x[-1] + w)
                 rows_y = [y + i * 12 for i in range(len(rows) + 1)]
-                for ry in rows_y:
-                    out.append(f"L {cols_x[0]} {ry} {cols_x[-1]} {ry}")
-                for cx in cols_x:
-                    out.append(f"L {cx} {rows_y[0]} {cx} {rows_y[-1]}")
+                if ruled:
+                    for ry in rows_y:
+                        out.append(f"L {cols_x[0]} {ry} {cols_x[-1]} {ry}")
+                    for cx in cols_x:
+                        out.append(f"L {cx} {rows_y[0]} {cx} {rows_y[-1]}")
                 for ri, r in enumerate(rows):
                     cy = rows_y[ri] + 3
                     for ci, cell in enumerate(r):
@@ -488,6 +559,7 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
     if cid or mixed_codespace or scrambled_encoding:
         cid = True
         charset = sorted({c for page in pages for k, payload in page
+                          if k not in ("colstart", "colbreak")
                           for s in (payload.split(" ") if k == "p"
                                     else [c for r in payload for c in r])
                           for c in s} | {" "})
@@ -540,14 +612,21 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
             ops.append(f"{x1} {PAGE_H - ly1} m {x2} {PAGE_H - ly2} l S")
 
         y = 20
+        x_base = 20
+        col_top = 20
         for kind, payload in page:
-            if kind == "p":
+            if kind == "colstart":
+                col_top = y
+            elif kind == "colbreak":
+                x_base = _COL2_X
+                y = col_top
+            elif kind == "p":
                 # one text object per paragraph: first word positions via
                 # Tm, the rest via relative Td displacements
                 words = payload.split(" ")
                 parts = []
                 x_prev = y_prev = None
-                x = 20
+                x = x_base
                 for wi, word in enumerate(words):
                     jit = (wi * 7 + y) % 3 - 1
                     px, py = x, PAGE_H - (y + jit)
@@ -560,20 +639,22 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
                 ops.append(f"BT {font} 10 Tf " + " ".join(parts) + " ET")
                 y += 12
             else:
+                ruled = kind == "table"
                 rows = payload
                 ncols = max(len(r) for r in rows)
                 col_w = [
                     max((len(r[c]) if c < len(r) else 0) for r in rows) * _CHAR_W + 8
                     for c in range(ncols)
                 ]
-                cols_x = [20]
+                cols_x = [x_base]
                 for w in col_w:
                     cols_x.append(cols_x[-1] + w)
                 rows_y = [y + k * 12 for k in range(len(rows) + 1)]
-                for ry in rows_y:
-                    seg(cols_x[0], ry, cols_x[-1], ry)
-                for cx in cols_x:
-                    seg(cx, rows_y[0], cx, rows_y[-1])
+                if ruled:
+                    for ry in rows_y:
+                        seg(cols_x[0], ry, cols_x[-1], ry)
+                    for cx in cols_x:
+                        seg(cx, rows_y[0], cx, rows_y[-1])
                 for ri, r in enumerate(rows):
                     cy = rows_y[ri] + 3
                     for ci, cell in enumerate(r):

@@ -26,8 +26,13 @@ RECONSTRUCTED:
 * table detection: horizontal + vertical ruling segments form grids;
   distinct Ys are row boundaries, distinct Xs column boundaries; a cell
   is the text of all runs whose anchor falls inside its rectangle
-  (empty cells exist — they simply contain no glyphs);
-* reading order: non-table lines and table rows interleave by Y.
+  (empty cells exist — they simply contain no glyphs); tables with no
+  rulings are detected by column alignment (consecutive lines sharing
+  an identical ≥2-anchor X signature);
+* reading order: XY-cut whitespace-gap segmentation (column gutters
+  first, then horizontal bands); within a leaf block, non-table lines
+  and table rows interleave by Y — single-column pages degenerate to
+  the flat Y interleave.
 
 Integer coordinates end-to-end — no float nondeterminism (SURVEY.md §7
 risk 1).
@@ -37,6 +42,21 @@ from __future__ import annotations
 
 MAGIC = b"FPDF1\n"
 Y_TOL = 2
+# Nominal fixed-pitch glyph advance: every positioned-glyph container
+# this kernel reads (FPDF1, the minipdf writer) lays text out on a
+# 6-px/char grid, so a run's X extent is reconstructable from its
+# anchor + length. Real-PDF generalization would read per-font widths.
+CHAR_W = 6
+# Whitespace-gap thresholds for XY-cut segmentation. Word gaps render
+# at CHAR_W (6) and table-cell padding at 8, while column gutters are
+# laid out ≥ 100 px wide — 24 px cleanly separates "intra-block
+# spacing" from "layout whitespace" on both axes (leading is 12).
+GUTTER_X = 24
+GUTTER_Y = 24
+# Column-alignment table detection: this many consecutive lines whose
+# runs anchor at one identical tuple of ≥2 X positions form an
+# unruled table (paragraph lines share at most the left margin anchor).
+MIN_ALIGN_ROWS = 3
 
 
 def is_pdfish(blob: bytes) -> bool:
@@ -64,6 +84,173 @@ def _cluster_lines(runs: list[tuple[int, int, str]]) -> list[tuple[int, str]]:
     if cur:
         out.append((cur_y, " ".join(t for _x, _y, t in sorted(cur))))
     return out
+
+
+def _x_extent(run: tuple[int, int, str]) -> tuple[int, int]:
+    x, _y, text = run
+    return x, x + len(text) * CHAR_W
+
+
+def _cluster_rows(
+    runs: list[tuple[int, int, str]],
+) -> list[tuple[int, list[tuple[int, int, str]]]]:
+    """Y-cluster runs like ``_cluster_lines`` but keep the run tuples
+    per line (alignment detection needs the X anchors, not the text)."""
+    out: list[tuple[int, list[tuple[int, int, str]]]] = []
+    cur: list[tuple[int, int, str]] = []
+    cur_y: int | None = None
+    for run in sorted(runs, key=lambda r: (r[1], r[0])):
+        if cur_y is not None and abs(run[1] - cur_y) <= Y_TOL:
+            cur.append(run)
+        else:
+            if cur:
+                out.append((cur_y, cur))
+            cur = [run]
+            cur_y = run[1]
+    if cur:
+        out.append((cur_y, cur))
+    return out
+
+
+def _detect_aligned(
+    free_runs: list[tuple[int, int, str]],
+) -> tuple[list[dict], list[tuple[int, int, str]]]:
+    """Column-alignment (unruled) table detection.
+
+    The north-star layout engine detects tables "from ruling lines and
+    column alignment" (BASELINE.json; the reference gets both from
+    pdfplumber's table strategies, src/pdf_reader.py:61-100). Ruling
+    grids are handled by ``_detect_grids``; this is the alignment half:
+    ``MIN_ALIGN_ROWS``+ consecutive Y-lines whose runs all anchor at one
+    identical tuple of ≥2 X positions are an unruled table — the shared
+    anchors are column starts, each line a row, the run at each anchor
+    that row's cell. Prose lines are immune: word-wrap makes anchor
+    tuples differ line to line (only the left margin is shared).
+
+    Returns (tables, leftover_runs); each table is a box dict with
+    ``rows_at`` = [(y, [cell, ...]), ...] at the lines' real Ys.
+    """
+    lines = _cluster_rows(free_runs)
+    sigs: list[tuple[int, ...] | None] = []
+    for _y, runs in lines:
+        xs = tuple(x for x, _ry, _t in sorted(runs))
+        # ≥2 distinct anchors, no duplicate anchor (two runs at one X
+        # cannot both start a column)
+        sigs.append(xs if len(xs) >= 2 and len(xs) == len(set(xs)) else None)
+    tables: list[dict] = []
+    consumed: set[int] = set()
+    i = 0
+    while i < len(lines):
+        if sigs[i] is None:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(lines) and sigs[j] == sigs[i]:
+            j += 1
+        if j - i >= MIN_ALIGN_ROWS:
+            rows_at: list[tuple[int, list[str]]] = []
+            x1 = 0
+            for k in range(i, j):
+                y, runs = lines[k]
+                runs = sorted(runs)
+                rows_at.append((y, [t for _x, _ry, t in runs]))
+                x1 = max(x1, max(_x_extent(r)[1] for r in runs))
+            tables.append(
+                {
+                    "x0": sigs[i][0],
+                    "x1": x1,
+                    "y0": lines[i][0],
+                    "y1": lines[j - 1][0],
+                    "rows_at": rows_at,
+                }
+            )
+            consumed.update(range(i, j))
+            i = j
+        else:
+            i += 1
+    leftover = [
+        run
+        for k, (_y, runs) in enumerate(lines)
+        if k not in consumed
+        for run in runs
+    ]
+    return tables, leftover
+
+
+def _band_gaps(extents: list[tuple[int, int]], min_gap: int) -> list[int]:
+    """Midpoints of every maximal empty band ≥ ``min_gap`` strictly
+    inside the coverage of ``extents`` (a classic projection-profile
+    valley scan on integer intervals)."""
+    ivs = sorted(extents)
+    cuts: list[int] = []
+    hi = ivs[0][1]
+    for a, b in ivs[1:]:
+        if a - hi >= min_gap:
+            cuts.append((hi + a) // 2)
+        hi = max(hi, b)
+    return cuts
+
+
+def _split_bands(
+    runs: list[tuple[int, int, str]],
+    boxes: list[dict],
+    cuts: list[int],
+    axis: int,
+) -> list[tuple[list[tuple[int, int, str]], list[dict]]]:
+    """Partition elements into the bands delimited by ``cuts`` on
+    ``axis`` (0 = X, 1 = Y). A cut midpoint lies in genuinely empty
+    whitespace, so an element's low coordinate places it whole."""
+
+    def band(v: int) -> int:
+        n = 0
+        for c in cuts:
+            if v > c:
+                n += 1
+        return n
+
+    groups: list[tuple[list, list]] = [([], []) for _ in range(len(cuts) + 1)]
+    for r in runs:
+        groups[band(r[axis])][0].append(r)
+    for b in boxes:
+        groups[band(b["x0"] if axis == 0 else b["y0"])][1].append(b)
+    return [g for g in groups if g[0] or g[1]]
+
+
+def _xy_cut(
+    runs: list[tuple[int, int, str]], boxes: list[dict]
+) -> list[tuple[list[tuple[int, int, str]], list[dict]]]:
+    """Recursive whitespace-gap (XY-cut) page segmentation.
+
+    The north-star engine clusters glyphs "into text lines and blocks
+    via XY-cut/whitespace-gap analysis" and resolves reading order
+    (BASELINE.json). Runs project with their fixed-pitch X extents,
+    detected tables (ruled or aligned) ride along as atomic boxes so a
+    cut can never slice through one. Vertical gutter cuts take priority
+    — a column is read in full before its right neighbour — then
+    horizontal cuts order bands top-to-bottom; recursion continues until
+    neither axis has a gap ≥ the gutter thresholds. Single-column pages
+    have no qualifying gaps, so they stay one leaf and reading order
+    degenerates to the flat (y, x) interleave.
+    """
+    if not runs and not boxes:
+        return []
+    ext_x = [_x_extent(r) for r in runs] + [(b["x0"], b["x1"]) for b in boxes]
+    cuts = _band_gaps(ext_x, GUTTER_X)
+    if cuts:
+        return [
+            leaf
+            for group in _split_bands(runs, boxes, cuts, 0)
+            for leaf in _xy_cut(*group)
+        ]
+    ext_y = [(r[1], r[1]) for r in runs] + [(b["y0"], b["y1"]) for b in boxes]
+    cuts = _band_gaps(ext_y, GUTTER_Y)
+    if cuts:
+        return [
+            leaf
+            for group in _split_bands(runs, boxes, cuts, 1)
+            for leaf in _xy_cut(*group)
+        ]
+    return [(runs, boxes)]
 
 
 def _detect_grids(
@@ -141,7 +328,8 @@ def parse_pdfish(blob: bytes) -> list[dict]:
 def assemble_pages(pages_raw: list[dict]) -> list[dict]:
     """Layout reconstruction shared by every positioned-glyph format
     (FPDF1 and the minimal real-PDF tokenizer): runs + ruling segments →
-    lines (Y-clustered), tables (grid-detected), reading order."""
+    tables (ruling-grid AND column-alignment detected), lines
+    (Y-clustered), reading order (XY-cut: columns before Y interleave)."""
     out = []
     for page_no, p in enumerate(pages_raw, start=1):
         grids = _detect_grids(p["h"], p["v"])
@@ -153,10 +341,10 @@ def assemble_pages(pages_raw: list[dict]) -> list[dict]:
             return None
 
         free_runs = [r for r in p["runs"] if grid_of(r[0], r[1]) is None]
-        lines = _cluster_lines(free_runs)
+        aligned, free_runs = _detect_aligned(free_runs)
 
-        tables = []
-        for g in sorted(grids, key=lambda g: g["y0"]):
+        boxes: list[dict] = list(aligned)
+        for g in grids:
             rows_y, cols_x = g["rows_y"], g["cols_x"]
             cells = [
                 [[] for _ in range(len(cols_x) - 1)] for _ in range(len(rows_y) - 1)
@@ -177,16 +365,45 @@ def assemble_pages(pages_raw: list[dict]) -> list[dict]:
             rows = [
                 [" ".join(t for _x, t in sorted(c)) for c in row] for row in cells
             ]
-            tables.append({"y_top": g["y0"], "y_bottom": g["y1"], "rows": rows})
+            n_rows = len(rows)
+            boxes.append(
+                {
+                    "x0": g["x0"],
+                    "x1": g["x1"],
+                    "y0": g["y0"],
+                    "y1": g["y1"],
+                    # grid row Y = interpolated band top (the anchor the
+                    # reading-order interleave has always used); aligned
+                    # tables carry their lines' real Ys already
+                    "rows_at": [
+                        (
+                            g["y0"] + (g["y1"] - g["y0"]) * i // max(n_rows, 1),
+                            row,
+                        )
+                        for i, row in enumerate(rows)
+                    ],
+                }
+            )
+        boxes.sort(key=lambda b: (b["y0"], b["x0"]))
+        tables = [
+            {
+                "y_top": b["y0"],
+                "y_bottom": b["y1"],
+                "rows": [row for _ry, row in b["rows_at"]],
+            }
+            for b in boxes
+        ]
 
-        # reading order: free lines and table rows interleave by Y
-        elements: list[tuple[int, str]] = list(lines)
-        for t in tables:
-            n_rows = len(t["rows"])
-            for i, row in enumerate(t["rows"]):
-                ry = t["y_top"] + (t["y_bottom"] - t["y_top"]) * i // max(n_rows, 1)
-                elements.append((ry, "\t".join(row)))
-        elements.sort(key=lambda e: e[0])
+        # reading order: XY-cut leaves in cut order; within a leaf,
+        # free lines and table rows interleave by Y (single-column
+        # pages are one leaf — identical to the flat Y interleave)
+        elements: list[tuple[int, str]] = []
+        for leaf_runs, leaf_boxes in _xy_cut(free_runs, boxes):
+            leaf_el: list[tuple[int, str]] = list(_cluster_lines(leaf_runs))
+            for b in sorted(leaf_boxes, key=lambda b: (b["y0"], b["x0"])):
+                leaf_el.extend((ry, "\t".join(row)) for ry, row in b["rows_at"])
+            leaf_el.sort(key=lambda e: e[0])
+            elements.extend(leaf_el)
 
         out.append(
             {
