@@ -958,6 +958,38 @@ def _q_bm25(spark, sf):
     )
 
 
+def _q_phrase_search(spark, sf):
+    """Exact-phrase retrieval: positional postings filtered to the
+    phrase's terms while narrow, adjacent words aligned by pos-shift
+    equi-joins on (doc_id, anchor) — one shuffle keyed by doc_id."""
+    from pdf_context_extractor_agent_spark.functions.search import phrase_search
+
+    return phrase_search(_t(spark, sf, "documents"), ["batch", "stream"])
+
+
+def _q_zorder_layout(spark, sf):
+    """Morton write-layout keys over (user-bucket, minute-bucket):
+    magic-mask bit dilation, pure JVM integer ops, zero shuffle for the
+    key itself; file_id is the 256-way Z-curve segment the row would
+    land in after the one range-partition exchange a sorted write pays
+    anyway (each file then spans a small rectangle in BOTH dimensions,
+    so min/max stats prune on either predicate)."""
+    from pdf_context_extractor_agent_spark.functions.zorder import zorder_key
+
+    ev = _t(spark, sf, "events")
+    keyed = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("ub"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 60000000") % 1024).alias("mb"),
+    ).select(
+        "event_id",
+        "ub",
+        "mb",
+        zorder_key("ub", "mb").alias("zkey"),
+    )
+    return keyed.withColumn("file_id", F.shiftright(F.col("zkey"), 12))
+
+
 def _synth_url() -> F.Column:
     """Deterministic messy URL per document (the documents table has no
     url column): mixed-case host, www + cdn labels, tracking params
@@ -2062,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": _q_lm_score,
         "q_doc_freq": _q_doc_freq,
         "q_bm25": _q_bm25,
+        "q_phrase_search": _q_phrase_search,
+        "q_zorder_layout": _q_zorder_layout,
         "q_tfidf_keywords": _q_tfidf_keywords,
         "q_containment": _q_containment,
         "q_corpus_stats": _q_corpus_stats,
@@ -3223,6 +3257,46 @@ dim AS (
             FROM dfreq, n
             ORDER BY df DESC, word
             LIMIT 100""",
+        "q_phrase_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+              FROM documents),
+            pos AS (SELECT doc_id, unnest(w) AS term,
+                           generate_subscripts(w, 1) AS pos
+                    FROM toks),
+            m0 AS (SELECT doc_id, pos AS anchor_pos FROM pos WHERE term = 'batch'),
+            m1 AS (SELECT doc_id, pos - 1 AS anchor_pos FROM pos WHERE term = 'stream'),
+            hits AS (SELECT m0.doc_id, m0.anchor_pos
+                     FROM m0 JOIN m1 USING (doc_id, anchor_pos))
+            SELECT doc_id,
+                   count(*) AS n_hits,
+                   min(anchor_pos) AS first_pos
+            FROM hits GROUP BY doc_id""",
+        "q_zorder_layout": r"""
+            WITH src AS (
+              SELECT event_id,
+                     user_id % 1024 AS ub,
+                     (epoch_us(ts) // 60000000) % 1024 AS mb
+              FROM events),
+            a0 AS (SELECT event_id, ub, mb,
+                          ub & 65535 AS a, mb & 65535 AS b FROM src),
+            a1 AS (SELECT event_id, ub, mb,
+                          (a | (a << 8)) & 16711935 AS a,
+                          (b | (b << 8)) & 16711935 AS b FROM a0),
+            a2 AS (SELECT event_id, ub, mb,
+                          (a | (a << 4)) & 252645135 AS a,
+                          (b | (b << 4)) & 252645135 AS b FROM a1),
+            a3 AS (SELECT event_id, ub, mb,
+                          (a | (a << 2)) & 858993459 AS a,
+                          (b | (b << 2)) & 858993459 AS b FROM a2),
+            a4 AS (SELECT event_id, ub, mb,
+                          (a | (a << 1)) & 1431655765 AS a,
+                          (b | (b << 1)) & 1431655765 AS b FROM a3)
+            SELECT event_id, ub, mb,
+                   (a << 1) | b AS zkey,
+                   ((a << 1) | b) >> 12 AS file_id
+            FROM a4""",
         "q_bm25": r"""
             WITH toks AS (
               SELECT doc_id,

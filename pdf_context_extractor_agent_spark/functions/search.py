@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 
 from pdf_context_extractor_agent_spark.functions.lm import word_array
 
-__all__ = ["bm25_index", "bm25_search", "tfidf_keywords"]
+__all__ = [
+    "bm25_index",
+    "bm25_search",
+    "phrase_search",
+    "positional_postings",
+    "tfidf_keywords",
+]
 
 
 def _doc_stats(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
@@ -140,6 +146,49 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-based positional postings ``(doc_id, pos, term)`` — the
+    phrase/proximity layer of the inverted index (1-based to mirror
+    DuckDB/SQL list subscripts, like the bigram module)."""
+    return docs.select(
+        "doc_id", F.posexplode(word_array(F.col(text_col))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def phrase_search(
+    docs: DataFrame, phrase: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase search over positional postings.
+
+    Output ``(doc_id, n_hits, first_pos)`` — one row per document that
+    contains the phrase, with its occurrence count and the position of
+    its first word at the earliest occurrence.
+
+    Scale shape: postings are filtered to the phrase's terms while the
+    relation is still narrow (the same move as ``bm25_search``), then
+    each adjacent term is aligned by shifting its position back
+    (``pos - i``) and equi-joining on ``(doc_id, anchor_pos)``. All
+    k−1 joins share the one hash partitioning on ``doc_id``, so a
+    k-word phrase costs one shuffle of the phrase terms' postings —
+    never a positions-array explosion against the whole corpus.
+    """
+    terms = [t.lower() for t in phrase]
+    if len(terms) < 2:
+        raise ValueError("phrase_search needs at least two words")
+    posts = positional_postings(docs, text_col)
+    matched = posts.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("anchor_pos")
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = posts.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("anchor_pos")
+        )
+        matched = matched.join(nxt, ["doc_id", "anchor_pos"])
+    return matched.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"), F.min("anchor_pos").alias("first_pos")
+    )
 
 
 def tfidf_keywords(

@@ -99,3 +99,52 @@ def test_term_filter_precedes_shuffle(docs):
     # (toString prints parents first), so the filter is pre-shuffle
     filt = plan.rfind("cat")
     assert filt > first_exchange
+
+
+# ------------------------------------------------- phrase search
+
+
+@pytest.fixture(scope="module")
+def phrase_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "big data big data big"),   # "big data" at 1 and 3
+            (1, "data big"),                # reversed — no hit
+            (2, "big big data"),            # one hit at 2
+            (3, "Big Data rules"),          # case-folded hit at 1
+            (4, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_phrase_counts_and_positions(phrase_docs):
+    from pdf_context_extractor_agent_spark.functions.search import phrase_search
+
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_search(phrase_docs, ["big", "data"]).collect()
+    }
+    assert got == {0: (2, 1), 2: (1, 2), 3: (1, 1)}
+
+
+def test_phrase_three_words_and_overlaps(phrase_docs, spark):
+    from pdf_context_extractor_agent_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a a b a a a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_search(docs, ["a", "a", "a"]).collect()
+    }
+    # overlapping occurrences all count: doc 0 has [1..3] and [2..4]
+    assert got == {0: (2, 1), 1: (1, 4)}
+
+
+def test_phrase_rejects_single_word(phrase_docs):
+    from pdf_context_extractor_agent_spark.functions.search import phrase_search
+
+    with pytest.raises(ValueError):
+        phrase_search(phrase_docs, ["solo"])
