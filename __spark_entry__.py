@@ -990,6 +990,50 @@ def _q_zorder_layout(spark, sf):
     return keyed.withColumn("file_id", F.shiftright(F.col("zkey"), 12))
 
 
+def _q_zorder_pruning(spark, sf):
+    """The measurable payoff of the Z-order layout: per-file min/max
+    footer stats → files scanned for a 2-D range predicate, Z-curve
+    segments vs a time-sorted (1-D) layout of the same file count. The
+    time layout prunes nothing on the user axis; the Z layout prunes
+    on both."""
+    from pdf_context_extractor_agent_spark.functions.zorder import (
+        pruning_stats,
+        zorder_key,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("user_id") % 1024).alias("ub"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 60000000") % 1024).alias("mb"),
+    )
+    ranges = [(96, 159), (256, 511)]  # ub box ∧ mb box
+    zfiles = ev.withColumn(
+        "file_id", F.shiftright(zorder_key("ub", "mb"), 12)
+    )
+    tfiles = ev.withColumn("file_id", F.shiftright(F.col("mb"), 2))
+    z = pruning_stats(zfiles, "file_id", ["ub", "mb"], ranges).withColumn(
+        "layout", F.lit("zorder")
+    )
+    t = pruning_stats(tfiles, "file_id", ["ub", "mb"], ranges).withColumn(
+        "layout", F.lit("time_sorted")
+    )
+    return z.unionByName(t).select("layout", "n_files", "files_scanned", "scan_frac")
+
+
+def _q_chunk_sentences(spark, sf):
+    """Sentence-preserving chunking (prefix-sum assignment + dense
+    per-doc renumber + order-stable reassembly) over the same
+    punctuation-injected documents as q_sentences."""
+    from pdf_context_extractor_agent_spark.functions.webtext import chunk_sentences
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"((\w+ ){6}\w+) ", "$1. "
+        ).alias("text"),
+    )
+    return chunk_sentences(docs, budget_tokens=32)
+
+
 def _synth_url() -> F.Column:
     """Deterministic messy URL per document (the documents table has no
     url column): mixed-case host, www + cdn labels, tracking params
@@ -2096,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": _q_bm25,
         "q_phrase_search": _q_phrase_search,
         "q_zorder_layout": _q_zorder_layout,
+        "q_zorder_pruning": _q_zorder_pruning,
+        "q_chunk_sentences": _q_chunk_sentences,
         "q_tfidf_keywords": _q_tfidf_keywords,
         "q_containment": _q_containment,
         "q_corpus_stats": _q_corpus_stats,
@@ -3297,6 +3343,83 @@ dim AS (
                    (a << 1) | b AS zkey,
                    ((a << 1) | b) >> 12 AS file_id
             FROM a4""",
+        "q_zorder_pruning": r"""
+            WITH src AS (
+              SELECT user_id % 1024 AS ub,
+                     (epoch_us(ts) // 60000000) % 1024 AS mb
+              FROM events),
+            a0 AS (SELECT ub, mb, ub & 65535 AS a, mb & 65535 AS b FROM src),
+            a1 AS (SELECT ub, mb, (a | (a << 8)) & 16711935 AS a,
+                          (b | (b << 8)) & 16711935 AS b FROM a0),
+            a2 AS (SELECT ub, mb, (a | (a << 4)) & 252645135 AS a,
+                          (b | (b << 4)) & 252645135 AS b FROM a1),
+            a3 AS (SELECT ub, mb, (a | (a << 2)) & 858993459 AS a,
+                          (b | (b << 2)) & 858993459 AS b FROM a2),
+            a4 AS (SELECT ub, mb, (a | (a << 1)) & 1431655765 AS a,
+                          (b | (b << 1)) & 1431655765 AS b FROM a3),
+            keyed AS (SELECT ub, mb, ((a << 1) | b) >> 12 AS zfile,
+                             mb >> 2 AS tfile FROM a4),
+            zstats AS (SELECT zfile, min(ub) AS min0, max(ub) AS max0,
+                              min(mb) AS min1, max(mb) AS max1
+                       FROM keyed GROUP BY zfile),
+            tstats AS (SELECT tfile, min(ub) AS min0, max(ub) AS max0,
+                              min(mb) AS min1, max(mb) AS max1
+                       FROM keyed GROUP BY tfile),
+            z AS (SELECT 'zorder' AS layout, count(*)::BIGINT AS n_files,
+                         sum((max0 >= 96 AND min0 <= 159 AND
+                              max1 >= 256 AND min1 <= 511)::INT)::BIGINT
+                             AS files_scanned
+                  FROM zstats),
+            t AS (SELECT 'time_sorted' AS layout, count(*)::BIGINT AS n_files,
+                         sum((max0 >= 96 AND min0 <= 159 AND
+                              max1 >= 256 AND min1 <= 511)::INT)::BIGINT
+                             AS files_scanned
+                  FROM tstats)
+            SELECT layout, n_files, files_scanned,
+                   round(files_scanned / n_files, 4) AS scan_frac FROM z
+            UNION ALL
+            SELECT layout, n_files, files_scanned,
+                   round(files_scanned / n_files, 4) AS scan_frac FROM t""",
+        "q_chunk_sentences": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((\w+ ){6}\w+) ', '\1. ', 'g') AS t
+              FROM documents WHERE doc_id < 300),
+            marked AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(t, '([.!?。！？])\s+',
+                                                 '\1' || chr(30), 'g'),
+                                  chr(30)) AS l
+              FROM src),
+            idx AS (
+              SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+              FROM marked),
+            sent AS (
+              SELECT doc_id, i - 1 AS sent_idx, trim(l[i]) AS sentence
+              FROM idx WHERE length(trim(l[i])) > 0),
+            tok AS (
+              SELECT doc_id, sent_idx, sentence,
+                     len(string_split_regex(sentence, '\s+')) AS n_tok
+              FROM sent),
+            cum AS (
+              SELECT *, coalesce(sum(n_tok) OVER (
+                          PARTITION BY doc_id ORDER BY sent_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+              FROM tok),
+            asg AS (
+              SELECT *, cum_before // 32 AS raw_chunk FROM cum),
+            dense AS (
+              SELECT *, (dense_rank() OVER (
+                          PARTITION BY doc_id ORDER BY raw_chunk) - 1)::BIGINT
+                        AS chunk_idx
+              FROM asg)
+            SELECT doc_id, chunk_idx,
+                   count(*) AS n_sents,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+            FROM dense GROUP BY doc_id, chunk_idx""",
         "q_bm25": r"""
             WITH toks AS (
               SELECT doc_id,

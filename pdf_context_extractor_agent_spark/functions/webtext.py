@@ -94,6 +94,57 @@ def split_sentences(
     )
 
 
+def chunk_sentences(
+    docs: DataFrame,
+    budget_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-preserving chunking: ``(doc_id, chunk_idx, n_sents,
+    n_tokens, chunk_text)`` — the RAG-index / context-window unit
+    between raw sentences and ``sampling.pack_sequences`` (which packs
+    token ids to a HARD cap and may split mid-sentence; this keeps
+    sentences whole and overshoots by at most one sentence).
+
+    Assignment is a deterministic prefix-sum rule — a sentence joins
+    chunk ``floor(tokens_before_it / budget)`` — then chunk ids are
+    re-numbered densely per document (a jumbo sentence can make the
+    floor skip values). Both windows and the final aggregate run on the
+    one ``doc_id`` partitioning: a single shuffle end-to-end, no
+    per-row Python. Chunk text reassembles via sort-by-``sent_idx``
+    inside the aggregate (``array_sort`` over structs), never relying
+    on ``collect_list`` arrival order.
+    """
+    sents = split_sentences(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    assigned = (
+        sents.withColumn("n_tok", F.size(F.split(F.col("sentence"), r"\s+")))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tok").over(before), F.lit(0)),
+        )
+        .withColumn(
+            "raw_chunk", F.floor(F.col("cum_before") / F.lit(budget_tokens))
+        )
+        .withColumn(
+            "chunk_idx",
+            (F.dense_rank().over(w.orderBy("raw_chunk")) - 1).cast("bigint"),
+        )
+    )
+    return assigned.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").alias("n_sents"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def c4_line_flags(
     line: Column,
     min_words: int = 5,

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_layout"]
+__all__ = ["pruning_stats", "zorder_key", "zorder_layout"]
 
 # dilate 16 bits to the even positions of 32 (2-D interleave)
 _MASKS_2D = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
@@ -80,3 +80,41 @@ def zorder_layout(
     is exactly what makes per-file min/max stats selective."""
     keyed = df.withColumn(key_col, zorder_key(*dims))
     return keyed.repartitionByRange(n_files, key_col).sortWithinPartitions(key_col)
+
+
+def pruning_stats(
+    keyed: DataFrame,
+    file_col: str,
+    dims: list[Column | str],
+    ranges: list[tuple[int, int]],
+) -> DataFrame:
+    """How many files a conjunctive range predicate must scan under a
+    given file assignment — the measurable payoff of a write layout.
+
+    ``keyed`` carries the dimension columns plus ``file_col`` (the file
+    each row would land in). Per-file min/max of every dimension are
+    exactly the footer statistics Parquet/Iceberg keep; a file must be
+    scanned iff its [min, max] box intersects the predicate box on ALL
+    dimensions. Output is one row: ``(n_files, files_scanned,
+    scan_frac)``. One shuffle on ``file_col`` (map-side combined
+    min/max), then a single-row aggregate.
+    """
+    aggs = []
+    for i, d in enumerate(dims):
+        d = F.col(d) if isinstance(d, str) else d
+        aggs += [F.min(d).alias(f"min_{i}"), F.max(d).alias(f"max_{i}")]
+    files = keyed.groupBy(file_col).agg(*aggs)
+    must_scan = F.lit(True)
+    for i, (lo, hi) in enumerate(ranges):
+        must_scan = (
+            must_scan
+            & (F.col(f"max_{i}") >= F.lit(lo))
+            & (F.col(f"min_{i}") <= F.lit(hi))
+        )
+    return files.agg(
+        F.count("*").alias("n_files"),
+        F.sum(must_scan.cast("bigint")).alias("files_scanned"),
+        F.round(
+            F.sum(must_scan.cast("bigint")) / F.count("*"), 4
+        ).alias("scan_frac"),
+    )

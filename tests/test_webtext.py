@@ -309,3 +309,57 @@ def test_split_sentences_boundaries_and_nulls(spark):
     # "Dots... then more.   " -> boundary after the ellipsis' final dot;
     # the trailing-whitespace fragment is dropped
     assert [s for _, s in sorted(by_doc[5])] == ["Dots...", "then more."]
+
+
+# ------------------------------------------------- sentence chunking
+
+
+def test_chunk_sentences_budget_and_order(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import chunk_sentences
+
+    docs = spark.createDataFrame(
+        [(0, "one two three. four five. six seven eight. nine.")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["chunk_idx"]: r
+        for r in chunk_sentences(docs, budget_tokens=5).collect()
+    }
+    # s1(3 tok) fills 3 <5 → s2 joins chunk 0 (before=3 <5), s3 starts
+    # at before=5 → chunk 1, s4 at before=8 → chunk 1
+    assert rows[0]["chunk_text"] == "one two three. four five."
+    assert rows[0]["n_tokens"] == 5 and rows[0]["n_sents"] == 2
+    assert rows[1]["chunk_text"] == "six seven eight. nine."
+    assert rows[1]["n_tokens"] == 4
+
+
+def test_chunk_sentences_jumbo_sentence_renumbers_densely(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import chunk_sentences
+
+    jumbo = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, f"start here. {jumbo}. end now.")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_sentences(docs, budget_tokens=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # floor ids would be 0, 0|1?, then jump past the jumbo — dense ids
+    # must still be consecutive 0..n
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    assert rows[-1]["chunk_text"].endswith("end now.")
+
+
+def test_chunk_sentences_sentences_never_split(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import chunk_sentences
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta. epsilon zeta. eta theta iota kappa.")],
+        "doc_id long, text string",
+    )
+    out = chunk_sentences(docs, budget_tokens=3).collect()
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_idx"])
+    )
+    assert joined == "alpha beta gamma delta. epsilon zeta. eta theta iota kappa."

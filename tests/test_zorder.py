@@ -79,3 +79,41 @@ def test_layout_single_exchange_and_sorted(grid):
     out.select("zkey").rdd.mapPartitions(
         lambda it: check(it)
     ).count()
+
+
+def test_pruning_stats_zorder_beats_linear(grid, spark):
+    from pdf_context_extractor_agent_spark.functions.zorder import pruning_stats
+
+    zfiles = grid.select(
+        "x", "y", F.shiftright(zorder_key("x", "y"), 4).alias("file_id")
+    )
+    # 1-D layout: files sorted by x only — full y range in every file
+    lfiles = grid.select("x", "y", F.shiftright(F.col("y"), 2).alias("file_id"))
+    ranges = [(8, 15), (16, 31)]
+    z = pruning_stats(zfiles, "file_id", ["x", "y"], ranges).collect()[0]
+    l = pruning_stats(lfiles, "file_id", ["x", "y"], ranges).collect()[0]
+    assert z["files_scanned"] < z["n_files"]
+    # the 2-D layout scans a smaller fraction than the 1-D one
+    assert z["scan_frac"] < l["scan_frac"]
+
+
+def test_pruning_stats_never_misses_rows(grid):
+    """Files counted as prunable really contain no matching rows."""
+    from pdf_context_extractor_agent_spark.functions.zorder import pruning_stats
+
+    keyed = grid.select(
+        "x", "y", F.shiftright(zorder_key("x", "y"), 4).alias("file_id")
+    )
+    lo_x, hi_x, lo_y, hi_y = 8, 15, 16, 31
+    stats = pruning_stats(
+        keyed, "file_id", ["x", "y"], [(lo_x, hi_x), (lo_y, hi_y)]
+    ).collect()[0]
+    matching_files = (
+        keyed.filter(
+            (F.col("x").between(lo_x, hi_x)) & (F.col("y").between(lo_y, hi_y))
+        )
+        .select("file_id")
+        .distinct()
+        .count()
+    )
+    assert matching_files <= stats["files_scanned"]
