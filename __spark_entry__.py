@@ -1034,6 +1034,55 @@ def _q_chunk_sentences(spark, sf):
     return chunk_sentences(docs, budget_tokens=32)
 
 
+def _q_strip_frequent_lines(spark, sf):
+    """CCNet-style corpus-frequency boilerplate removal over documents
+    re-lined deterministically (newline after every 5th word): lines in
+    ≥3 distinct docs are dropped from all docs; digest-keyed frequency
+    shuffle + broadcast anti-flag join."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        strip_frequent_lines,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"((\w+ ){4}\w+) ", "$1\n"
+        ).alias("text"),
+    )
+    return strip_frequent_lines(docs, min_docs=3)
+
+
+def _q_strand_pairs(spark, sf):
+    """URL-structure bitext candidates (STRAND): mirror-site URLs built
+    deterministically from doc_id — docs 2k/2k+1 share a language-
+    stripped base (en-es or en-fr mirrors), every 9th doc's item id is
+    shifted so it has no partner; narrow regex projection + one
+    self-equi-join on the stripped base."""
+    from pdf_context_extractor_agent_spark.functions.urls import strand_pairs
+
+    d = F.col("doc_id")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("es"), F.lit("en"), F.lit("fr")),
+        ((d % 4) + 1).cast("int"),
+    )
+    item = F.when(d % 9 == 0, d + 1000).otherwise(F.expr("doc_id div 2"))
+    url = F.concat(
+        F.lit("https://m"),
+        (F.expr("doc_id div 2") % 5).cast("string"),
+        F.lit(".example.org/"),
+        lang,
+        F.lit("/item/"),
+        item.cast("string"),
+        F.lit("/view"),
+    )
+    pages = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(url.alias("url"))
+    )
+    return strand_pairs(pages)
+
+
 def _synth_url() -> F.Column:
     """Deterministic messy URL per document (the documents table has no
     url column): mixed-case host, www + cdn labels, tracking params
@@ -2142,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": _q_zorder_layout,
         "q_zorder_pruning": _q_zorder_pruning,
         "q_chunk_sentences": _q_chunk_sentences,
+        "q_strip_frequent_lines": _q_strip_frequent_lines,
+        "q_strand_pairs": _q_strand_pairs,
         "q_tfidf_keywords": _q_tfidf_keywords,
         "q_containment": _q_containment,
         "q_corpus_stats": _q_corpus_stats,
@@ -3380,6 +3431,55 @@ dim AS (
             UNION ALL
             SELECT layout, n_files, files_scanned,
                    round(files_scanned / n_files, 4) AS scan_frac FROM t""",
+        "q_strand_pairs": r"""
+            WITH pages AS (
+              SELECT 'https://m' || ((doc_id // 2) % 5)::VARCHAR
+                     || '.example.org/'
+                     || (['en', 'es', 'en', 'fr'])[(doc_id % 4) + 1]
+                     || '/item/'
+                     || (CASE WHEN doc_id % 9 = 0 THEN doc_id + 1000
+                              ELSE doc_id // 2 END)::VARCHAR
+                     || '/view' AS url
+              FROM documents WHERE doc_id < 400),
+            marked AS (
+              SELECT regexp_replace(url,
+                       '/(en|es|fr|de|zh|ja|pt|it|ru)/', '/', 'g') AS base_key,
+                     regexp_extract(url,
+                       '/(en|es|fr|de|zh|ja|pt|it|ru)/', 1) AS lang,
+                     url
+              FROM pages
+              WHERE regexp_extract(url,
+                      '/(en|es|fr|de|zh|ja|pt|it|ru)/', 1) <> '')
+            SELECT a.base_key,
+                   a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM marked a JOIN marked b USING (base_key)
+            WHERE a.lang < b.lang""",
+        "q_strip_frequent_lines": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((\w+ ){4}\w+) ', '\1' || chr(10), 'g') AS t
+              FROM documents WHERE doc_id < 300),
+            split AS (
+              SELECT doc_id, string_split(t, chr(10)) AS l FROM src),
+            lines AS (
+              SELECT doc_id, i - 1 AS line_no, l[i] AS line,
+                     md5(trim(l[i])) AS line_key
+              FROM split, unnest(generate_series(1, len(l))) AS u(i)),
+            freq AS (
+              SELECT line_key, TRUE AS boiler FROM lines
+              GROUP BY line_key HAVING count(DISTINCT doc_id) >= 3),
+            flagged AS (
+              SELECT lines.*, coalesce(boiler, FALSE) AS is_boiler
+              FROM lines LEFT JOIN freq USING (line_key))
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   sum(is_boiler::INT)::BIGINT AS n_removed,
+                   coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                       chr(10) ORDER BY line_no), '')
+                       AS kept_text
+            FROM flagged GROUP BY doc_id""",
         "q_chunk_sentences": r"""
             WITH src AS (
               SELECT doc_id,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "canonicalize_url",
+    "strand_pairs",
     "url_host",
     "registered_domain",
     "domain_stats",
@@ -315,3 +316,48 @@ def blocklist_filter(
         .drop("_bl_reg", "_bl_entries")
         .withColumnRenamed("_host", "host")
     )
+
+
+# language markers STRAND looks for as a whole path segment; kept to a
+# fixed closed set so the extraction regex is RE2-portable (the DuckDB
+# oracle) and can't mistake /end/ or /staging/ for a language
+_STRAND_LANGS = ("en", "es", "fr", "de", "zh", "ja", "pt", "it", "ru")
+_STRAND_SEG_RE = r"/(%s)/" % "|".join(_STRAND_LANGS)
+
+
+def strand_pairs(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-structure bitext candidate mining (STRAND, Resnik & Smith
+    2003): two pages whose URLs are identical after removing a
+    language path segment are translation candidates.
+
+    → ``(base_key, lang_a, url_a, lang_b, url_b)`` with ``lang_a <
+    lang_b`` (one row per unordered pair). Candidates feed
+    ``similarity.margin_bitext_pairs`` for content verification — URL
+    mining recalls pairs whose embeddings are missing, embedding
+    mining recalls pairs whose sites don't mirror paths; a curation
+    pipeline wants both.
+
+    Scale shape: the language segment extraction is a narrow regex
+    projection; the only shuffle is the self-equi-join on ``base_key``
+    (the language-stripped URL). Multilingual mirrors put 2-10 pages
+    per key, so the join explodes nothing; pages with no language
+    segment are filtered BEFORE the shuffle.
+    """
+    marked = (
+        pages.withColumn(
+            "_lang", F.regexp_extract(F.col(url_col), _STRAND_SEG_RE, 1)
+        )
+        .filter(F.col("_lang") != "")
+        .withColumn(
+            "base_key",
+            F.regexp_replace(F.col(url_col), _STRAND_SEG_RE, "/"),
+        )
+        .select("base_key", F.col("_lang").alias("lang"), F.col(url_col).alias("url"))
+    )
+    a = marked.select(
+        "base_key", F.col("lang").alias("lang_a"), F.col("url").alias("url_a")
+    )
+    b = marked.select(
+        "base_key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b")
+    )
+    return a.join(b, "base_key").filter(F.col("lang_a") < F.col("lang_b"))

@@ -94,6 +94,64 @@ def split_sentences(
     )
 
 
+def strip_frequent_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: a line appearing in
+    ``min_docs``+ DISTINCT documents is dropped from every document
+    (CCNet's cross-shard paragraph dedup, Wenzek et al. 2020 §3.1 —
+    repeated lines are navigation chrome, cookie banners, license
+    blurbs; unlike ``dedup.chunk_dedup`` no "owner" keeps a copy,
+    because a line this common is boilerplate, not content).
+
+    → ``(doc_id, n_lines, n_removed, kept_text)`` with surviving lines
+    rejoined in original order.
+
+    Scale shape: frequencies aggregate on the md5 of the trimmed line,
+    so the wide shuffle carries 16-byte digests, never line bodies; the
+    frequent-line dim that survives ``min_docs`` is tiny (boilerplate
+    is by definition few DISTINCT strings) and broadcast back — the
+    corpus-sized relation is never reshuffled for the join. The rebuild
+    is the one per-doc aggregate the pipeline's url partitioning
+    already serves.
+    """
+    lines = split_lines(docs, id_col, text_col).withColumn(
+        "line_key", F.md5(F.trim(F.col("line")))
+    )
+    frequent = (
+        lines.groupBy("line_key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_key")
+    )
+    flagged = lines.join(
+        F.broadcast(frequent.withColumn("is_boiler", F.lit(True))),
+        "line_key",
+        "left",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler").isNull(),
+                            F.struct("line_no", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+
+
 def chunk_sentences(
     docs: DataFrame,
     budget_tokens: int = 32,

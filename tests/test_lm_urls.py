@@ -285,3 +285,46 @@ def test_url_template_stats_flags_traps(spark):
            for r in url_template_stats(df, trap_threshold=10).collect()}
     assert out["a.com/p/{d}"] == (30, True)
     assert out["a.com/about"] == (1, False)
+
+
+# ------------------------------------------------ STRAND bitext mining
+
+
+def test_strand_pairs_basic_and_orphans(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import strand_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/en/item/1/view",),
+            ("https://a.org/es/item/1/view",),
+            ("https://a.org/fr/item/1/view",),   # 3 langs → 3 pairs
+            ("https://a.org/en/item/2/view",),   # no partner
+            ("https://b.org/en/item/1/view",),   # other host — no cross-pair
+            ("https://a.org/end/item/3/view",),  # not a language segment
+            ("https://a.org/plain/item/4/view",),
+        ],
+        "url string",
+    )
+    got = {
+        (r["lang_a"], r["lang_b"], r["base_key"])
+        for r in strand_pairs(pages).collect()
+    }
+    assert got == {
+        ("en", "es", "https://a.org/item/1/view"),
+        ("en", "fr", "https://a.org/item/1/view"),
+        ("es", "fr", "https://a.org/item/1/view"),
+    }
+
+
+def test_strand_pairs_lang_must_be_whole_segment(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import strand_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/menu/item/1",),   # 'en' inside a word
+            ("https://a.org/zen/item/1",),
+            ("https://a.org/en-us/item/1",),  # not the closed set
+        ],
+        "url string",
+    )
+    assert strand_pairs(pages).count() == 0

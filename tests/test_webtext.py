@@ -363,3 +363,64 @@ def test_chunk_sentences_sentences_never_split(spark):
         r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_idx"])
     )
     assert joined == "alpha beta gamma delta. epsilon zeta. eta theta iota kappa."
+
+
+# ---------------------------------------- corpus-frequency boilerplate
+
+
+def test_strip_frequent_lines_removes_from_all_docs(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        strip_frequent_lines,
+    )
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner}\nunique zero"),
+            (1, f"{banner}\nunique one"),
+            (2, f"{banner}\nunique two"),
+            (3, "no banner here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_frequent_lines(docs, min_docs=3).collect()}
+    # unlike owner-dedup, NO document keeps the banner
+    for d in (0, 1, 2):
+        assert got[d]["kept_text"] == f"unique {['zero','one','two'][d]}"
+        assert got[d]["n_removed"] == 1 and got[d]["n_lines"] == 2
+    assert got[3]["kept_text"] == "no banner here" and got[3]["n_removed"] == 0
+
+
+def test_strip_frequent_lines_threshold_and_duplicates_within_doc(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        strip_frequent_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "twice\ntwice\nkeep a"),  # 2 copies but ONE distinct doc
+            (1, "twice\nkeep b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_frequent_lines(docs, min_docs=3).collect()}
+    # distinct-doc count is 2 < 3 → nothing removed
+    assert got[0]["n_removed"] == 0 and got[0]["kept_text"] == "twice\ntwice\nkeep a"
+
+    got2 = {r["doc_id"]: r for r in strip_frequent_lines(docs, min_docs=2).collect()}
+    assert got2[0]["kept_text"] == "keep a" and got2[0]["n_removed"] == 2
+    assert got2[1]["kept_text"] == "keep b"
+
+
+def test_strip_frequent_lines_all_boiler_doc_survives_empty(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        strip_frequent_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "only boiler") for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = strip_frequent_lines(docs, min_docs=3).collect()
+    assert len(got) == 4
+    assert all(r["kept_text"] == "" and r["n_removed"] == 1 for r in got)
