@@ -2111,6 +2111,73 @@ def _q_dsir_select(spark, sf):
     )
 
 
+def _q_sniff_mime(spark, sf):
+    """Magic-byte content-type sniffing over synthesized crawl
+    payloads: 10 payload kinds keyed by doc_id % 10 (PDF, gzip, zip,
+    whitespace+uppercase-DOCTYPE html, BOM+html, xml, json, WARC,
+    prose, empty), built as hex → unhex binary so the gzip/zip magic
+    bytes are REAL non-UTF8 bytes; the oracle restates the synthesis
+    label. Exercises the BOM strip, the ltrim/lower marker scan, and
+    the latin-1 head decode (which can't throw on the raw gzip bytes)."""
+    from pdf_context_extractor_agent_spark.sources.pages import sniff_content_type
+
+    k = (F.col("doc_id") % 10).cast("int")
+    text_hex = F.hex(F.encode(F.substring(F.coalesce("text", F.lit("")), 1, 40),
+                              "UTF-8"))
+    payload_hex = (
+        F.when(k == 0, F.concat(F.lit("255044462D312E370A"), text_hex))
+        .when(k == 1, F.concat(F.lit("1F8B0800"), text_hex))
+        .when(k == 2, F.concat(F.lit("504B0304"), text_hex))
+        # "  \n\t<!DOCTYPE HTML><html>" — ws + uppercase marker
+        .when(k == 3, F.hex(F.encode(
+            F.concat(F.lit("  \n\t<!DOCTYPE HTML><html><body>"),
+                     F.substring(F.coalesce("text", F.lit("")), 1, 40)),
+            "UTF-8")))
+        .when(k == 4, F.concat(F.lit("EFBBBF"), F.hex(F.encode(
+            F.lit('<html lang="en"><head></head>'), "UTF-8"))))
+        .when(k == 5, F.hex(F.encode(
+            F.lit('<?xml version="1.0"?><urlset xmlns="x"/>'), "UTF-8")))
+        .when(k == 6, F.hex(F.encode(
+            F.concat(F.lit('  {"doc": '), F.col("doc_id").cast("string"),
+                     F.lit("}")), "UTF-8")))
+        .when(k == 7, F.hex(F.encode(F.lit("WARC/1.0\r\nWARC-Type: response"),
+                                     "UTF-8")))
+        .when(k == 8, F.hex(F.encode(
+            F.concat(F.lit("Just plain prose. "),
+                     F.substring(F.coalesce("text", F.lit("")), 1, 40)),
+            "UTF-8")))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.unhex(payload_hex).alias("payload")
+    )
+    return docs.select(
+        "doc_id", sniff_content_type(F.col("payload")).alias("content_type")
+    )
+
+
+def _q_wet_records(spark, sf):
+    """WET conversion-record sink: (url, warc_ts, text) → ISO-28500
+    record strings with byte-exact Content-Length (an 'é' is injected
+    into every body so a char count would be wrong); the oracle
+    rebuilds the record with strlen (DuckDB's byte length)."""
+    from pdf_context_extractor_agent_spark.sources.warc import wet_records
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf, "documents").filter(d < 400).select(
+        F.concat(F.lit("https://crawl.example.org/doc/"), d.cast("string"))
+        .alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.expr("make_interval(0,0,0,0,cast(doc_id % 97 as int),"
+                  "cast(doc_id % 59 as int),0)")).alias("warc_ts"),
+        F.replace(F.substring(F.coalesce("text", F.lit("")), 1, 120),
+                  F.lit("a"), F.lit("é")).alias("text"),
+    )
+    out = wet_records(pages)
+    return out.select("url", F.md5("wet_record").alias("record_md5"),
+                      F.length("wet_record").alias("record_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2231,6 +2298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_metadata": _q_page_metadata,
         "q_fix_mojibake": _q_fix_mojibake,
         "q_latest_revision": _q_latest_revision,
+        "q_sniff_mime": _q_sniff_mime,
+        "q_wet_records": _q_wet_records,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -3870,6 +3939,47 @@ dim AS (
             FROM r""",
         # cross-snapshot revisit dedup: newest warc_ts per canonical
         # url wins, doc_id breaks capture-time ties
+        # magic-byte MIME sniff: the oracle restates the synthesis label
+        # (the Spark side must RECOVER it from the constructed bytes)
+        "q_sniff_mime": r"""
+            SELECT doc_id,
+                   CASE (doc_id % 10)
+                     WHEN 0 THEN 'application/pdf'
+                     WHEN 1 THEN 'application/gzip'
+                     WHEN 2 THEN 'application/zip'
+                     WHEN 3 THEN 'text/html'
+                     WHEN 4 THEN 'text/html'
+                     WHEN 5 THEN 'application/xml'
+                     WHEN 6 THEN 'application/json'
+                     WHEN 7 THEN 'application/warc'
+                     WHEN 8 THEN 'text/plain'
+                     ELSE 'application/octet-stream'
+                   END AS content_type
+            FROM documents""",
+        # WET conversion records rebuilt verbatim; strlen = DuckDB byte
+        # length (Content-Length is bytes, 'é' makes bytes != chars)
+        "q_wet_records": r"""
+            WITH p AS (
+              SELECT 'https://crawl.example.org/doc/' || doc_id::VARCHAR AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + (doc_id % 97) * INTERVAL 1 HOUR
+                       + (doc_id % 59) * INTERVAL 1 MINUTE AS warc_ts,
+                     replace(substr(COALESCE(text, ''), 1, 120), 'a', 'é') AS body
+              FROM documents WHERE doc_id < 400),
+            r AS (
+              SELECT url,
+                     'WARC/1.0' || chr(13) || chr(10)
+                       || 'WARC-Type: conversion' || chr(13) || chr(10)
+                       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+                       || 'WARC-Date: ' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')
+                       || chr(13) || chr(10)
+                       || 'Content-Type: text/plain' || chr(13) || chr(10)
+                       || 'Content-Length: ' || strlen(body)::VARCHAR
+                       || chr(13) || chr(10) || chr(13) || chr(10)
+                       || body || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+              FROM p)
+            SELECT url, md5(rec) AS record_md5, length(rec) AS record_chars
+            FROM r""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -10,7 +10,7 @@ stage that needs only ``text`` must never read the ``html`` binary
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -144,6 +144,64 @@ def decomposed_pages(
         parsed.join(offs.select("url", "chunk", "off"), ["url", "chunk"])
         .withColumn("page", (F.col("page") + F.col("off")).cast("int"))
         .drop("chunk", "off")
+    )
+
+
+_SNIFF_WINDOW = 1024
+
+
+def sniff_content_type(blob: Column | str) -> Column:
+    """Magic-byte MIME sniffing over the raw crawl payload — the
+    dispatch step a Common-Crawl pipeline runs before routing a record
+    to the HTML kernel, the PDF kernel, or the discard lane (the
+    reference dispatches on file suffix at open time, main.py's
+    pdf-vs-html routing; a crawl can't trust suffixes, so production
+    sniffs bytes).
+
+    Pure projection over the FIRST KILOBYTE of the binary column: the
+    magic tests compare hex prefixes (byte-exact, charset-free) and the
+    text-marker tests decode the head as ISO-8859-1 — a total 1:1 byte
+    mapping that can never throw on malformed input, unlike UTF-8
+    decode — then lower/ltrim. No UDF, no shuffle; whole-stage codegen
+    keeps this riding the scan, and columnar readers fetch only the
+    ``html`` column. Detected types::
+
+        %PDF-            application/pdf      1F 8B    application/gzip
+        PK\\x03\\x04        application/zip      WARC/    application/warc
+        <!doctype|<html|<head|<body (case-insens., after ws/BOM)
+                         text/html
+        <?xml            application/xml      { or [   application/json
+        empty/null       application/octet-stream     else text/plain
+    """
+    blob = F.col(blob) if isinstance(blob, str) else blob
+    hexhead = F.hex(F.substring(blob, 1, 8))
+    has_bom = hexhead.startswith("EFBBBF")
+    head = F.decode(
+        F.when(has_bom, F.substring(blob, 4, _SNIFF_WINDOW)).otherwise(
+            F.substring(blob, 1, _SNIFF_WINDOW)
+        ),
+        "ISO-8859-1",
+    )
+    # regexp strip, not ltrim: ltrim removes only ' ' while real pages
+    # lead with \n/\t/\r before the doctype
+    t = F.lower(F.regexp_replace(head, r"^\s+", ""))
+    is_html = (
+        t.startswith("<!doctype")
+        | t.startswith("<html")
+        | t.startswith("<head")
+        | t.startswith("<body")
+    )
+    return (
+        F.when(blob.isNull() | (F.octet_length(blob) == 0),
+               F.lit("application/octet-stream"))
+        .when(hexhead.startswith("255044462D"), F.lit("application/pdf"))
+        .when(hexhead.startswith("1F8B"), F.lit("application/gzip"))
+        .when(hexhead.startswith("504B0304"), F.lit("application/zip"))
+        .when(hexhead.startswith("574152432F"), F.lit("application/warc"))
+        .when(is_html, F.lit("text/html"))
+        .when(t.startswith("<?xml"), F.lit("application/xml"))
+        .when(t.startswith("{") | t.startswith("["), F.lit("application/json"))
+        .otherwise(F.lit("text/plain"))
     )
 
 

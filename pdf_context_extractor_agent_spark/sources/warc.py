@@ -66,7 +66,9 @@ def _parse_warc_ts(value: str) -> datetime | None:
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[str, datetime | None, bytes]]:
     """Yield (target_uri, warc_date, page_body) for every response /
-    resource record. Malformed tails stop the scan instead of raising —
+    resource / conversion record (the last makes WET derived-text
+    archives ingestible too). Malformed tails stop the scan instead of
+    raising —
     a poison archive must never kill the task (same contract as the
     layout kernel's poison-doc guard)."""
     pos = 0
@@ -94,7 +96,7 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[str, datetime | None, bytes
         if block_end > n:
             return  # truncated record
         rtype = headers.get("warc-type", "").lower()
-        if rtype in ("response", "resource"):
+        if rtype in ("response", "resource", "conversion"):
             block = data[block_start:block_end]
             if rtype == "response" and "msgtype=response" in headers.get(
                 "content-type", ""
@@ -139,6 +141,53 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+_CRLF = "\r\n"
+
+
+def wet_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extracted text → WET ``conversion`` records (the Common Crawl
+    derived-text format, ISO 28500): the natural SINK of this pipeline,
+    since a WET file *is* "the extracted text of every page of a WARC".
+    Each record is a WARC/1.0 header block (Type: conversion,
+    Target-URI, Date, Content-Type: text/plain, Content-Length in
+    BYTES of the UTF-8 body — ``octet_length``, not ``length``: a char
+    count would corrupt the length-delimited framing on any non-ASCII
+    body) + CRLFCRLF + body + CRLFCRLF.
+
+    Pure string projection — no UDF, no shuffle; returns (url,
+    wet_record). ``write_wet`` streams the records file-per-partition,
+    so a 1000-executor run emits WET shards exactly as Common Crawl
+    does (one file per input partition, records concatenated)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: conversion" + _CRLF
+              + "WARC-Target-URI: "),
+        F.col(url_col),
+        F.lit(_CRLF + "WARC-Date: "),
+        date,
+        F.lit(_CRLF + "Content-Type: text/plain" + _CRLF + "Content-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        text,
+        F.lit(_CRLF + _CRLF),
+    )
+    return pages.select(F.col(url_col).alias("url"), record.alias("wet_record"))
+
+
+def write_wet(pages: DataFrame, path: str, **cols: str) -> None:
+    """Write WET shards: one text file per partition, records
+    concatenated in partition order (the text sink appends one ``\\n``
+    per row after the record's own trailing CRLFCRLF separator, which
+    the record parser skips as inter-record slack)."""
+    wet_records(pages, **cols).select("wet_record").write.mode("overwrite").text(path)
 
 
 # --------------------------------------------------------------------------

@@ -114,3 +114,55 @@ def test_warc_fuzz_roundtrip_and_garbage_tolerance():
         data = build_warc_bytes(recs, member_gzip=False, with_http_headers=http)
         got = list(iter_warc_records(data))
         assert [(u, b) for u, _, b in got] == [(u, b) for u, _, b in recs]
+
+
+# --------------------------------------------------------------------------
+# WET conversion sink
+# --------------------------------------------------------------------------
+
+def test_wet_records_roundtrip_through_parser(spark):
+    """A WET record IS a WARC conversion record: build records from a
+    pages frame, concatenate, and re-parse with iter_warc_records —
+    url, timestamp, and byte-exact body must all survive."""
+    from pdf_context_extractor_agent_spark.sources.warc import wet_records
+
+    pages = spark.createDataFrame(
+        [
+            ("http://e.com/a", dt.datetime(2024, 1, 2, 3, 4, 5), "héllo wörld"),
+            ("http://e.com/b", dt.datetime(2024, 6, 7, 8, 9, 10), ""),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    recs = {r["url"]: r["wet_record"] for r in wet_records(pages).collect()}
+    blob = "".join(recs[u] for u in sorted(recs)).encode("utf-8")
+    got = list(iter_warc_records(blob))
+    assert [(u, ts, b.decode("utf-8")) for u, ts, b in got] == [
+        ("http://e.com/a", dt.datetime(2024, 1, 2, 3, 4, 5), "héllo wörld"),
+        ("http://e.com/b", dt.datetime(2024, 6, 7, 8, 9, 10), ""),
+    ]
+
+
+def test_wet_content_length_is_bytes_not_chars(spark):
+    from pdf_context_extractor_agent_spark.sources.warc import wet_records
+
+    pages = spark.createDataFrame(
+        [("http://e.com/x", dt.datetime(2024, 1, 1), "é")],
+        "url string, warc_ts timestamp, text string",
+    )
+    rec = wet_records(pages).collect()[0]["wet_record"]
+    assert "Content-Length: 2" in rec  # 'é' is 2 UTF-8 bytes, 1 char
+
+
+def test_write_wet_files_reparse(spark, tmp_path):
+    from pdf_context_extractor_agent_spark.sources.warc import read_warc, write_wet
+
+    pages = spark.createDataFrame(
+        [(f"http://e.com/{i}", dt.datetime(2024, 1, 1, i), f"body {i}")
+         for i in range(8)],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wet")
+    write_wet(pages.repartition(3), out)
+    back = read_warc(spark, out + "/part-*")
+    got = sorted((r["url"], bytes(r["html"]).decode()) for r in back.collect())
+    assert got == [(f"http://e.com/{i}", f"body {i}") for i in range(8)]
