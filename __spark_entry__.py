@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2178,6 +2180,72 @@ def _q_wet_records(spark, sf):
                       F.length("wet_record").alias("record_chars"))
 
 
+def _q_decode_charset(spark, sf):
+    """Charset-aware byte→text decode: per doc_id%6 a fixture encoder
+    (pandas UDF) serializes the SAME body the oracle rebuilds in SQL,
+    under six charset regimes — meta utf-8, utf-8 BOM, meta
+    windows-1252 (curly quote at 0x92), meta ISO-8859-1, utf-16le BOM,
+    and unlabeled ascii (the utf-8-strict default lane). decode_pages
+    must detect the charset and recover the body byte-exactly."""
+    from pdf_context_extractor_agent_spark.functions.encoding import decode_pages
+
+    k = (F.col("doc_id") % 6).cast("int")
+    ascii_body = F.regexp_replace(
+        F.concat(F.lit("Prose "),
+                 F.substring(F.coalesce("text", F.lit("")), 1, 80),
+                 F.lit(" fin")),
+        "[^ -~]", "")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", k.alias("k"), ascii_body.alias("ab")
+    )
+
+    @F.pandas_udf("binary")
+    def enc(kk: pd.Series, bb: pd.Series) -> pd.Series:
+        out = []
+        for k_, b_ in zip(kk, bb):
+            e, q = b_.replace("a", "é"), b_.replace("a", "’")
+            if k_ == 0:
+                out.append(('<html><head><meta charset="utf-8"></head><body>'
+                            + e + "</body></html>").encode("utf-8"))
+            elif k_ == 1:
+                out.append(b"\xef\xbb\xbf"
+                           + f"<html><body>{e}</body></html>".encode("utf-8"))
+            elif k_ == 2:
+                out.append(('<html><head><meta charset="windows-1252">'
+                            "</head><body>" + q + "</body></html>")
+                           .encode("cp1252"))
+            elif k_ == 3:
+                out.append(("<html><head><meta charset='ISO-8859-1'>"
+                            "</head><body>" + e + "</body></html>")
+                           .encode("latin-1"))
+            elif k_ == 4:
+                out.append(b"\xff\xfe"
+                           + f"<html><body>{e}</body></html>".encode("utf-16-le"))
+            else:
+                out.append(f"<html><body>{b_}</body></html>".encode("ascii"))
+        return pd.Series(out)
+
+    pages = docs.select("doc_id", enc("k", "ab").alias("html"))
+    out = decode_pages(pages, keep=("doc_id",))
+    return out.select(
+        "doc_id", "charset", F.md5("text").alias("text_md5"),
+        F.length("text").alias("text_chars"),
+    )
+
+
+def _q_domain_prior(spark, sf):
+    """Bayesian-shrunk per-domain quality prior over the synthetic
+    messy URLs: integer ppm scores, exact long sums, div division —
+    bit-identical cross-engine with zero float hazards."""
+    from pdf_context_extractor_agent_spark.functions.urls import domain_prior
+
+    docs = _t(spark, sf, "documents").select(
+        _synth_url().alias("url"),
+        ((F.col("doc_id") * 7919) % 1000000).alias("score_ppm"),
+    )
+    return domain_prior(docs, smoothing=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2300,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_revision": _q_latest_revision,
         "q_sniff_mime": _q_sniff_mime,
         "q_wet_records": _q_wet_records,
+        "q_decode_charset": _q_decode_charset,
+        "q_domain_prior": _q_domain_prior,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -3980,6 +4050,62 @@ dim AS (
               FROM p)
             SELECT url, md5(rec) AS record_md5, length(rec) AS record_chars
             FROM r""",
+        # charset decode: oracle rebuilds the decoded document (header
+        # + injected body) and the detection label per synthesis kind
+        "q_decode_charset": r"""
+            WITH b AS (
+              SELECT doc_id, (doc_id % 6) AS k,
+                     regexp_replace(
+                       'Prose ' || substr(COALESCE(text, ''), 1, 80) || ' fin',
+                       '[^ -~]', '', 'g') AS ab
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CASE k
+                       WHEN 0 THEN '<html><head><meta charset="utf-8"></head><body>'
+                                   || replace(ab, 'a', 'é') || '</body></html>'
+                       WHEN 1 THEN '<html><body>' || replace(ab, 'a', 'é')
+                                   || '</body></html>'
+                       WHEN 2 THEN '<html><head><meta charset="windows-1252"></head><body>'
+                                   || replace(ab, 'a', '’') || '</body></html>'
+                       WHEN 3 THEN '<html><head><meta charset=''ISO-8859-1''></head><body>'
+                                   || replace(ab, 'a', 'é') || '</body></html>'
+                       WHEN 4 THEN '<html><body>' || replace(ab, 'a', 'é')
+                                   || '</body></html>'
+                       ELSE '<html><body>' || ab || '</body></html>'
+                     END AS txt,
+                     CASE k
+                       WHEN 2 THEN 'windows-1252'
+                       WHEN 3 THEN 'iso-8859-1'
+                       WHEN 4 THEN 'utf-16le'
+                       ELSE 'utf-8'
+                     END AS charset
+              FROM b)
+            SELECT doc_id, charset, md5(txt) AS text_md5,
+                   length(txt) AS text_chars
+            FROM d""",
+        # all-integer Bayesian shrinkage toward the corpus mean;
+        # // is DuckDB's integer floor-div == Spark's div on nonneg longs
+        "q_domain_prior": r"""
+            WITH u AS (
+              SELECT 'https://WWW.cdn.' || source || '.COM/A/' || doc_id::VARCHAR
+                       || '/page?utm_source=feed&id=' || doc_id::VARCHAR
+                       || '&ref=rss&x=Y#sec' AS url,
+                     (doc_id * 7919) % 1000000 AS s
+              FROM documents),
+            k AS (
+              SELECT regexp_extract(
+                       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                                      '^www\.', ''),
+                       '([^.]+\.[^.]+)$', 1) AS domain,
+                     s
+              FROM u),
+            g AS (SELECT (SUM(s) // COUNT(*))::BIGINT AS global_ppm FROM k)
+            SELECT domain, COUNT(*) AS n_docs,
+                   (SELECT global_ppm FROM g) AS global_ppm,
+                   ((SUM(s) + 10 * (SELECT global_ppm FROM g))
+                     // (COUNT(*) + 10))::BIGINT AS prior_ppm
+            FROM k GROUP BY domain""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -70,7 +70,15 @@ MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
     key=lambda p: (-len(p[0]), p[0]),
 )
 
-__all__ = ["MOJIBAKE_PAIRS", "fix_mojibake", "mojibake_score", "mojibake_stats"]
+__all__ = [
+    "MOJIBAKE_PAIRS",
+    "fix_mojibake",
+    "mojibake_score",
+    "mojibake_stats",
+    "detect_and_decode",
+    "decode_html",
+    "decode_pages",
+]
 
 
 def fix_mojibake(text: Column) -> Column:
@@ -109,4 +117,113 @@ def mojibake_stats(
         .cast("long")
         .alias("moji_score_ppm"),
         F.md5(fixed).alias("fixed_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# charset-aware byte → text decoding (the step BEFORE any text operator)
+# --------------------------------------------------------------------------
+#
+# The pages table stores the crawl payload as raw bytes (html binary);
+# everything downstream (kernel, quality, dedup) consumes TEXT. Real
+# crawls mix utf-8, windows-1252 mislabeled as iso-8859-1, BOM'd files
+# and utf-16 exports, so production pipelines run an explicit
+# detect+decode pass (WET generation does exactly this). Detection here
+# is the HTML standard's deterministic prefix algorithm — BOM first,
+# then a meta-charset declaration scanned in the first 1024 bytes —
+# with utf-8-strict-else-sloppy-cp1252 as the unlabeled fallback (the
+# WHATWG default for western content). No statistical guessing: the
+# same bytes always decode identically, which is what lets an SQL
+# oracle restate the result.
+#
+# Scale: one narrow Arrow-batched pandas UDF (charset decode has no JVM
+# builtin), zero shuffle; the 1024-byte sniff window bounds per-row
+# header work regardless of document size.
+
+_SNIFF = 1024
+
+#: alias → (python codec, canonical label)
+_CHARSET_ALIASES: dict[str, tuple[str, str]] = {
+    "utf-8": ("utf-8", "utf-8"),
+    "utf8": ("utf-8", "utf-8"),
+    "us-ascii": ("ascii", "us-ascii"),
+    "ascii": ("ascii", "us-ascii"),
+    "iso-8859-1": ("latin-1", "iso-8859-1"),
+    "iso8859-1": ("latin-1", "iso-8859-1"),
+    "latin-1": ("latin-1", "iso-8859-1"),
+    "latin1": ("latin-1", "iso-8859-1"),
+    "windows-1252": ("cp1252", "windows-1252"),
+    "cp1252": ("cp1252", "windows-1252"),
+    "x-cp1252": ("cp1252", "windows-1252"),
+    "utf-16": ("utf-16", "utf-16"),
+    "utf-16le": ("utf-16-le", "utf-16le"),
+    "utf-16be": ("utf-16-be", "utf-16be"),
+}
+
+import re as _re
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
+_META_CHARSET_RE = _re.compile(rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", _re.I)
+
+#: sloppy cp1252: the 5 undefined bytes fall back to Latin-1 (ftfy /
+#: Windows-API behavior) — a total function, never raises
+_SLOPPY_1252_TABLE = {b: ord(c) if len(c) == 1 else c for b, c in
+                      ((k, v) for k, v in _CP1252_HIGH.items())}
+
+
+def _sloppy_1252_decode(blob: bytes) -> str:
+    return blob.decode("latin-1").translate(_SLOPPY_1252_TABLE)
+
+
+def detect_and_decode(blob: bytes | None) -> tuple[str, str]:
+    """(canonical_charset, decoded_text) for one payload. Order: BOM
+    (utf-8 / utf-16le / utf-16be, consumed) → meta charset declaration
+    in the first 1024 bytes → utf-8 strict → sloppy cp1252 fallback."""
+    if blob is None:
+        return ("utf-8", "")
+    blob = bytes(blob)
+    if blob[:3] == b"\xef\xbb\xbf":
+        return ("utf-8", blob[3:].decode("utf-8", "replace"))
+    if blob[:2] == b"\xff\xfe":
+        return ("utf-16le", blob[2:].decode("utf-16-le", "replace"))
+    if blob[:2] == b"\xfe\xff":
+        return ("utf-16be", blob[2:].decode("utf-16-be", "replace"))
+    m = _META_CHARSET_RE.search(blob[:_SNIFF])
+    if m:
+        alias = m.group(1).decode("ascii", "replace").lower()
+        hit = _CHARSET_ALIASES.get(alias)
+        if hit:
+            codec, label = hit
+            if codec == "cp1252":
+                return (label, _sloppy_1252_decode(blob))
+            return (label, blob.decode(codec, "replace"))
+    try:
+        return ("utf-8", blob.decode("utf-8", "strict"))
+    except UnicodeDecodeError:
+        return ("windows-1252", _sloppy_1252_decode(blob))
+
+
+def decode_html(col: Column) -> Column:
+    """``binary → struct<charset:string, text:string>`` as an
+    Arrow-batched pandas UDF (vectorized transfer; charset decode has
+    no JVM builtin)."""
+
+    @F.pandas_udf("charset string, text string")
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        out = [detect_and_decode(b) for b in s]
+        return pd.DataFrame(out, columns=["charset", "text"])
+
+    return _decode(col)
+
+
+def decode_pages(
+    pages: DataFrame, html_col: str = "html", keep: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """Pages-table decode pass: (``keep`` columns, charset, text).
+    Narrow map — rides the scan partitioning, no shuffle."""
+    dec = decode_html(F.col(html_col)).alias("_dec")
+    return pages.select(*keep, dec).select(
+        *keep, F.col("_dec.charset").alias("charset"),
+        F.col("_dec.text").alias("text"),
     )

@@ -361,3 +361,53 @@ def strand_pairs(pages: DataFrame, url_col: str = "url") -> DataFrame:
         "base_key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b")
     )
     return a.join(b, "base_key").filter(F.col("lang_a") < F.col("lang_b"))
+
+
+def domain_prior(
+    docs: DataFrame,
+    url_col: str = "url",
+    score_col: str = "score_ppm",
+    smoothing: int = 10,
+) -> DataFrame:
+    """Bayesian-shrunk per-domain quality prior (the FineWeb-style
+    "domain reputation" rollup): documents carry an integer quality
+    score in parts-per-million (e.g. ``classifier`` output × 1e6, or a
+    gopher-gate pass rate); the domain prior is the score mean shrunk
+    toward the corpus mean by ``smoothing`` pseudo-observations::
+
+        prior_ppm = (sum_ppm + smoothing * global_ppm) div (n + smoothing)
+
+    so a 2-document domain stays near the corpus mean while a
+    10^6-document domain converges to its own mean — the standard fix
+    for small-domain variance before using the prior as a sampling or
+    gating signal.
+
+    ALL-INTEGER arithmetic: long sums and ``div`` (exact integer
+    division) make the result bit-identical on any engine — no float
+    association-order hazards (see sketch.py's determinism notes).
+    Plan shape: one shuffle on the registered domain (zipfian → AQE
+    skew territory), plus a one-row global aggregate broadcast back
+    via cross join; output is domain-dimension-sized.
+    """
+    keyed = docs.select(
+        registered_domain(F.col(url_col)).alias("domain"),
+        F.col(score_col).cast("long").alias("_s"),
+    )
+    per_dom = keyed.groupBy("domain").agg(
+        F.count("*").alias("n_docs"), F.sum("_s").alias("sum_ppm")
+    )
+    glob = keyed.agg(
+        F.expr("sum(_s) div count(*)").alias("_global_ppm")
+    )
+    return (
+        per_dom.crossJoin(F.broadcast(glob))
+        .select(
+            "domain",
+            "n_docs",
+            F.col("_global_ppm").alias("global_ppm"),
+            F.expr(
+                f"(sum_ppm + {int(smoothing)} * _global_ppm)"
+                f" div (n_docs + {int(smoothing)})"
+            ).alias("prior_ppm"),
+        )
+    )

@@ -64,3 +64,58 @@ def test_stats_schema_and_values(spark):
         "moji_score_ppm": "bigint",
         "fixed_md5": "string",
     }
+
+
+# --------------------------------------------------------------------------
+# charset-aware byte → text decode
+# --------------------------------------------------------------------------
+
+def test_detect_and_decode_fallback_paths():
+    from pdf_context_extractor_agent_spark.functions.encoding import (
+        detect_and_decode,
+    )
+
+    # clean utf-8 with no label → utf-8 strict lane
+    assert detect_and_decode("héllo".encode("utf-8")) == ("utf-8", "héllo")
+    # invalid utf-8, no label → sloppy cp1252 (0x92 → ’, hole 0x81 → \x81)
+    assert detect_and_decode(b"caf\xe9 \x92 \x81") == (
+        "windows-1252", "café ’ \x81"
+    )
+    # meta label beyond the 1024-byte sniff window is ignored
+    far = b"x" * 1100 + b'<meta charset="windows-1252">\x92'
+    cs, txt = detect_and_decode(far)
+    assert cs == "windows-1252"  # via invalid-utf8 fallback, not the meta
+    assert txt.endswith("’")
+    # unknown alias → fallback lane, not a crash
+    assert detect_and_decode(b'<meta charset="klingon">ok')[1].endswith("ok")
+
+
+def test_decode_pages_spark_roundtrip(spark):
+    from pdf_context_extractor_agent_spark.functions.encoding import decode_pages
+
+    rows = [
+        ("u0", '<meta charset="utf-8"><body>héllo</body>'.encode("utf-8")),
+        ("u1", b"\xef\xbb\xbf" + "bom héllo".encode("utf-8")),
+        ("u2", '<meta charset="windows-1252">café ’'.encode("cp1252")),
+        ("u3", b"\xff\xfe" + "utf16 héllo".encode("utf-16-le")),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["charset"], r["text"])
+           for r in decode_pages(df).collect()}
+    assert got["u0"] == ("utf-8", '<meta charset="utf-8"><body>héllo</body>')
+    assert got["u1"] == ("utf-8", "bom héllo")
+    assert got["u2"] == ("windows-1252", '<meta charset="windows-1252">café ’')
+    assert got["u3"] == ("utf-16le", "utf16 héllo")
+    assert got["u4"] == ("utf-8", "")
+
+
+def test_decode_pages_no_shuffle(spark):
+    from pdf_context_extractor_agent_spark.functions.encoding import decode_pages
+
+    df = spark.createDataFrame([("u", b"x")], "url string, html binary")
+    plan = (
+        decode_pages(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython

@@ -328,3 +328,24 @@ def test_strand_pairs_lang_must_be_whole_segment(spark):
         "url string",
     )
     assert strand_pairs(pages).count() == 0
+
+
+def test_domain_prior_shrinks_small_domains(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import domain_prior
+
+    rows = (
+        # big.com: 40 docs at 900000 ppm — prior stays near its own mean
+        [(f"https://big.com/{i}", 900000) for i in range(40)]
+        # tiny.com: 1 doc at 0 ppm — prior pulled hard toward global
+        + [("https://tiny.com/x", 0)]
+    )
+    df = spark.createDataFrame(rows, "url string, score_ppm long")
+    got = {r["domain"]: r for r in domain_prior(df, smoothing=10).collect()}
+    g = got["big.com"]["global_ppm"]
+    assert g == (40 * 900000) // 41
+    # exact integer formula on both domains
+    assert got["big.com"]["prior_ppm"] == (40 * 900000 + 10 * g) // 50
+    assert got["tiny.com"]["prior_ppm"] == (0 + 10 * g) // 11
+    # shrinkage direction: tiny sits close to global, big close to 900000
+    assert abs(got["tiny.com"]["prior_ppm"] - g) < abs(0 - g)
+    assert abs(got["big.com"]["prior_ppm"] - 900000) < abs(g - 900000)
