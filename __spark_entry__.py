@@ -2246,6 +2246,50 @@ def _q_domain_prior(spark, sf):
     return domain_prior(docs, smoothing=10)
 
 
+def _q_markdown(spark, sf):
+    """Markdown document assembly from structured blocks (heading /
+    paragraph / list / pipe-table), one groupBy per doc with
+    array_sort-pinned block order; the oracle rebuilds the full
+    markdown string inline."""
+    from pdf_context_extractor_agent_spark.functions.webtext import render_markdown
+
+    d = F.col("doc_id")
+    nul_cells = F.lit(None).cast("array<array<string>>")
+    nul_text = F.lit(None).cast("string")
+
+    def blk(seq, kind, text, cells):
+        return F.struct(
+            F.lit(seq).alias("seq"), F.lit(kind).alias("kind"),
+            text.alias("text"), cells.alias("cells"),
+        )
+
+    blocks = _t(spark, sf, "documents").filter(d < 300).select(
+        "doc_id",
+        F.inline(F.array(
+            blk(0, "h1", F.concat(F.lit("Doc "), d.cast("string")), nul_cells),
+            blk(1, "p",
+                F.substring(F.coalesce("text", F.lit("")), 1, 100), nul_cells),
+            blk(2, "h2", F.lit("Details"), nul_cells),
+            blk(3, "li",
+                F.concat(F.lit("item "), (d % 5).cast("string")), nul_cells),
+            blk(4, "li",
+                F.concat(F.lit("item "), ((d + 1) % 5).cast("string")),
+                nul_cells),
+            blk(5, "table", nul_text,
+                F.array(
+                    F.array(F.lit("k"), F.lit("v")),
+                    F.array(F.lit("a"), d.cast("string")),
+                    F.array(F.lit("b"), (d * 2).cast("string")),
+                )),
+        )),
+    )
+    out = render_markdown(blocks)
+    return out.select(
+        "doc_id", F.md5("markdown").alias("md_md5"),
+        F.length("markdown").alias("md_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2370,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet_records": _q_wet_records,
         "q_decode_charset": _q_decode_charset,
         "q_domain_prior": _q_domain_prior,
+        "q_markdown": _q_markdown,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4106,6 +4151,28 @@ dim AS (
                    ((SUM(s) + 10 * (SELECT global_ppm FROM g))
                      // (COUNT(*) + 10))::BIGINT AS prior_ppm
             FROM k GROUP BY domain""",
+        # markdown assembly: the oracle rebuilds the whole rendered
+        # document (headings, list items, pipe table) as one string
+        "q_markdown": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     '# Doc ' || doc_id::VARCHAR
+                       || chr(10) || chr(10)
+                       || substr(COALESCE(text, ''), 1, 100)
+                       || chr(10) || chr(10)
+                       || '## Details'
+                       || chr(10) || chr(10)
+                       || '- item ' || (doc_id % 5)::VARCHAR
+                       || chr(10) || chr(10)
+                       || '- item ' || ((doc_id + 1) % 5)::VARCHAR
+                       || chr(10) || chr(10)
+                       || '| k | v |' || chr(10)
+                       || '| --- | --- |' || chr(10)
+                       || '| a | ' || doc_id::VARCHAR || ' |' || chr(10)
+                       || '| b | ' || (doc_id * 2)::VARCHAR || ' |' AS md
+              FROM documents WHERE doc_id < 300)
+            SELECT doc_id, md5(md) AS md_md5, length(md) AS md_chars
+            FROM m""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

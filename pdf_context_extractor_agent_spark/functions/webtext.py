@@ -600,3 +600,120 @@ def meta_robots(
             "robots_indexable",
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Markdown rendering (the LLM-training output format for extracted pages)
+# --------------------------------------------------------------------------
+
+def _table_md(cells: Column) -> Column:
+    """GitHub-pipe markdown for one table (array<array<string>>): header
+    row, ``| --- |`` separator sized from the header, body rows.
+    try_element_at (ANSI mode: plain element_at throws on empty)."""
+    rows_md = F.transform(
+        cells, lambda r: F.concat(F.lit("| "), F.array_join(r, " | "), F.lit(" |"))
+    )
+    header = F.try_element_at(rows_md, F.lit(1))
+    sep = F.concat(
+        F.lit("|"),
+        F.expr("repeat(' --- |', size(try_element_at(cells, 1)))"),
+    )
+    body = F.when(
+        F.size(cells) > 1,
+        F.concat(
+            F.lit("\n"),
+            F.array_join(F.slice(rows_md, 2, F.size(cells) - 1), "\n"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.when(
+        cells.isNull() | (F.size(cells) == 0), F.lit("")
+    ).otherwise(F.concat(header, F.lit("\n"), sep, body))
+
+
+def render_markdown(
+    blocks: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Structured blocks → one markdown document per id.
+
+    Input schema: ``(id_col, seq int, kind string, text string,
+    cells array<array<string>>)`` with kind ∈ {h1..h6, p, li, table}
+    — the relational form of an extracted page (the bridge from the
+    layout kernel is :func:`markdown_blocks_from_pages`). Rendering:
+    ``#``×n headings, plain paragraphs, ``- `` list items, GitHub pipe
+    tables; blocks joined by blank lines in ``seq`` order.
+
+    Plan: one projection renders every block, then ONE shuffle per
+    document id; order is pinned by ``array_sort`` on (seq, md) structs
+    — collect_list is partition-order-dependent, the sort makes
+    assembly deterministic. Whole documents as strings: the same
+    "document-sized value" contract every other per-doc operator here
+    uses."""
+    level = F.when(
+        F.col("kind").rlike("^h[1-6]$"),
+        F.substring("kind", 2, 1).cast("int"),
+    )
+    md = (
+        F.when(level.isNotNull(),
+               F.concat(F.expr("repeat('#', cast(substring(kind, 2, 1) as int))"),
+                        F.lit(" "), F.coalesce("text", F.lit(""))))
+        .when(F.col("kind") == "li",
+              F.concat(F.lit("- "), F.coalesce("text", F.lit(""))))
+        .when(F.col("kind") == "table", _table_md(F.col("cells")))
+        .otherwise(F.coalesce("text", F.lit("")))  # p and unknown kinds
+    )
+    rendered = blocks.select(id_col, "seq", md.alias("md"))
+    return (
+        rendered.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "md"))),
+                    lambda x: x["md"],
+                ),
+                "\n\n",
+            ).alias("markdown")
+        )
+    )
+
+
+def markdown_blocks_from_pages(pages: DataFrame) -> DataFrame:
+    """Layout-kernel output → markdown blocks: each text line becomes a
+    paragraph block, each table a table block, ordered by (page, y)
+    with tables anchored at y_top; lines INSIDE a table's y-interval on
+    the same page are dropped (they are the table's own cells). seq is
+    a dense per-document row_number — deterministic because (page, y,
+    is_table) is a total order within a page."""
+    from pyspark.sql import Window
+
+    line = F.explode_outer("lines").alias("line")
+    lines = pages.select(
+        "url", "page", F.col("tables").alias("_tbls"), line
+    ).select(
+        "url", "page",
+        F.col("line.y").alias("y"),
+        F.col("line.text").alias("text"),
+        F.lit(0).alias("is_table"),
+        F.lit(None).cast("array<array<string>>").alias("cells"),
+        F.exists(
+            "_tbls",
+            lambda t: (F.col("line.y") >= t["y_top"])
+            & (F.col("line.y") <= t["y_bottom"]),
+        ).alias("_in_table"),
+    ).filter(~F.coalesce("_in_table", F.lit(False))).drop("_in_table")
+    tbl = F.explode_outer("tables").alias("tbl")
+    tables = pages.select("url", "page", tbl).select(
+        "url", "page",
+        F.col("tbl.y_top").alias("y"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(1).alias("is_table"),
+        F.col("tbl.rows").alias("cells"),
+    ).filter(F.col("cells").isNotNull())
+    both = lines.filter(F.col("text").isNotNull()).unionByName(tables)
+    w = Window.partitionBy("url").orderBy("page", "y", "is_table")
+    return both.select(
+        F.col("url").alias("doc_id"),
+        F.row_number().over(w).alias("seq"),
+        F.when(F.col("is_table") == 1, F.lit("table")).otherwise(F.lit("p"))
+        .alias("kind"),
+        "text", "cells",
+    )

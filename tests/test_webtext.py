@@ -424,3 +424,67 @@ def test_strip_frequent_lines_all_boiler_doc_survives_empty(spark):
     got = strip_frequent_lines(docs, min_docs=3).collect()
     assert len(got) == 4
     assert all(r["kept_text"] == "" and r["n_removed"] == 1 for r in got)
+
+
+# --------------------------------------------------------------------------
+# markdown rendering
+# --------------------------------------------------------------------------
+
+def test_render_markdown_block_kinds(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import render_markdown
+
+    blocks = spark.createDataFrame(
+        [
+            # scrambled seq order on purpose — assembly must sort
+            (1, 3, "li", "second item", None),
+            (1, 0, "h1", "Title", None),
+            (1, 2, "li", "first item", None),
+            (1, 1, "p", "A paragraph.", None),
+            (1, 4, "h3", "Deep", None),
+            (1, 5, "table", None, [["h1", "h2"], ["a", "b"], ["c", "d"]]),
+        ],
+        "doc_id int, seq int, kind string, text string, cells array<array<string>>",
+    )
+    md = render_markdown(blocks).collect()[0]["markdown"]
+    assert md == (
+        "# Title\n\nA paragraph.\n\n- first item\n\n- second item\n\n"
+        "### Deep\n\n"
+        "| h1 | h2 |\n| --- | --- |\n| a | b |\n| c | d |"
+    )
+
+
+def test_render_markdown_edge_tables(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import render_markdown
+
+    blocks = spark.createDataFrame(
+        [
+            (1, 0, "table", None, [["only", "header"]]),  # header-only
+            (2, 0, "table", None, []),                     # empty → ""
+            (3, 0, "table", None, None),                   # null → ""
+        ],
+        "doc_id int, seq int, kind string, text string, cells array<array<string>>",
+    )
+    got = {r["doc_id"]: r["markdown"] for r in render_markdown(blocks).collect()}
+    assert got[1] == "| only | header |\n| --- | --- |"
+    assert got[2] == ""
+    assert got[3] == ""
+
+
+def test_markdown_from_kernel_pages(page_df):
+    """Kernel bridge: every parsed doc renders to markdown; table rows
+    appear as pipe rows, narrative lines as paragraphs, and no line
+    that sits inside a table's y-interval is duplicated."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        markdown_blocks_from_pages,
+        render_markdown,
+    )
+
+    blocks = markdown_blocks_from_pages(page_df)
+    md = render_markdown(blocks)
+    rows = md.collect()
+    assert len(rows) == page_df.select("url").distinct().count()
+    sample = {r["doc_id"]: r["markdown"] for r in rows}
+    any_md = next(iter(sample.values()))
+    assert any_md.strip() != ""
+    # at least one doc has a rendered pipe table
+    assert any("| --- |" in v for v in sample.values())
