@@ -2290,6 +2290,30 @@ def _q_markdown(spark, sf):
     )
 
 
+def _q_toc(spark, sf):
+    """Document-outline extraction: 8 synthetic headings per doc with
+    pseudo-random levels 1–3; nearest-smaller-level parent via bounded
+    running-max windows + 5-round label resolution; the oracle restates
+    the windows and resolves labels with a recursive CTE."""
+    from pdf_context_extractor_agent_spark.functions.webtext import toc_from_blocks
+
+    d = F.col("doc_id")
+    i = F.col("i")
+    lv = (1 + (d + i * i) % 3).cast("int")
+    blocks = (
+        _t(spark, sf, "documents")
+        .filter(d < 300)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"))
+        .select(
+            "doc_id",
+            i.cast("int").alias("seq"),
+            F.concat(F.lit("h"), lv.cast("string")).alias("kind"),
+            F.concat(F.lit("H"), i.cast("string")).alias("text"),
+        )
+    )
+    return toc_from_blocks(blocks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2415,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decode_charset": _q_decode_charset,
         "q_domain_prior": _q_domain_prior,
         "q_markdown": _q_markdown,
+        "q_toc": _q_toc,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4173,6 +4198,44 @@ dim AS (
               FROM documents WHERE doc_id < 300)
             SELECT doc_id, md5(md) AS md_md5, length(md) AS md_chars
             FROM m""",
+        # outline extraction: same running-max parent windows; labels
+        # via recursive CTE instead of the bounded join unroll
+        "q_toc": r"""
+            WITH RECURSIVE s AS (SELECT range AS i FROM range(0, 8)),
+            h AS (
+              SELECT d.doc_id, s.i::INT AS seq,
+                     (1 + (d.doc_id + s.i * s.i) % 3)::INT AS level,
+                     'H' || s.i::VARCHAR AS title
+              FROM documents d, s WHERE d.doc_id < 300),
+            r AS (
+              SELECT *,
+                     max(CASE WHEN level = 1 THEN seq END) OVER w AS r1,
+                     max(CASE WHEN level = 2 THEN seq END) OVER w AS r2
+              FROM h
+              WINDOW w AS (PARTITION BY doc_id ORDER BY seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            p AS (
+              SELECT doc_id, seq, level, title,
+                     greatest(CASE WHEN level > 1 THEN r1 END,
+                              CASE WHEN level > 2 THEN r2 END) AS parent_seq
+              FROM r),
+            q AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY doc_id, level, parent_seq ORDER BY seq
+                     )::INT AS n
+              FROM p),
+            lab AS (
+              SELECT doc_id, seq, level, title, parent_seq,
+                     n::VARCHAR AS sec_label
+              FROM q WHERE parent_seq IS NULL
+              UNION ALL
+              SELECT c.doc_id, c.seq, c.level, c.title, c.parent_seq,
+                     l.sec_label || '.' || c.n::VARCHAR
+              FROM q c JOIN lab l
+                ON c.doc_id = l.doc_id AND c.parent_seq = l.seq)
+            SELECT doc_id, seq, level, title, parent_seq, sec_label
+            FROM lab""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -717,3 +717,73 @@ def markdown_blocks_from_pages(pages: DataFrame) -> DataFrame:
         .alias("kind"),
         "text", "cells",
     )
+
+
+def toc_from_blocks(blocks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Document outline from heading blocks: ``(id, seq, level, title,
+    parent_seq, sec_label)`` where ``parent_seq`` is the NEAREST
+    preceding heading with a smaller level and ``sec_label`` is the
+    hierarchical section number ("2", "2.1", "2.1.3", …) — the
+    reference's note-title hierarchy (L1/L2 notes, operators/notes.py)
+    generalized to arbitrary h1–h6 trees.
+
+    Shape: headings are a tiny dimension of the corpus (a few per
+    document), so everything here is dimension-sized. parent lookup is
+    NOT a self-join: with levels bounded at 6, six running-max window
+    columns over ONE (id, seq) sort give "last seq at level ℓ", and
+    ``greatest`` over the ℓ < level subset picks the nearest smaller
+    level (greatest skips nulls). Labels then resolve with at most 5
+    parent joins (level ℓ joins ℓ-1's labels) — a bounded unrolled
+    recursion, each join heading-dimension-sized."""
+    from pyspark.sql import Window
+
+    h = blocks.filter(F.col("kind").rlike("^h[1-6]$")).select(
+        id_col,
+        "seq",
+        F.substring("kind", 2, 1).cast("int").alias("level"),
+        F.coalesce("text", F.lit("")).alias("title"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = [
+        F.max(F.when(F.col("level") == lv, F.col("seq"))).over(w).alias(f"_r{lv}")
+        for lv in range(1, 7)
+    ]
+    h = h.select(id_col, "seq", "level", "title", *run)
+    parent = F.greatest(
+        *[F.when(F.col("level") > lv, F.col(f"_r{lv}")) for lv in range(1, 6)]
+    )
+    h = h.select(
+        id_col, "seq", "level", "title", parent.alias("parent_seq")
+    ).withColumn(
+        "n",
+        F.row_number().over(
+            Window.partitionBy(id_col, "level", "parent_seq").orderBy("seq")
+        ),
+    )
+    roots = h.filter(F.col("parent_seq").isNull()).select(
+        id_col, "seq", "level", "title", "parent_seq",
+        F.col("n").cast("string").alias("sec_label"),
+    )
+    unresolved = h.filter(F.col("parent_seq").isNotNull())
+    out = roots
+    frontier = roots  # rows whose children can be labeled next round
+    for _ in range(5):  # tree depth ≤ 6 → 5 rounds resolve everything
+        child = unresolved.join(
+            frontier.select(
+                F.col(id_col).alias("_pid"), F.col("seq").alias("_pseq"),
+                F.col("sec_label").alias("_plabel"),
+            ),
+            (F.col(id_col) == F.col("_pid"))
+            & (F.col("parent_seq") == F.col("_pseq")),
+        ).select(
+            id_col, "seq", "level", "title", "parent_seq",
+            F.concat("_plabel", F.lit("."), F.col("n").cast("string"))
+            .alias("sec_label"),
+        )
+        out = out.unionByName(child)
+        frontier = child
+    return out

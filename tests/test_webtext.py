@@ -488,3 +488,37 @@ def test_markdown_from_kernel_pages(page_df):
     assert any_md.strip() != ""
     # at least one doc has a rendered pipe table
     assert any("| --- |" in v for v in sample.values())
+
+
+def test_toc_from_blocks_hierarchy(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import toc_from_blocks
+
+    blocks = spark.createDataFrame(
+        [
+            # h1 Intro / h2 A / h3 A.a / h3 A.b / h2 B / h1 Outro / h2 C
+            (1, 0, "h1", "Intro", None),
+            (1, 1, "h2", "A", None),
+            (1, 2, "h3", "A.a", None),
+            (1, 3, "h3", "A.b", None),
+            (1, 4, "h2", "B", None),
+            (1, 5, "p", "not a heading", None),
+            (1, 6, "h1", "Outro", None),
+            (1, 7, "h2", "C", None),
+            # doc 2 starts at h3: root may be any level
+            (2, 0, "h3", "Deep root", None),
+            (2, 1, "h4", "Deeper", None),
+        ],
+        "doc_id int, seq int, kind string, text string, cells array<array<string>>",
+    )
+    got = {(r["doc_id"], r["seq"]): (r["parent_seq"], r["sec_label"])
+           for r in toc_from_blocks(blocks).collect()}
+    assert got[(1, 0)] == (None, "1")
+    assert got[(1, 1)] == (0, "1.1")
+    assert got[(1, 2)] == (1, "1.1.1")
+    assert got[(1, 3)] == (1, "1.1.2")
+    assert got[(1, 4)] == (0, "1.2")
+    assert got[(1, 6)] == (None, "2")
+    assert got[(1, 7)] == (6, "2.1")
+    assert (1, 5) not in got  # paragraphs are not outline entries
+    assert got[(2, 0)] == (None, "1")
+    assert got[(2, 1)] == (0, "1.1")
