@@ -2314,6 +2314,23 @@ def _q_toc(spark, sf):
     return toc_from_blocks(blocks)
 
 
+def _q_textrank(spark, sf):
+    """TextRank extractive summarization over the q_sentences corpus:
+    Dice-ppm sentence graph, 3 integer power iterations, top-3 per doc;
+    the oracle unrolls all three iterations as CTEs."""
+    from pdf_context_extractor_agent_spark.functions.summarize import (
+        textrank_sentences,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"((\w+ ){6}\w+) ", "$1. "
+        ).alias("text"),
+    )
+    return textrank_sentences(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2440,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_prior": _q_domain_prior,
         "q_markdown": _q_markdown,
         "q_toc": _q_toc,
+        "q_textrank": _q_textrank,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4236,6 +4254,113 @@ dim AS (
                 ON c.doc_id = l.doc_id AND c.parent_seq = l.seq)
             SELECT doc_id, seq, level, title, parent_seq, sec_label
             FROM lab""",
+        # TextRank: Dice-ppm overlap graph + 3 unrolled integer power
+        # iterations; // == Spark DIV on the nonnegative values here
+        "q_textrank": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((\w+ ){6}\w+) ', '\1. ', 'g') AS t
+              FROM documents WHERE doc_id < 150),
+            marked AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(t, '([.!?。！？])\s+',
+                                                 '\1' || chr(30), 'g'),
+                                  chr(30)) AS l
+              FROM src),
+            idx AS (
+              SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+              FROM marked),
+            sents AS (
+              SELECT doc_id, (i - 1)::INT AS sent_idx, trim(l[i]) AS sentence
+              FROM idx WHERE length(trim(l[i])) > 0),
+            terms AS (
+              SELECT DISTINCT doc_id, sent_idx, t AS term
+              FROM (SELECT doc_id, sent_idx,
+                           unnest(string_split_regex(lower(sentence),
+                                                     '[^a-z0-9]+')) AS t
+                    FROM sents)
+              WHERE t <> ''),
+            nlen AS (
+              SELECT doc_id, sent_idx, COUNT(*) AS n_terms
+              FROM terms GROUP BY doc_id, sent_idx),
+            ov AS (
+              SELECT a.doc_id, a.sent_idx AS sa, b.sent_idx AS sb,
+                     COUNT(*) AS ov
+              FROM terms a JOIN terms b
+                ON a.doc_id = b.doc_id AND a.term = b.term
+               AND a.sent_idx < b.sent_idx
+              GROUP BY a.doc_id, a.sent_idx, b.sent_idx),
+            pw AS (
+              SELECT * FROM (
+                SELECT o.doc_id, o.sa, o.sb,
+                       ((2 * o.ov * 1000000) // (na.n_terms + nb.n_terms))::BIGINT AS w
+                FROM ov o
+                JOIN nlen na ON o.doc_id = na.doc_id AND o.sa = na.sent_idx
+                JOIN nlen nb ON o.doc_id = nb.doc_id AND o.sb = nb.sent_idx)
+              WHERE w > 0),
+            edges AS (
+              SELECT doc_id, sa AS src, sb AS dst, w FROM pw
+              UNION ALL
+              SELECT doc_id, sb AS src, sa AS dst, w FROM pw),
+            outw AS (
+              SELECT doc_id, src, SUM(w)::BIGINT AS outw
+              FROM edges GROUP BY doc_id, src),
+            nn AS (SELECT doc_id, COUNT(*) AS n FROM sents GROUP BY doc_id),
+            r0 AS (
+              SELECT s.doc_id, s.sent_idx,
+                     (1000000000 // nn.n)::BIGINT AS rank,
+                     ((15 * (1000000000 // nn.n)) // 100)::BIGINT AS base
+              FROM sents s JOIN nn ON s.doc_id = nn.doc_id),
+            c1 AS (
+              SELECT e.doc_id, e.dst,
+                     SUM((e.w * r.rank) // o.outw)::BIGINT AS contrib
+              FROM edges e
+              JOIN r0 r ON e.doc_id = r.doc_id AND e.src = r.sent_idx
+              JOIN outw o ON e.doc_id = o.doc_id AND e.src = o.src
+              GROUP BY e.doc_id, e.dst),
+            r1 AS (
+              SELECT r.doc_id, r.sent_idx,
+                     (r.base + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS rank,
+                     r.base
+              FROM r0 r LEFT JOIN c1 c
+                ON r.doc_id = c.doc_id AND r.sent_idx = c.dst),
+            c2 AS (
+              SELECT e.doc_id, e.dst,
+                     SUM((e.w * r.rank) // o.outw)::BIGINT AS contrib
+              FROM edges e
+              JOIN r1 r ON e.doc_id = r.doc_id AND e.src = r.sent_idx
+              JOIN outw o ON e.doc_id = o.doc_id AND e.src = o.src
+              GROUP BY e.doc_id, e.dst),
+            r2 AS (
+              SELECT r.doc_id, r.sent_idx,
+                     (r.base + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS rank,
+                     r.base
+              FROM r1 r LEFT JOIN c2 c
+                ON r.doc_id = c.doc_id AND r.sent_idx = c.dst),
+            c3 AS (
+              SELECT e.doc_id, e.dst,
+                     SUM((e.w * r.rank) // o.outw)::BIGINT AS contrib
+              FROM edges e
+              JOIN r2 r ON e.doc_id = r.doc_id AND e.src = r.sent_idx
+              JOIN outw o ON e.doc_id = o.doc_id AND e.src = o.src
+              GROUP BY e.doc_id, e.dst),
+            r3 AS (
+              SELECT r.doc_id, r.sent_idx,
+                     (r.base + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS rank,
+                     r.base
+              FROM r2 r LEFT JOIN c3 c
+                ON r.doc_id = c.doc_id AND r.sent_idx = c.dst),
+            ranked AS (
+              SELECT doc_id, sent_idx, rank,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY rank DESC, sent_idx
+                     )::INT AS rank_order
+              FROM r3)
+            SELECT r.doc_id, r.rank_order, r.sent_idx, r.rank, s.sentence
+            FROM ranked r JOIN sents s
+              ON r.doc_id = s.doc_id AND r.sent_idx = s.sent_idx
+            WHERE r.rank_order <= 3""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,
