@@ -2331,6 +2331,29 @@ def _q_textrank(spark, sf):
     return textrank_sentences(docs)
 
 
+def _q_audio_neardup(spark, sf):
+    """Audio near-dup chain: FAKE PCM → window energies → sign-of-delta
+    fingerprint → 4×8-bit banded Hamming join. 48 base tracks + 12
+    payload twins (media 100+j duplicates j → Hamming 0). The oracle
+    recomputes the ENTIRE chain from the PCM synthesis formula and
+    verifies with an all-pairs bit_count(xor) scan — exhaustiveness of
+    the banded join at Hamming ≤ 3 is exactly what's being certified."""
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        audio_features,
+        audio_fingerprint,
+        audio_near_dups,
+        make_fake_audio,
+    )
+
+    rows = [(i, make_fake_audio(i, n_windows=4 + i % 4, window=256))
+            for i in range(48)]
+    rows += [(100 + j, make_fake_audio(j, n_windows=4 + j % 4, window=256))
+             for j in range(12)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = audio_fingerprint(audio_features(media, window=256))
+    return audio_near_dups(fps, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2458,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markdown": _q_markdown,
         "q_toc": _q_toc,
         "q_textrank": _q_textrank,
+        "q_audio_neardup": _q_audio_neardup,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4361,6 +4385,42 @@ dim AS (
             FROM ranked r JOIN sents s
               ON r.doc_id = s.doc_id AND r.sent_idx = s.sent_idx
             WHERE r.rank_order <= 3""",
+        # audio near-dup: fingerprints recomputed from the PCM formula,
+        # verified by an all-pairs Hamming scan (oracle-side); the
+        # engine's banded join must match it exactly at the threshold
+        "q_audio_neardup": """
+            WITH ids AS (
+              SELECT i AS media_id, i AS base, (4 + i % 4) * 256 AS n
+              FROM range(48) t(i)
+              UNION ALL
+              SELECT 100 + j, j, (4 + j % 4) * 256
+              FROM range(12) u(j)),
+            samples AS (
+              SELECT media_id, j AS i,
+                     ((base * 131 + j * 17) % 4096) - 2048 AS s
+              FROM ids JOIN range(2048) g(j) ON j < n),
+            w AS (
+              SELECT media_id, (i // 256)::INT AS window_idx,
+                     sum(s * s)::BIGINT AS energy
+              FROM samples GROUP BY media_id, i // 256),
+            d AS (
+              SELECT media_id, window_idx, energy,
+                     lead(energy) OVER (
+                       PARTITION BY media_id ORDER BY window_idx
+                     ) AS next_e
+              FROM w),
+            fp AS (
+              SELECT media_id,
+                     COALESCE(SUM(CASE WHEN window_idx < 32
+                                        AND next_e IS NOT NULL
+                                        AND next_e > energy
+                                   THEN (1::BIGINT << window_idx)
+                                   ELSE 0 END), 0)::BIGINT AS f
+              FROM d GROUP BY media_id)
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   bit_count(xor(a.f, b.f))::INT AS hamming
+            FROM fp a JOIN fp b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

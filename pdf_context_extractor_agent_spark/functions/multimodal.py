@@ -19,6 +19,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # pragma: no cover - not present in this container
@@ -292,3 +293,79 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return src.mapInPandas(kernel, schema="media_id long, frame_idx int, frame binary")
+
+
+def audio_fingerprint(feats: DataFrame, n_bits: int = 32) -> DataFrame:
+    """Haitsma–Kalker-style audio fingerprint over the window-energy
+    track: bit *i* is set iff ``energy(w_{i+1}) > energy(w_i)`` — the
+    sign of the energy delta, the robust-hash core of the classic
+    scheme (ISMIR '02) collapsed to one band (the in-sandbox features
+    are single-band; a mel front-end would contribute one bit per band
+    per frame the same way). INTEGER-exact by construction: energies
+    are integer sums, the comparison is exact, the pack is a sum of
+    powers of two — the same SQL-restatable contract as image_ahash.
+
+    Input is the :func:`audio_features` RELATION (not the binary):
+    fingerprinting composes with the decode kernel instead of
+    re-reading payloads. One window-function pass + one groupBy on
+    media_id. Returns ``(media_id, fp32 long)``; tracks shorter than
+    2 windows fingerprint to 0.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    d = feats.select(
+        "media_id", "window_idx", "energy",
+        F.lead("energy").over(w).alias("next_e"),
+    )
+    vals = d.filter(
+        (F.col("window_idx") < n_bits)
+        & F.col("next_e").isNotNull()
+        & (F.col("next_e") > F.col("energy"))
+    ).select(
+        "media_id",
+        F.expr("shiftleft(CAST(1 AS BIGINT), window_idx)").alias("v"),
+    )
+    return (
+        feats.select("media_id").distinct()
+        .join(vals.groupBy("media_id").agg(F.sum("v").alias("_fp")),
+              "media_id", "left")
+        .select("media_id",
+                F.coalesce("_fp", F.lit(0)).cast("long").alias("fp32"))
+    )
+
+
+def audio_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs from 32-bit fingerprints: four 8-bit
+    bands → equi-join → exact ``bit_count(xor)`` verify. Pigeonhole:
+    at Hamming ≤ 3 one of the four bands is clean, so the banded join
+    is EXHAUSTIVE for the default threshold (same argument as
+    image_near_dups, re-banded for the 32-bit code — reusing the
+    64-bit SimHash bands would leave the top bands constantly zero
+    and degenerate the join to all-pairs). Band duplicates are
+    absorbed by the pair groupBy, not a pre-join distinct."""
+    banded = fps.select(
+        "media_id", "fp32",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(fp32, band_idx * 8) & 255"),
+    )
+    a = banded.select(
+        "band_idx", "band_val",
+        F.col("media_id").alias("media_a"), F.col("fp32").alias("fp_a"),
+    )
+    b = banded.select(
+        "band_idx", "band_val",
+        F.col("media_id").alias("media_b"), F.col("fp32").alias("fp_b"),
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.max("fp_a").alias("fp_a"), F.max("fp_b").alias("fp_b"))
+    )
+    return cand.select(
+        "media_a", "media_b",
+        F.bit_count(F.expr("fp_a ^ fp_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -160,3 +160,60 @@ def test_audio_unknown_container_raises(spark):
     )
     with pytest.raises(Exception, match="no codec"):
         audio_features(media, window=16).collect()
+
+
+# --------------------------------------------------------------------------
+# audio fingerprint near-dup
+# --------------------------------------------------------------------------
+
+def test_audio_fingerprint_twins_and_short_tracks(spark):
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        audio_features,
+        audio_fingerprint,
+        audio_near_dups,
+        make_fake_audio,
+    )
+
+    rows = [(i, make_fake_audio(i, n_windows=6)) for i in range(8)]
+    rows.append((100, make_fake_audio(3, n_windows=6)))   # payload twin of 3
+    rows.append((200, make_fake_audio(9, n_windows=1)))   # 1 window → fp 0
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r["media_id"]: r["fp32"]
+           for r in audio_fingerprint(audio_features(media)).collect()}
+    assert fps[100] == fps[3]
+    assert fps[200] == 0
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in audio_near_dups(
+                 audio_fingerprint(audio_features(media))).collect()}
+    assert pairs[(3, 100)] == 0
+
+
+def test_audio_band_join_is_exhaustive_at_threshold(spark):
+    """Differential: banded join output == brute-force all-pairs scan
+    for Hamming ≤ 3 over adversarial fingerprints (including pairs
+    whose 3 flipped bits straddle band boundaries)."""
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        audio_near_dups,
+    )
+
+    base = 0b10110010_01011100_11110000_00001111
+    fps = [(0, base)]
+    # flip 1..4 bits in varying positions (bit 7|8 straddles bands)
+    for i, flips in enumerate([[0], [7, 8], [7, 8, 15], [0, 8, 16, 24]]):
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        fps.append((i + 1, v))
+    df = spark.createDataFrame(fps, "media_id long, fp32 long")
+    got = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in audio_near_dups(df, max_hamming=3).collect()
+    )
+    brute = []
+    for ia, fa in fps:
+        for ib, fb in fps:
+            if ia < ib and bin(fa ^ fb).count("1") <= 3:
+                brute.append((ia, ib, bin(fa ^ fb).count("1")))
+    assert got == sorted(brute)
+    # the 4-bit-flip row pairs with base ONLY via others, never directly
+    assert (0, 4, 4) not in got
