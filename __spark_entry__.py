@@ -2354,6 +2354,24 @@ def _q_audio_neardup(spark, sf):
     return audio_near_dups(fps, max_hamming=3)
 
 
+def _q_cdc_dedup(spark, sf):
+    """Content-defined chunk dedup: md5-gram boundary rule, first-
+    occurrence ownership. 50 twins carry an inserted prefix — CDC
+    boundaries re-align after the first cut, so twin chunks dedup
+    against the originals (the property fixed-window chunking lacks);
+    the oracle recomputes boundaries, chunks, and ownership in SQL."""
+    from pdf_context_extractor_agent_spark.functions.dedup import cdc_dedup
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 250).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    twins = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("INSERTED PREFIX. "), F.col("text")).alias("text"),
+    )
+    return cdc_dedup(base.unionByName(twins))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2482,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_toc": _q_toc,
         "q_textrank": _q_textrank,
         "q_audio_neardup": _q_audio_neardup,
+        "q_cdc_dedup": _q_cdc_dedup,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4421,6 +4440,49 @@ dim AS (
                    bit_count(xor(a.f, b.f))::INT AS hamming
             FROM fp a JOIN fp b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.f, b.f)) <= 3""",
+        # CDC: boundary iff md5 of the trailing 8-gram divides 64;
+        # ownership via the doc*1e6+idx scalar (== Spark's struct min
+        # because chunk_idx < 1e6)
+        "q_cdc_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t
+              FROM documents WHERE doc_id < 250),
+            twins AS (
+              SELECT doc_id + 1000 AS doc_id, 'INSERTED PREFIX. ' || t AS t
+              FROM base WHERE doc_id < 50),
+            d AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+            b AS (
+              SELECT doc_id, t,
+                     CASE WHEN length(t) <= 8
+                          THEN [0, length(t)]
+                          ELSE [0]
+                            || list_filter(range(8, length(t)),
+                                 i -> ('0x' || substr(md5(substr(t, i - 7, 8)),
+                                                      1, 8))::BIGINT % 64 = 0)
+                            || [length(t)]
+                     END AS ab
+              FROM d),
+            kk AS (
+              SELECT doc_id, t, ab,
+                     unnest(generate_series(1, len(ab) - 1)) AS k
+              FROM b),
+            ch AS (
+              SELECT doc_id, (k - 1)::INT AS chunk_idx,
+                     substr(t, (ab[k] + 1)::INT, (ab[k + 1] - ab[k])::INT)
+                       AS chunk
+              FROM kk),
+            cf AS (
+              SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+                     length(chunk)::INT AS chunk_len
+              FROM ch WHERE length(chunk) > 0),
+            own AS (
+              SELECT chunk_md5,
+                     min(doc_id * 1000000 + chunk_idx)::BIGINT AS ok
+              FROM cf GROUP BY chunk_md5)
+            SELECT c.doc_id, c.chunk_idx, c.chunk_md5, c.chunk_len,
+                   (c.doc_id * 1000000 + c.chunk_idx) <> o.ok AS is_dup,
+                   (o.ok // 1000000)::BIGINT AS owner_doc
+            FROM cf c JOIN own o ON c.chunk_md5 = o.chunk_md5""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

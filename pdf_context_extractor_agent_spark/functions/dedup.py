@@ -753,3 +753,104 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") <= max_dist)
     )
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (CDC) — variable-boundary chunk dedup
+# --------------------------------------------------------------------------
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each document where the hash of
+    the trailing ``w``-gram divides ``divisor`` — the storage-dedup /
+    LSC-dedup boundary rule (Rabin/Gear CDC family). Unlike
+    ``doc_chunks``'s fixed k-token windows, CDC boundaries are decided
+    by LOCAL content, so an insertion near the top of a page shifts
+    only the chunk it lands in — every later chunk re-aligns and still
+    dedups against the previous crawl of the same page (the property
+    fixed-size chunking fundamentally lacks).
+
+    Boundary at end-position ``i`` (chars, 1-based, ``w ≤ i < n``) iff
+    ``md5(text[i-w+1 .. i]) % divisor == 0`` via the repo's md5-
+    positional integer idiom — bit-identical in any engine, no rolling
+    state (the fold-free formulation is what keeps it SQL-restatable;
+    a Gear rolling hash needs a per-char fold that DuckDB's
+    list_reduce cannot carry a struct through). Expected chunk length
+    ≈ ``divisor`` chars; no min/max guards (pathological inputs can
+    produce short chunks — callers needing bounds filter on
+    ``chunk_len``).
+
+    Plan shape: pure per-row expression algebra (filter/transform over
+    a char-position sequence — O(n·1) md5 calls per doc, all inside
+    codegen) + ONE terminal explode. No shuffle at all; the first wide
+    op downstream (the digest groupBy in :func:`cdc_dedup`) does the
+    only exchange.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    bounds = F.expr(
+        f"""CASE WHEN length(_t) <= {w} THEN array(0L, bigint(length(_t)))
+            ELSE concat(
+              array(0L),
+              transform(
+                filter(sequence({w}, length(_t) - 1),
+                       i -> conv(substring(md5(substring(_t, i - {w} + 1, {w})),
+                                 1, 8), 16, 10) % {divisor} = 0),
+                x -> bigint(x)),
+              array(bigint(length(_t))))
+            END"""
+    )
+    chunks = F.expr(
+        """transform(sequence(1, size(_ab) - 1),
+             k -> struct(
+               k - 1 AS chunk_idx,
+               substring(_t, int(try_element_at(_ab, k)) + 1,
+                         int(try_element_at(_ab, k + 1)
+                             - try_element_at(_ab, k))) AS chunk))"""
+    )
+    return (
+        d.withColumn("_ab", bounds)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+        )
+        .filter(F.length("chunk") > 0)
+        .withColumn("chunk_md5", F.md5("chunk"))
+        .withColumn("chunk_len", F.length("chunk").cast("int"))
+    )
+
+
+def cdc_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Cross-document CDC chunk dedup: first occurrence (lowest
+    (doc_id, chunk_idx)) owns each distinct chunk digest; later
+    occurrences are flagged ``is_dup``. ONE shuffle on the 16-byte
+    digest (same scale argument as exact_dedup); the owner pick is a
+    min-struct hash aggregate, not a window sort."""
+    ch = cdc_chunks(docs, id_col, text_col, w, divisor)
+    owner = ch.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_own")
+    )
+    return (
+        ch.join(owner, "chunk_md5")
+        .select(
+            "doc_id", "chunk_idx", "chunk_md5", "chunk_len",
+            (
+                (F.col("doc_id") != F.col("_own.doc_id"))
+                | (F.col("chunk_idx") != F.col("_own.chunk_idx"))
+            ).alias("is_dup"),
+            F.col("_own.doc_id").alias("owner_doc"),
+        )
+    )

@@ -661,3 +661,64 @@ def test_margin_bitext_mutual_translation_pair(spark):
     # 2 and 4 both want target 3; only 3's own best (higher cos) is mutual
     contested = [r for r in (rows.get(2), rows.get(4)) if r and r.tgt_id == 3]
     assert contested and sum(r.is_mutual for r in contested) <= 1
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking
+# --------------------------------------------------------------------------
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import cdc_chunks
+
+    texts = [
+        # varied grams (periodic text has too few distinct 8-grams to
+        # ever hit a boundary — that degenerate case is doc 5)
+        (1, " ".join(f"tok{i} word" for i in range(120))),
+        (2, "short"),
+        (3, ""),
+        (4, "héllo wörld é " * 40),  # multibyte chars
+        (5, "word " * 200),          # periodic → may stay one chunk
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    rows = cdc_chunks(df).orderBy("doc_id", "chunk_idx").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    # chunks concatenate back to the original text, in order
+    for did, text in texts:
+        assert "".join(by_doc.get(did, [])) == text
+    # a 1000-char doc at divisor 64 should split into multiple chunks
+    assert len(by_doc[1]) > 3
+
+
+def test_cdc_insertion_resilience(spark):
+    """The CDC selling point: a prefix insertion leaves every chunk
+    after the first boundary identical, so the twin re-aligns and
+    dedups against the original — fixed-offset chunking would shift
+    every window."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        cdc_chunks,
+        cdc_dedup,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again " * 20
+    df = spark.createDataFrame(
+        [(1, body), (2, "XXINSERTXX " + body)], "doc_id int, text string"
+    )
+    ch = cdc_chunks(df)
+    h1 = {r["chunk_md5"] for r in ch.filter("doc_id = 1").collect()}
+    h2 = {r["chunk_md5"] for r in ch.filter("doc_id = 2").collect()}
+    shared = h1 & h2
+    assert len(shared) >= len(h1) - 2  # only the head chunk(s) differ
+    dd = cdc_dedup(df)
+    dup_rows = dd.filter("doc_id = 2 AND is_dup").collect()
+    assert len(dup_rows) >= len(shared)
+    assert all(r["owner_doc"] == 1 for r in dup_rows)
+
+
+def test_cdc_no_shuffle_before_digest_group(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(1, "abc " * 100)], "doc_id int, text string")
+    plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
