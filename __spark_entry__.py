@@ -2372,6 +2372,44 @@ def _q_cdc_dedup(spark, sf):
     return cdc_dedup(base.unionByName(twins))
 
 
+def _q_jsonld(spark, sf):
+    """schema.org JSON-LD extraction: per doc_id%3, an Article block
+    (headline/date/author), an Article + Product pair, or a MALFORMED
+    block (must be dropped, never crash); the oracle runs the same
+    regexp + JSON-path chain in DuckDB."""
+    from pdf_context_extractor_agent_spark.functions.webtext import jsonld_records
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    art = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Article",'
+              '"headline":"T'), ds,
+        F.lit('","datePublished":"2024-0'),
+        (1 + d % 9).cast("string"),
+        F.lit('-01","author":{"name":"A'),
+        (d % 7).cast("string"),
+        F.lit('"}}</script>'),
+    )
+    prod = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Product",'
+              '"name":"P'), ds, F.lit('"}</script>'),
+    )
+    bad = F.lit('<script type="application/ld+json">{oops</script>')
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 3 == 0, art)
+        .when(d % 3 == 1, F.concat(art, prod))
+        .otherwise(bad),
+        F.lit("</head><body>"),
+        F.substring(F.coalesce("text", F.lit("")), 1, 60),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf, "documents").filter(d < 400).select(
+        d.alias("doc_id"), html.alias("html")
+    )
+    return jsonld_records(pages, id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2501,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textrank": _q_textrank,
         "q_audio_neardup": _q_audio_neardup,
         "q_cdc_dedup": _q_cdc_dedup,
+        "q_jsonld": _q_jsonld,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4483,6 +4522,58 @@ dim AS (
                    (c.doc_id * 1000000 + c.chunk_idx) <> o.ok AS is_dup,
                    (o.ok // 1000000)::BIGINT AS owner_doc
             FROM cf c JOIN own o ON c.chunk_md5 = o.chunk_md5""",
+        # JSON-LD: same regexp + JSON-path chain; json_valid gates the
+        # malformed block the way Spark's null-@type filter does
+        "q_jsonld": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head>'
+                     || CASE doc_id % 3
+                        WHEN 0 THEN
+                          '<script type="application/ld+json">{"@type":"Article","headline":"T'
+                          || doc_id::VARCHAR || '","datePublished":"2024-0'
+                          || (1 + doc_id % 9)::VARCHAR || '-01","author":{"name":"A'
+                          || (doc_id % 7)::VARCHAR || '"}}</script>'
+                        WHEN 1 THEN
+                          '<script type="application/ld+json">{"@type":"Article","headline":"T'
+                          || doc_id::VARCHAR || '","datePublished":"2024-0'
+                          || (1 + doc_id % 9)::VARCHAR || '-01","author":{"name":"A'
+                          || (doc_id % 7)::VARCHAR || '"}}</script>'
+                          || '<script type="application/ld+json">{"@type":"Product","name":"P'
+                          || doc_id::VARCHAR || '"}</script>'
+                        ELSE '<script type="application/ld+json">{oops</script>'
+                        END
+                     || '</head><body>' || substr(COALESCE(text, ''), 1, 60)
+                     || '</body></html>' AS html
+              FROM documents WHERE doc_id < 400),
+            ex AS (
+              SELECT doc_id,
+                     regexp_extract_all(html,
+                       '(?s)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>',
+                       1) AS blocks
+              FROM h),
+            ub AS (
+              SELECT doc_id, unnest(generate_series(1, len(blocks))) AS i,
+                     blocks
+              FROM ex),
+            bl AS (
+              SELECT doc_id, (i - 1)::INT AS ld_idx, blocks[i] AS block
+              FROM ub),
+            valid AS MATERIALIZED (
+              -- MATERIALIZED: unlike Spark's null-returning
+              -- get_json_object, DuckDB's extractor THROWS on
+              -- malformed JSON, and an inlined CTE does not guarantee
+              -- the json_valid gate evaluates first
+              SELECT * FROM bl WHERE json_valid(block)),
+            typed AS (
+              SELECT doc_id, ld_idx,
+                     json_extract_string(block, '$."@type"') AS ld_type,
+                     COALESCE(json_extract_string(block, '$.headline'),
+                              json_extract_string(block, '$.name')) AS title,
+                     json_extract_string(block, '$.datePublished') AS published,
+                     json_extract_string(block, '$.author.name') AS author
+              FROM valid)
+            SELECT * FROM typed WHERE ld_type IS NOT NULL""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -522,3 +522,34 @@ def test_toc_from_blocks_hierarchy(spark):
     assert (1, 5) not in got  # paragraphs are not outline entries
     assert got[(2, 0)] == (None, "1")
     assert got[(2, 1)] == (0, "1.1")
+
+
+def test_jsonld_records_extraction(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import jsonld_records
+
+    html_a = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type":"NewsArticle","headline":"Big News","datePublished":'
+        '"2024-03-01","author":{"name":"Ada Lovelace"}}</script>'
+        '<script type="application/ld+json">{"@type":"Product",'
+        '"name":"Widget"}</script></head><body>x</body></html>'
+    )
+    html_bad = (
+        '<html><script type="application/ld+json">{not json</script>'
+        '<script type="application/ld+json">{"noType": 1}</script></html>'
+    )
+    df = spark.createDataFrame(
+        [("a", html_a), ("b", html_bad), ("c", "<html>no ld</html>"),
+         ("d", None)],
+        "url string, html string",
+    )
+    rows = {(r["url"], r["ld_idx"]): r for r in jsonld_records(df).collect()}
+    assert set(rows) == {("a", 0), ("a", 1)}
+    art = rows[("a", 0)]
+    assert (art["ld_type"], art["title"], art["published"], art["author"]) == (
+        "NewsArticle", "Big News", "2024-03-01", "Ada Lovelace"
+    )
+    prod = rows[("a", 1)]
+    assert (prod["ld_type"], prod["title"], prod["author"]) == (
+        "Product", "Widget", None
+    )
