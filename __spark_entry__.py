@@ -2410,6 +2410,38 @@ def _q_jsonld(spark, sf):
     return jsonld_records(pages, id_col="doc_id")
 
 
+def _q_pagination(spark, sf):
+    """rel=next pagination chains via pointer-doubling list ranking:
+    synthetic articles of 2–4 pages (chain c has 1 + c%4 pages; only
+    multi-page chains emit links) plus a 3-node cycle that must be
+    DROPPED (no first page). The oracle walks the same link set with a
+    recursive CTE from the roots — which never enters the cycle."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        pagination_chains,
+    )
+
+    d = F.col("doc_id")
+    c = F.expr("doc_id div 4")
+    j = (d % 4).alias("j")
+    docs = _t(spark, sf, "documents").filter(d < 400).select(
+        c.alias("c"), j, (1 + (c % 4)).alias("L")
+    ).filter(F.col("j") < F.col("L"))
+    url = F.concat(F.lit("https://s.org/art/"), F.col("c").cast("string"),
+                   F.lit("/p"), F.col("j").cast("string"))
+    nxt = F.concat(F.lit("https://s.org/art/"), F.col("c").cast("string"),
+                   F.lit("/p"), (F.col("j") + 1).cast("string"))
+    links = docs.filter(F.col("j") + 1 < F.col("L")).select(
+        url.alias("url"), nxt.alias("next_url")
+    )
+    cyc = spark.createDataFrame(
+        [("https://s.org/cyc/0", "https://s.org/cyc/1"),
+         ("https://s.org/cyc/1", "https://s.org/cyc/2"),
+         ("https://s.org/cyc/2", "https://s.org/cyc/0")],
+        "url string, next_url string",
+    )
+    return pagination_chains(links.unionByName(cyc))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2540,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_neardup": _q_audio_neardup,
         "q_cdc_dedup": _q_cdc_dedup,
         "q_jsonld": _q_jsonld,
+        "q_pagination": _q_pagination,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4574,6 +4607,36 @@ dim AS (
                      json_extract_string(block, '$.author.name') AS author
               FROM valid)
             SELECT * FROM typed WHERE ld_type IS NOT NULL""",
+        # pagination: recursive walk from roots == pointer doubling;
+        # the cycle never appears on either side
+        "q_pagination": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id // 4 AS c, doc_id % 4 AS j
+              FROM documents WHERE doc_id < 400),
+            p AS (SELECT c, j, 1 + (c % 4) AS L FROM d),
+            links AS (
+              SELECT 'https://s.org/art/' || c::VARCHAR || '/p' || j::VARCHAR
+                       AS url,
+                     'https://s.org/art/' || c::VARCHAR || '/p'
+                       || (j + 1)::VARCHAR AS next_url
+              FROM p WHERE j < L AND j + 1 < L
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('https://s.org/cyc/0', 'https://s.org/cyc/1'),
+                ('https://s.org/cyc/1', 'https://s.org/cyc/2'),
+                ('https://s.org/cyc/2', 'https://s.org/cyc/0')) v(u, n)),
+            nodes AS (
+              SELECT url AS node FROM links
+              UNION
+              SELECT next_url FROM links),
+            walk AS (
+              SELECT n.node AS url, n.node AS root, 0 AS pos
+              FROM nodes n LEFT JOIN links i ON n.node = i.next_url
+              WHERE i.next_url IS NULL
+              UNION ALL
+              SELECT l.next_url, w.root, w.pos + 1
+              FROM walk w JOIN links l ON l.url = w.url)
+            SELECT url, root, pos FROM walk""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

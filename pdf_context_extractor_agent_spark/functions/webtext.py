@@ -832,3 +832,86 @@ def jsonld_records(
         F.get_json_object("block", "$.datePublished").alias("published"),
         F.get_json_object("block", "$.author.name").alias("author"),
     ).filter(F.col("ld_type").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# pagination chains (rel=next stitching)
+# --------------------------------------------------------------------------
+
+def pagination_chains(links: DataFrame, rounds: int = 5) -> DataFrame:
+    """Resolve ``rel=next`` chains into ordered article sequences:
+    input ``(url, next_url)`` edges (≤1 ``next`` per url — the HTML
+    semantic), output ``(url, root, pos)`` with ``root`` the chain
+    head (no inbound edge) and ``pos`` the 0-based page index.
+
+    Algorithm: POINTER DOUBLING on the predecessor pointer (the
+    classic parallel list-ranking trick): each node starts pointing at
+    its predecessor with distance 1; every round replaces ``ptr`` by
+    ``ptr(ptr)`` and adds the distances, so after ``rounds`` rounds
+    every chain up to 2^rounds pages is fully resolved with O(log L)
+    self-joins instead of an L-step sequential walk — the difference
+    between 5 shuffles and 32 at crawl scale.
+
+    Malformed loops (a→b→a — real crawls have them) never reach a
+    root: after the rounds their pointer still has a predecessor, and
+    they are dropped (a cycle has no first page; callers wanting them
+    can diff against the input). Node set = urls ∪ next targets, so a
+    chain tail with no outbound edge still ranks."""
+    e = links.select(F.col("url").alias("u"), F.col("next_url").alias("v"))
+    nodes = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    # inbound collisions (two pages claiming the same next — crawls
+    # have them) would fork the pointer list; keep the min-url claimant
+    # so the predecessor pointer stays a function
+    prev = e.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("ptr"))
+    state = nodes.join(prev, "node", "left").select(
+        "node", "ptr", F.when(F.col("ptr").isNull(), 0).otherwise(1).alias("d")
+    )
+    for _ in range(rounds):
+        t = state.select(
+            F.col("node").alias("_tn"), F.col("ptr").alias("_tp"),
+            F.col("d").alias("_td"),
+        )
+        state = (
+            state.join(t, state["ptr"] == t["_tn"], "left")
+            .select(
+                "node",
+                F.when(F.col("_tp").isNotNull(), F.col("_tp"))
+                .otherwise(F.col("ptr")).alias("ptr"),
+                F.when(F.col("_tp").isNotNull(), F.col("d") + F.col("_td"))
+                .otherwise(F.col("d")).alias("d"),
+            )
+        )
+    t = state.select(F.col("node").alias("_tn"), F.col("ptr").alias("_tp"))
+    return (
+        state.join(t, state["ptr"] == t["_tn"], "left")
+        .filter(F.col("ptr").isNull() | F.col("_tp").isNull())
+        .select(
+            "node",
+            F.coalesce("ptr", "node").alias("root"),
+            F.col("d").alias("pos"),
+        )
+        .select(F.col("node").alias("url"), "root", "pos")
+    )
+
+
+def stitch_paginated(
+    pages: DataFrame, links: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Concatenate multi-page articles in chain order:
+    ``(root, n_pages, full_text)``. One groupBy on the chain root;
+    page order pinned by array_sort over (pos, text) structs."""
+    chains = pagination_chains(links)
+    joined = pages.select("url", F.coalesce(F.col(text_col), F.lit(""))
+                          .alias("_t")).join(chains, "url")
+    return joined.groupBy("root").agg(
+        F.count("*").alias("n_pages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_t"))),
+                lambda s: s["_t"],
+            ),
+            "\n",
+        ).alias("full_text"),
+    )

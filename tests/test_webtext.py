@@ -553,3 +553,62 @@ def test_jsonld_records_extraction(spark):
     assert (prod["ld_type"], prod["title"], prod["author"]) == (
         "Product", "Widget", None
     )
+
+
+def test_pagination_chains_and_stitching(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        pagination_chains,
+        stitch_paginated,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a4"),   # 4-page article
+            ("b1", "b2"),                                # 2-page article
+            ("x", "y"), ("y", "z"), ("z", "x"),          # cycle → dropped
+        ],
+        "url string, next_url string",
+    )
+    got = {r["url"]: (r["root"], r["pos"])
+           for r in pagination_chains(links).collect()}
+    assert got == {
+        "a1": ("a1", 0), "a2": ("a1", 1), "a3": ("a1", 2), "a4": ("a1", 3),
+        "b1": ("b1", 0), "b2": ("b1", 1),
+    }
+    pages = spark.createDataFrame(
+        [(u, f"text-{u}") for u in ["a1", "a2", "a3", "a4", "b1", "b2"]],
+        "url string, text string",
+    )
+    st = {r["root"]: (r["n_pages"], r["full_text"])
+          for r in stitch_paginated(pages, links).collect()}
+    assert st["a1"] == (4, "text-a1\ntext-a2\ntext-a3\ntext-a4")
+    assert st["b1"] == (2, "text-b1\ntext-b2")
+
+
+def test_pagination_long_chain_needs_doubling(spark):
+    """A 30-page chain resolves within 5 doubling rounds (2^5 = 32),
+    proving the log-round bound rather than one-hop-per-round."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        pagination_chains,
+    )
+
+    links = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(29)], "url string, next_url string"
+    )
+    got = {r["url"]: r["pos"] for r in pagination_chains(links, rounds=5).collect()}
+    assert got[f"p{29}"] == 29 and got["p0"] == 0 and len(got) == 30
+
+
+def test_pagination_inbound_collision_keeps_min_claimant(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        pagination_chains,
+    )
+
+    links = spark.createDataFrame(
+        [("a", "shared"), ("b", "shared")], "url string, next_url string"
+    )
+    got = {r["url"]: (r["root"], r["pos"])
+           for r in pagination_chains(links).collect()}
+    # 'shared' hangs off the min claimant; both claimants are roots
+    assert got["shared"] == ("a", 1)
+    assert got["a"] == ("a", 0) and got["b"] == ("b", 0)
