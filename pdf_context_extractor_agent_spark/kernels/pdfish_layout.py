@@ -124,8 +124,14 @@ def _detect_aligned(
     ``MIN_ALIGN_ROWS``+ consecutive Y-lines whose runs all anchor at one
     identical tuple of ≥2 X positions are an unruled table — the shared
     anchors are column starts, each line a row, the run at each anchor
-    that row's cell. Prose lines are immune: word-wrap makes anchor
-    tuples differ line to line (only the left margin is shared).
+    that row's cell. Two prose immunities: word-wrap makes anchor
+    tuples differ line to line (only the left margin is shared), and —
+    because short or verbatim-repeated lines CAN align (hypothesis
+    found ``p0='1 1'`` rows doing exactly that) — every inter-run gap
+    in a candidate line must exceed one glyph advance (``> CHAR_W``):
+    prose word gaps render at exactly CHAR_W, while table cells carry
+    padding (≥ CHAR_W + 2), so only true gutters qualify as column
+    breaks.
 
     Returns (tables, leftover_runs); each table is a box dict with
     ``rows_at`` = [(y, [cell, ...]), ...] at the lines' real Ys.
@@ -133,10 +139,20 @@ def _detect_aligned(
     lines = _cluster_rows(free_runs)
     sigs: list[tuple[int, ...] | None] = []
     for _y, runs in lines:
-        xs = tuple(x for x, _ry, _t in sorted(runs))
+        sr = sorted(runs)
+        xs = tuple(x for x, _ry, _t in sr)
         # ≥2 distinct anchors, no duplicate anchor (two runs at one X
-        # cannot both start a column)
-        sigs.append(xs if len(xs) >= 2 and len(xs) == len(set(xs)) else None)
+        # cannot both start a column), and every inter-run gap wider
+        # than a word space (see docstring)
+        ok = (
+            len(xs) >= 2
+            and len(xs) == len(set(xs))
+            and all(
+                sr[k + 1][0] - _x_extent(sr[k])[1] > CHAR_W
+                for k in range(len(sr) - 1)
+            )
+        )
+        sigs.append(xs if ok else None)
     tables: list[dict] = []
     consumed: set[int] = set()
     i = 0
