@@ -195,6 +195,10 @@ def sniff_content_type(blob: Column | str) -> Column:
         F.when(blob.isNull() | (F.octet_length(blob) == 0),
                F.lit("application/octet-stream"))
         .when(hexhead.startswith("255044462D"), F.lit("application/pdf"))
+        # FPDF1: the positioned-glyph container the corpus renders as
+        # its PDF stand-in — the kernel dispatches on it, so the
+        # sniffer must route it to the PDF lane
+        .when(hexhead.startswith("4650444631"), F.lit("application/pdf"))
         .when(hexhead.startswith("1F8B"), F.lit("application/gzip"))
         .when(hexhead.startswith("504B0304"), F.lit("application/zip"))
         .when(hexhead.startswith("574152432F"), F.lit("application/warc"))

@@ -276,3 +276,54 @@ def test_no_driver_query_builds_a_cartesian_product(spark):
     for name, fn in E.queries().items():
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# ingest plan (WARC → sniff → kernel → WET / markdown)
+# --------------------------------------------------------------------------
+
+def test_ingest_end_to_end(spark, tmp_path):
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels import extract_pages
+    from pdf_context_extractor_agent_spark.plans.ingest import ingest
+    from pdf_context_extractor_agent_spark.sources.warc import (
+        build_warc_bytes,
+        iter_warc_records,
+    )
+
+    ts = "2024-05-01T00:00:00Z"
+    recs = [(f"http://c.org/d{i}", ts, make_doc(i)[2]) for i in range(6)]
+    recs.append(("http://c.org/junk", ts, b"\x00\x01binary junk"))
+    warc = build_warc_bytes(recs, member_gzip=True)
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(warc)
+
+    out = ingest(spark, warc_glob=str(p))
+    # junk record lands in the discard lane with its sniffed type
+    disc = {r["url"]: r["content_type"] for r in out["discarded"].collect()}
+    assert disc == {"http://c.org/junk": "text/plain"}
+    # extracted text matches a direct kernel run on the same payloads
+    direct = extract_pages(
+        spark.createDataFrame(
+            [(u, bytearray(b)) for u, _t, b in recs[:6]], "url string, html binary"
+        )
+    )
+    want = {
+        u: "\n".join(
+            r["page_text"]
+            for r in sorted(direct.filter(F.col("url") == u).collect(),
+                            key=lambda r: r["page"])
+        )
+        for u in {x[0] for x in recs[:6]}
+    }
+    got = {r["url"]: r["text"] for r in out["text"].collect()}
+    assert got == want
+    # WET records re-parse to byte-identical text bodies
+    wet_blob = "".join(
+        r["wet_record"] for r in out["wet"].orderBy("url").collect()
+    ).encode("utf-8")
+    back = {u: b.decode("utf-8") for u, _ts, b in iter_warc_records(wet_blob)}
+    assert back == want
+    # every extractable doc renders to markdown
+    md = {r["doc_id"] for r in out["markdown"].collect()}
+    assert md == set(want)
