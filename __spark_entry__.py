@@ -2442,6 +2442,20 @@ def _q_pagination(spark, sf):
     return pagination_chains(links.unionByName(cyc))
 
 
+def _q_line_offsets(spark, sf):
+    """Character-span index per line (start/end into the document text)
+    over deterministically re-lined documents; prefix-sum window."""
+    from pdf_context_extractor_agent_spark.functions.webtext import line_offsets
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"((\w+ ){4}\w+) ", "$1\n"
+        ).alias("text"),
+    )
+    return line_offsets(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2573,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_dedup": _q_cdc_dedup,
         "q_jsonld": _q_jsonld,
         "q_pagination": _q_pagination,
+        "q_line_offsets": _q_line_offsets,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4637,6 +4652,34 @@ dim AS (
               SELECT l.next_url, w.root, w.pos + 1
               FROM walk w JOIN links l ON l.url = w.url)
             SELECT url, root, pos FROM walk""",
+        # line spans: same prefix-sum window, DuckDB side
+        "q_line_offsets": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((\w+ ){4}\w+) ', '\1' || chr(10),
+                                    'g') AS t
+              FROM documents WHERE doc_id < 300),
+            sp AS (
+              SELECT doc_id, string_split(t, chr(10)) AS parts FROM src),
+            l AS (
+              SELECT doc_id, unnest(generate_series(1, len(parts))) AS i,
+                     parts
+              FROM sp),
+            x AS (
+              SELECT doc_id, (i - 1)::INT AS line_no, parts[i] AS line,
+                     length(parts[i]) AS len
+              FROM l),
+            y AS (
+              SELECT doc_id, line_no, line, len,
+                     COALESCE(SUM(len + 1) OVER (
+                       PARTITION BY doc_id ORDER BY line_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS start
+              FROM x)
+            SELECT doc_id, line_no, start, (start + len)::BIGINT AS "end",
+                   line
+            FROM y""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -915,3 +915,37 @@ def stitch_paginated(
             "\n",
         ).alias("full_text"),
     )
+
+
+def line_offsets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-span index of every line: ``(doc_id, line_no, start,
+    end, line)`` with ``text[start:end] == line`` (0-based, end
+    exclusive) — the span bookkeeping an annotation / provenance layer
+    needs to point INTO the extracted text instead of copying it (the
+    north-rule contract is text *and spans* per document).
+
+    ``start`` is a prefix sum of previous line lengths plus their
+    newline separators — one window over the doc_id partitioning the
+    pipeline already has; the invariant is enforced by construction
+    and regression-tested with a substring check."""
+    lines = split_lines(docs, id_col, text_col)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        lines.withColumn("_len", F.length("line"))
+        .withColumn(
+            "start",
+            (F.coalesce(F.sum(F.col("_len") + 1).over(w), F.lit(0)))
+            .cast("long"),
+        )
+        .select(
+            "doc_id", "line_no", "start",
+            (F.col("start") + F.col("_len")).cast("long").alias("end"),
+            "line",
+        )
+    )

@@ -612,3 +612,20 @@ def test_pagination_inbound_collision_keeps_min_claimant(spark):
     # 'shared' hangs off the min claimant; both claimants are roots
     assert got["shared"] == ("a", 1)
     assert got["a"] == ("a", 0) and got["b"] == ("b", 0)
+
+
+def test_line_offsets_invariant(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import line_offsets
+
+    docs = spark.createDataFrame(
+        [(1, "first line\nsecond\n\nfourth é line"), (2, ""), (3, None)],
+        "doc_id int, text string",
+    )
+    rows = line_offsets(docs).collect()
+    texts = {1: "first line\nsecond\n\nfourth é line", 2: "", 3: ""}
+    for r in rows:
+        t = texts[r["doc_id"]]
+        assert t[r["start"]:r["end"]] == r["line"]
+    by1 = sorted((r["line_no"], r["start"], r["end"]) for r in rows
+                 if r["doc_id"] == 1)
+    assert by1 == [(0, 0, 10), (1, 11, 17), (2, 18, 18), (3, 19, 32)]
