@@ -25,6 +25,8 @@ Outputs under --output:
     documents/   nested per-document JSON view (S6)
     metrics/     per-partition lineage rows (--resume mode)
     main_content/  density-classified boilerplate-free text (--main-content)
+    wet/         Common-Crawl-style WET conversion records (--wet)
+    markdown/    per-document markdown renderings (--markdown)
 """
 
 from __future__ import annotations
@@ -49,6 +51,12 @@ def main() -> int:
     ap.add_argument("--main-content", action="store_true",
                     help="also write density-classified main-content text "
                          "(generic-web boilerplate removal)")
+    ap.add_argument("--wet", action="store_true",
+                    help="also write Common-Crawl-style WET conversion "
+                         "records (derived text, ISO 28500) under wet/")
+    ap.add_argument("--markdown", action="store_true",
+                    help="also write per-document markdown renderings "
+                         "(headings/paragraphs/pipe tables) under markdown/")
     ap.add_argument("--decompose-jumbo", action="store_true",
                     help="split oversized HTML docs at page boundaries before "
                          "the kernel (page-level skew decomposition)")
@@ -141,6 +149,26 @@ def main() -> int:
             lambda: main_content(pages).write.mode("overwrite").parquet(
                 f"{args.output}/main_content"
             )
+        )
+    if args.wet:
+        from pdf_context_extractor_agent_spark.sources.warc import write_wet
+
+        wet_in = (
+            pages.select("url", "warc_ts")
+            .join(extracted_text(page_df)
+                  .withColumnRenamed("extracted_text", "text"), "url")
+        )
+        sinks.append(lambda: write_wet(wet_in, f"{args.output}/wet"))
+    if args.markdown:
+        from pdf_context_extractor_agent_spark.functions.webtext import (
+            markdown_blocks_from_pages,
+            render_markdown,
+        )
+
+        sinks.append(
+            lambda: render_markdown(markdown_blocks_from_pages(page_df))
+            .withColumnRenamed("doc_id", "url")
+            .write.mode("overwrite").parquet(f"{args.output}/markdown")
         )
     import threading
 
