@@ -2456,6 +2456,36 @@ def _q_line_offsets(spark, sf):
     return line_offsets(docs)
 
 
+def _q_winnow_fp(spark, sf):
+    """MOSS winnowing fingerprints (k=5, w=4): frame-min with
+    rightmost tie-break; the oracle runs the same struct-min window."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    return winnow_fingerprints(docs)
+
+
+def _q_winnow_pairs(spark, sf):
+    """Winnowing match candidates: 40 twins with an inserted prefix
+    must still share most local fingerprints with their originals."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    twins = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("PREFIX NOISE. "), F.col("text")).alias("text"),
+    )
+    return winnow_pairs(winnow_fingerprints(base.unionByName(twins)),
+                        min_shared=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2588,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonld": _q_jsonld,
         "q_pagination": _q_pagination,
         "q_line_offsets": _q_line_offsets,
+        "q_winnow_fp": _q_winnow_fp,
+        "q_winnow_pairs": _q_winnow_pairs,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4680,6 +4712,65 @@ dim AS (
             SELECT doc_id, line_no, start, (start + len)::BIGINT AS "end",
                    line
             FROM y""",
+        # winnowing: identical struct-min window (h, -pos) → rightmost
+        # minimal gram per w-window, deduped
+        "q_winnow_fp": r"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t
+              FROM documents
+              WHERE doc_id < 60 AND length(coalesce(text, '')) >= 5),
+            g AS (
+              SELECT doc_id, unnest(range(0, length(t) - 4)) AS pos, t
+              FROM d),
+            h AS (
+              SELECT doc_id, pos::INT AS pos,
+                     ('0x' || substr(md5(substr(t, pos::INT + 1, 5)), 1, 12))::BIGINT
+                       AS h
+              FROM g),
+            m AS (
+              SELECT doc_id, pos,
+                     min({'h': h, 'np': -pos}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                     ) AS sel
+              FROM h)
+            SELECT DISTINCT doc_id, (-(sel.np))::INT AS pos,
+                   sel.h AS gram_hash
+            FROM m WHERE pos >= 3""",
+        "q_winnow_pairs": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t
+              FROM documents WHERE doc_id < 200),
+            twins AS (
+              SELECT doc_id + 1000 AS doc_id, 'PREFIX NOISE. ' || t AS t
+              FROM base WHERE doc_id < 40),
+            d AS (
+              SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM twins)
+              WHERE length(t) >= 5),
+            g AS (
+              SELECT doc_id, unnest(range(0, length(t) - 4)) AS pos, t
+              FROM d),
+            h AS (
+              SELECT doc_id, pos::INT AS pos,
+                     ('0x' || substr(md5(substr(t, pos::INT + 1, 5)), 1, 12))::BIGINT
+                       AS h
+              FROM g),
+            m AS (
+              SELECT doc_id, pos,
+                     min({'h': h, 'np': -pos}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                     ) AS sel
+              FROM h),
+            fp AS (
+              SELECT DISTINCT doc_id, sel.h AS gram_hash
+              FROM m WHERE pos >= 3)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(DISTINCT a.gram_hash) AS n_shared
+            FROM fp a JOIN fp b
+              ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(DISTINCT a.gram_hash) >= 5""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

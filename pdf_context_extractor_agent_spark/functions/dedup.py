@@ -854,3 +854,89 @@ def cdc_dedup(
             F.col("_own.doc_id").alias("owner_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# --------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing: hash every ``k``-gram, slide a window of
+    ``w`` consecutive gram hashes, keep each window's minimum — with
+    ties broken to the RIGHTMOST position (robust winnowing) — and
+    dedup the selections. Guarantees every match of length ≥ k+w-1
+    shares a fingerprint while storing ~2/(w+1) of the grams: the
+    LOCAL fingerprinting scheme (position-bearing, substring-match
+    witness) next to the GLOBAL ones here (minhash estimates set
+    resemblance, simhash a rotation-invariant profile).
+
+    → ``(doc_id, pos, gram_hash)`` — pos is the 0-based char position
+    of the selected gram, the span witness a match report points at.
+
+    Plan: explode grams (narrow), ONE window over the (doc_id, pos)
+    order — frame ``w-1 PRECEDING..CURRENT`` min over struct
+    (hash, -pos), so argmin-with-rightmost-tie is a plain frame min —
+    then a per-doc distinct (groupBy on the partitioning the window
+    already established). Gram hashes use the repo's md5-positional
+    integer idiom: bit-identical in any engine.
+    """
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = docs.select(F.col(id_col).alias("doc_id"), t.alias("_t")).filter(
+        F.length("_t") >= k
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, length(_t) - {k})")).alias("pos"),
+        F.col("_t"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"conv(substring(md5(substring(_t, pos + 1, {k})), 1, 12), 16, 10)"
+        ).cast("long").alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = grams.withColumn(
+        "_m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win)
+    ).filter(F.col("pos") >= w - 1)
+    return (
+        sel.select(
+            "doc_id",
+            (-F.col("_m.np")).cast("int").alias("pos"),
+            F.col("_m.h").alias("gram_hash"),
+        )
+        .groupBy("doc_id", "pos", "gram_hash")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+
+
+def winnow_pairs(
+    fps: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Candidate pairs sharing ≥ ``min_shared`` winnowed fingerprints:
+    ``(doc_a, doc_b, n_shared)``. Join on the gram hash (selected
+    fingerprints are ~2/(w+1) of grams, so the join side is already
+    thinned); hot hashes (boilerplate grams) are exactly where AQE's
+    skew split earns its keep at corpus scale."""
+    a = fps.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("gram_hash").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

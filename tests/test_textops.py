@@ -722,3 +722,65 @@ def test_cdc_no_shuffle_before_digest_group(spark):
     df = spark.createDataFrame([(1, "abc " * 100)], "doc_id int, text string")
     plan = cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints
+# --------------------------------------------------------------------------
+
+def _py_winnow(text, k=5, w=4):
+    import hashlib
+
+    n = len(text)
+    if n < k:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:12], 16)
+        for i in range(n - k + 1)
+    ]
+    out = set()
+    for end in range(w - 1, len(hs)):
+        window = [(hs[p], -p) for p in range(end - w + 1, end + 1)]
+        h, np = min(window)
+        out.add((-np, h))
+    return out
+
+
+def test_winnow_matches_pure_python(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        (1, "the winnowing algorithm selects local minima of gram hashes"),
+        (2, "short"),
+        (3, "aaaaaaaaaaaaaaaa"),  # all grams identical → tie-breaking path
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    for did, t in texts:
+        assert got.get(did, set()) == _py_winnow(t), f"doc {did}"
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Any common substring of length ≥ k+w-1 = 8 must yield at least
+    one shared fingerprint (the winnowing correctness guarantee)."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    common = "incriminating shared passage of text"
+    df = spark.createDataFrame(
+        [(1, "alpha preamble " + common + " omega"),
+         (2, "totally different framing: " + common + "!!"),
+         (3, "unrelated content with nothing borrowed here at all")],
+        "doc_id int, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_pairs(winnow_fingerprints(df), min_shared=1)
+             .collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
