@@ -2486,6 +2486,34 @@ def _q_winnow_pairs(spark, sf):
                         min_shared=5)
 
 
+def _q_domain_boiler(spark, sf):
+    """Domain-scoped boilerplate: every doc leads with its domain's
+    nav line (frequent WITHIN the domain → removed) and every 31st doc
+    carries a cross-domain 'terms' line whose per-domain count stays
+    under min_docs → kept. The corpus-global rule would get the second
+    case wrong; the oracle restates the domain-keyed frequencies."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        domain_frequent_lines,
+    )
+
+    d = F.col("doc_id")
+    dom = F.concat(F.lit("src"), (d % 7).cast("string"), F.lit(".com"))
+    url = F.concat(F.lit("https://www."), dom, F.lit("/p/"), d.cast("string"))
+    body = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"((\w+ ){4}\w+) ", "$1\n"
+    )
+    text = F.concat(
+        F.lit("NAV HOME | ABOUT | "), dom, F.lit("\n"),
+        F.when(d % 31 == 0, F.lit("Terms of service apply.\n"))
+        .otherwise(F.lit("")),
+        body,
+    )
+    pages = _t(spark, sf, "documents").filter(d < 300).select(
+        url.alias("url"), text.alias("text")
+    )
+    return domain_frequent_lines(pages, min_docs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2620,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_offsets": _q_line_offsets,
         "q_winnow_fp": _q_winnow_fp,
         "q_winnow_pairs": _q_winnow_pairs,
+        "q_domain_boiler": _q_domain_boiler,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4771,6 +4800,49 @@ dim AS (
               ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(DISTINCT a.gram_hash) >= 5""",
+        # domain-scoped boilerplate: (domain, line-md5) frequencies;
+        # per-domain 'terms' counts stay under min_docs and survive
+        "q_domain_boiler": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     'src' || (doc_id % 7)::VARCHAR || '.com' AS domain,
+                     'https://www.src' || (doc_id % 7)::VARCHAR || '.com/p/'
+                       || doc_id::VARCHAR AS url,
+                     'NAV HOME | ABOUT | src' || (doc_id % 7)::VARCHAR
+                       || '.com' || chr(10)
+                       || CASE WHEN doc_id % 31 = 0
+                               THEN 'Terms of service apply.' || chr(10)
+                               ELSE '' END
+                       || regexp_replace(coalesce(text, ''),
+                                         '((\w+ ){4}\w+) ',
+                                         '\1' || chr(10), 'g') AS t
+              FROM documents WHERE doc_id < 300),
+            sp AS (
+              SELECT url, domain, string_split(t, chr(10)) AS parts
+              FROM src),
+            l AS (
+              SELECT url, domain,
+                     unnest(generate_series(1, len(parts))) AS i, parts
+              FROM sp),
+            x AS (
+              SELECT url, domain, (i - 1)::INT AS line_no, parts[i] AS line,
+                     md5(trim(parts[i])) AS k
+              FROM l),
+            fr AS (
+              SELECT domain, k FROM x
+              GROUP BY domain, k HAVING COUNT(DISTINCT url) >= 3),
+            fl AS (
+              SELECT x.url, x.domain, x.line_no, x.line,
+                     (fr.k IS NOT NULL) AS boiler
+              FROM x LEFT JOIN fr
+                ON x.domain = fr.domain AND x.k = fr.k)
+            SELECT url, domain, COUNT(*) AS n_lines,
+                   SUM(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT
+                     AS n_removed,
+                   COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+                                       chr(10) ORDER BY line_no),
+                            '') AS kept_text
+            FROM fl GROUP BY url, domain""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

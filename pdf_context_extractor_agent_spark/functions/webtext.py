@@ -949,3 +949,58 @@ def line_offsets(
             "line",
         )
     )
+
+
+def domain_frequent_lines(
+    pages: DataFrame,
+    min_docs: int = 3,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-scoped boilerplate removal: a line is chrome iff it
+    appears in ``min_docs``+ distinct documents OF THE SAME REGISTERED
+    DOMAIN — the scope CCNet actually dedups at (per-shard ≈ per-site):
+    "Terms apply" on 2 pages each of 40 different sites is content-ish
+    and survives, while a site's own nav bar on every one of its pages
+    is removed. The corpus-global rule (:func:`strip_frequent_lines`)
+    cannot make that distinction.
+
+    → ``(url, domain, n_lines, n_removed, kept_text)``.
+
+    Scale shape: the frequency aggregate shuffles (domain, line-md5)
+    digests; the flag join re-uses the same composite key, so AQE
+    reuses the exchange. Unlike the global variant the frequent dim is
+    domains × chrome-lines — too big to broadcast at crawl scale, so
+    this is deliberately a key-aligned shuffle join, and the zipfian
+    domain key is standard AQE-skew territory."""
+    from .urls import registered_domain
+
+    lines = pages.select(
+        F.col(url_col).alias("url"),
+        registered_domain(F.col(url_col)).alias("domain"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("line_no", "line"),
+    ).withColumn("line_key", F.md5(F.trim("line")))
+    frequent = (
+        lines.groupBy("domain", "line_key")
+        .agg(F.countDistinct("url").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("domain", "line_key", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(frequent, ["domain", "line_key"], "left")
+    return flagged.groupBy("url", "domain").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_boiler").isNull(),
+                               F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )

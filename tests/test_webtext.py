@@ -629,3 +629,36 @@ def test_line_offsets_invariant(spark):
     by1 = sorted((r["line_no"], r["start"], r["end"]) for r in rows
                  if r["doc_id"] == 1)
     assert by1 == [(0, 0, 10), (1, 11, 17), (2, 18, 18), (3, 19, 32)]
+
+
+def test_domain_frequent_lines_scoping(spark):
+    """Per-site nav removed; a line shared 2× across EACH of two
+    domains survives (the global rule would kill it at corpus count 4)."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        domain_frequent_lines,
+        strip_frequent_lines,
+    )
+
+    rows = []
+    for dom in ("alpha.com", "beta.org"):
+        for i in range(3):
+            rows.append((
+                f"https://www.{dom}/p{i}",
+                f"NAV-{dom}\n" + ("Terms apply.\n" if i < 2 else "")
+                + f"unique body {dom} {i}",
+            ))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r for r in domain_frequent_lines(df, min_docs=3).collect()}
+    for dom in ("alpha.com", "beta.org"):
+        for i in range(3):
+            r = out[f"https://www.{dom}/p{i}"]
+            assert r["domain"] == dom
+            assert f"NAV-{dom}" not in r["kept_text"]       # per-site chrome
+            if i < 2:
+                assert "Terms apply." in r["kept_text"]      # 2 < min_docs
+    # the corpus-global rule at the same threshold kills the terms line
+    glob = strip_frequent_lines(
+        df.withColumnRenamed("url", "doc_id"), min_docs=3
+    )
+    assert all("Terms apply." not in r["kept_text"] for r in glob.collect()
+               if "p0" in r["doc_id"] or "p1" in r["doc_id"])
