@@ -273,3 +273,42 @@ def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_wet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming derived-text (WET) generation: pages stream → layout
+    kernel → per-url text → WET conversion records, one shard set per
+    micro-batch via foreachBatch (per-document work is batch-local, so
+    micro-batch boundaries cannot change any record — the same
+    argument as streaming_extract_statements; a differential test
+    asserts streamed records == the batch run byte-for-byte).
+    Exactly-once via the streaming checkpoint; a replayed batch
+    re-appends into a batch-id subdirectory, overwriting its own files.
+
+    Returns the started StreamingQuery."""
+    from ..kernels import extract_pages, extracted_text
+    from ..sources.pages import skew_partitioned
+    from ..sources.warc import wet_records
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        text = extracted_text(extract_pages(skew_partitioned(batch_df)))
+        wet_in = (
+            batch_df.select("url", "warc_ts")
+            .join(text.withColumnRenamed("extracted_text", "text"), "url")
+        )
+        wet_records(wet_in).select("wet_record").write.mode("overwrite").text(
+            f"{output_dir}/batch={batch_id}"
+        )
+
+    return (
+        stream_pages(spark, input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -149,3 +149,41 @@ def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
     assert got == expected
     mirror_pairs = [r for r in rows if "mirror=1" in r.doc_b]
     assert mirror_pairs and all(r.est_jaccard == 1.0 for r in mirror_pairs)
+
+
+def test_streaming_wet_matches_batch(spark, stream_dir, tmp_path):
+    """Streamed WET shards parse to exactly the batch-run records."""
+    import glob
+
+    from pdf_context_extractor_agent_spark.kernels import (
+        extract_pages,
+        extracted_text,
+    )
+    from pdf_context_extractor_agent_spark.sources.warc import (
+        iter_warc_records,
+        wet_records,
+    )
+    from pdf_context_extractor_agent_spark.streaming import streaming_wet
+
+    out = str(tmp_path / "wet_out")
+    q = streaming_wet(spark, f"{stream_dir}/*", out, str(tmp_path / "wet_ckpt"))
+    q.awaitTermination(180)
+
+    data = b"".join(
+        open(f, "rb").read()
+        for f in sorted(glob.glob(out + "/batch=*/part-*"))
+    )
+    streamed = {u: (ts, b.decode("utf-8"))
+                for u, ts, b in iter_warc_records(data)}
+
+    pages = spark.read.parquet(stream_dir + "/*.parquet")
+    text = extracted_text(extract_pages(pages)).withColumnRenamed(
+        "extracted_text", "text"
+    )
+    batch = {}
+    for r in wet_records(
+        pages.select("url", "warc_ts").join(text, "url")
+    ).collect():
+        for u, ts, b in iter_warc_records(r["wet_record"].encode("utf-8")):
+            batch[u] = (ts, b.decode("utf-8"))
+    assert streamed == batch and len(streamed) == 7
