@@ -2514,6 +2514,32 @@ def _q_domain_boiler(spark, sf):
     return domain_frequent_lines(pages, min_docs=3)
 
 
+def _q_unigram(spark, sf):
+    """Quantized-log unigram segmentation (SentencePiece-style Viterbi
+    with ilog2 scores — every comparison integer-exact): the engine
+    runs the bounded DP; the oracle ENUMERATES every segmentation of
+    every distinct word (recursive CTE, words capped at 10 chars) and
+    ranks by the same (score DESC, n_pieces ASC, mask DESC) order —
+    certifying the DP against brute force."""
+    from pdf_context_extractor_agent_spark.functions.unigram import (
+        piece_counts,
+        viterbi_segment,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    pieces = piece_counts(docs, min_count=2)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                        "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("word")
+    )
+    return viterbi_segment(words, pieces)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2649,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fp": _q_winnow_fp,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_domain_boiler": _q_domain_boiler,
+        "q_unigram": _q_unigram,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -4843,6 +4870,58 @@ dim AS (
                                        chr(10) ORDER BY line_no),
                             '') AS kept_text
             FROM fl GROUP BY url, domain""",
+        # unigram Viterbi certified against brute-force enumeration of
+        # ALL segmentations (compositions with parts ≤ 4 of ≤10-char
+        # words), same total tie order
+        "q_unigram": r"""
+            WITH RECURSIVE wa AS (
+              SELECT w AS word
+              FROM (SELECT unnest(string_split_regex(
+                             lower(coalesce(text, '')), '[^a-z0-9]+')) AS w
+                    FROM documents WHERE doc_id < 80)
+              WHERE w <> '' AND length(w) <= 10),
+            wf AS (SELECT word, COUNT(*) AS wf FROM wa GROUP BY word),
+            pos AS (
+              SELECT wf.word, wf.wf, s.start::INT AS start, k.k::INT AS k
+              FROM wf, range(1, 11) s(start), range(1, 5) k(k)
+              WHERE s.start <= length(wf.word)
+                AND s.start + k.k - 1 <= length(wf.word)),
+            pc AS (
+              SELECT substr(word, start, k) AS piece, SUM(wf)::BIGINT AS cnt
+              FROM pos GROUP BY piece),
+            v0 AS (
+              SELECT piece, cnt FROM pc
+              WHERE length(piece) = 1 OR cnt >= 2),
+            tot AS (SELECT SUM(cnt)::BIGINT AS t FROM v0),
+            vocab AS (
+              SELECT piece,
+                     (length(printf('%b', cnt))
+                      - length(printf('%b', (SELECT t FROM tot))))::INT AS s
+              FROM v0),
+            ww AS (SELECT DISTINCT word FROM wa),
+            seg AS (
+              SELECT word, 0 AS pos, 0 AS score, 0 AS np,
+                     0::BIGINT AS mask, '' AS path
+              FROM ww
+              UNION ALL
+              SELECT s.word, (s.pos + length(v.piece))::INT,
+                     s.score + v.s, s.np + 1,
+                     s.mask + (1::BIGINT << (s.pos + length(v.piece))::INT),
+                     CASE WHEN s.path = '' THEN v.piece
+                          ELSE s.path || ' ' || v.piece END
+              FROM seg s JOIN vocab v
+                ON length(v.piece) <= 4
+               AND s.pos + length(v.piece) <= length(s.word)
+               AND v.piece = substr(s.word, s.pos + 1, length(v.piece))),
+            done AS (SELECT * FROM seg WHERE pos = length(word)),
+            rk AS (
+              SELECT word, path AS segmentation, score, np AS n_pieces,
+                     row_number() OVER (
+                       PARTITION BY word
+                       ORDER BY score DESC, np ASC, mask DESC
+                     ) AS r
+              FROM done)
+            SELECT word, segmentation, score, n_pieces FROM rk WHERE r = 1""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -99,3 +99,69 @@ def test_merge_respects_greedy_overlap(spark):
     enc = {r["word"]: r["enc"] for r in vocab.collect()}
     assert enc["aaa"] == "|aa|a|"
     assert enc["aa"] == "|aa|"
+
+
+# --------------------------------------------------------------------------
+# unigram-LM (quantized-log) segmentation
+# --------------------------------------------------------------------------
+
+def test_unigram_prefers_frequent_pieces(spark):
+    from pdf_context_extractor_agent_spark.functions.unigram import (
+        piece_counts,
+        viterbi_segment,
+    )
+
+    # 'ing' is extremely frequent; rare words still segment via chars
+    docs = spark.createDataFrame(
+        [(0, "running singing ring ring ring ing ing ing ing ing")],
+        "doc_id int, text string",
+    )
+    pieces = piece_counts(docs, min_count=2)
+    words = spark.createDataFrame([("ring",), ("zq",)], "word string")
+    got = {r["word"]: r for r in viterbi_segment(words, pieces).collect()}
+    # 'ring' should NOT be split into 4 single chars — 'ring' itself
+    # occurs 4+ times (word + substrings) so the whole word is a piece
+    assert got["ring"]["n_pieces"] <= 2
+    # 'zq' never occurred: no segmentation exists (chars absent) →
+    # absent from output rather than wrong
+    assert "zq" not in got
+
+
+def test_unigram_dp_matches_bruteforce(spark):
+    """Pure-python brute force over all compositions == the DP."""
+    import itertools
+
+    from pdf_context_extractor_agent_spark.functions.unigram import (
+        piece_counts,
+        viterbi_segment,
+    )
+
+    text = "abab banana band ban and anda nab ab ba an na"
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    pieces = piece_counts(docs, min_count=2)
+    vocab = {r["piece"]: r["score"] for r in pieces.collect()}
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in range(2 ** max(n - 1, 0)):
+            bounds = [0] + [i + 1 for i in range(n - 1) if cuts >> i & 1] + [n]
+            segs = [word[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+            if any(len(s) > 4 or s not in vocab for s in segs):
+                continue
+            score = sum(vocab[s] for s in segs)
+            mask = sum(1 << b for b in bounds[1:])
+            key = (score, -len(segs), mask)
+            if best is None or key > best[0]:
+                best = (key, " ".join(segs))
+        return best
+
+    words = ["banana", "band", "abab", "an", "nab"]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: (r["score"], r["n_pieces"], r["segmentation"])
+           for r in viterbi_segment(wdf, pieces).collect()}
+    for w in words:
+        b = brute(w)
+        assert b is not None
+        (score, nnp, _mask), path = b
+        assert got[w] == (score, -nnp, path), w
