@@ -2540,6 +2540,27 @@ def _q_unigram(spark, sf):
     return viterbi_segment(words, pieces)
 
 
+def _q_host_rank(spark, sf):
+    """Host-graph PageRank: page links collapse to 23 hosts (dense ids
+    via the two-phase rank), then the same scaled-integer power
+    iteration as q_pagerank — the domain-authority prior a curation
+    pipeline feeds back into sampling."""
+    from pdf_context_extractor_agent_spark.functions.graph import host_rank
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents")
+    src = F.concat(F.lit("https://h"), (d % 23).cast("string"),
+                   F.lit(".example.org/p/"), d.cast("string"))
+    out1 = F.concat(F.lit("https://h"), ((d * d + 3) % 23).cast("string"),
+                    F.lit(".example.org/"))
+    out2 = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                    F.lit(".example.org/"))
+    edges = docs.select(src.alias("url"), out1.alias("out_url")).unionByName(
+        docs.select(src.alias("url"), out2.alias("out_url"))
+    )
+    return host_rank(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2676,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": _q_winnow_pairs,
         "q_domain_boiler": _q_domain_boiler,
         "q_unigram": _q_unigram,
+        "q_host_rank": _q_host_rank,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -2966,6 +2988,37 @@ r0 AS MATERIALIZED (
         + ",".join(_pr_rounds)
         + """
 SELECT node, rank FROM r3"""
+    )
+
+    # host-graph PageRank: same unrolled rounds over the host dimension
+    # (dense ids by row_number over host order — the two-phase-rank twin)
+    host_rank_sql = (
+        """
+WITH he AS MATERIALIZED (
+  SELECT 'h' || (doc_id % 23)::VARCHAR || '.example.org' AS hs,
+         'h' || ((doc_id * doc_id + 3) % 23)::VARCHAR || '.example.org' AS hd
+  FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 23)::VARCHAR || '.example.org',
+         'h' || (doc_id % 7)::VARCHAR || '.example.org'
+  FROM documents),
+ed AS MATERIALIZED (SELECT DISTINCT hs, hd FROM he WHERE hs <> hd),
+hostdim AS MATERIALIZED (
+  SELECT host, (row_number() OVER (ORDER BY host) - 1)::BIGINT AS hid
+  FROM (SELECT hs AS host FROM ed UNION SELECT hd FROM ed)),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM hostdim),
+nodes AS MATERIALIZED (SELECT hid AS node FROM hostdim),
+e AS MATERIALIZED (
+  SELECT a.hid AS src, b.hid AS dst
+  FROM ed JOIN hostdim a ON ed.hs = a.host JOIN hostdim b ON ed.hd = b.host),
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+basev AS MATERIALIZED (
+  SELECT (100 - 85) * 1000000000000 // n // 100 AS b FROM nn),
+r0 AS MATERIALIZED (
+  SELECT node, (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank FROM nodes),"""
+        + ",".join(_pr_rounds)
+        + """
+SELECT h.host, r.rank FROM r3 r JOIN hostdim h ON h.hid = r.node"""
     )
 
     # fixed-point HITS unrolled: 2 rounds, all-integer with L1
@@ -5701,6 +5754,7 @@ FROM flags""",
                    CASE {_split_cases} ELSE 'rest' END AS split
             FROM d""",
         "q_pagerank": pagerank_sql,
+        "q_host_rank": host_rank_sql,
         # anchor profile: terms restated from the synthesis (doc/link
         # shared per hub target, each id once), same total-order rank
         "q_anchor_profile": """

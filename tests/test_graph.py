@@ -208,3 +208,33 @@ def test_anchor_profile_aggregates_shared_targets(spark):
     assert ("/x", 1, "solo", 1) in rows
     # k=2 cap: 'other' (n=1) ranks 3rd for /t and is cut
     assert all(not (o == "/t" and t == "other") for o, _, t, _ in rows)
+
+
+def test_host_graph_dense_ids_and_rank(spark):
+    from pdf_context_extractor_agent_spark.functions.graph import (
+        host_graph,
+        host_rank,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "https://b.com/y"),   # same host pair → 1 edge
+            ("https://b.com/1", "https://c.com/"),
+            ("https://c.com/1", "https://a.com/"),
+            ("https://a.com/3", "https://a.com/4"),   # self host loop → dropped
+        ],
+        "url string, out_url string",
+    )
+    dim, e = host_graph(edges)
+    ids = {r["host"]: r["hid"] for r in dim.collect()}
+    assert ids == {"a.com": 0, "b.com": 1, "c.com": 2}  # dense, host-ordered
+    got = {(r["src"], r["dst"]) for r in e.collect()}
+    assert got == {(0, 1), (1, 2), (2, 0)}  # deduped, no self loops
+    ranks = {r["host"]: r["rank"] for r in host_rank(edges).collect()}
+    # symmetric 3-cycle → equal ranks
+    assert len(set(ranks.values())) == 1 and len(ranks) == 3
+    # partitioning must not change the integer ranks
+    ranks2 = {r["host"]: r["rank"]
+              for r in host_rank(edges.repartition(5)).collect()}
+    assert ranks == ranks2
