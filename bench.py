@@ -114,6 +114,12 @@ HEADLINE = [
     "q_bloom_probe",
     "q_pq_topk",
     "q_hyperball",
+    # r4 session-6 additions that scale with sf (no doc_id cap):
+    # magic-byte sniff (pure projection), integer domain priors
+    # (domain shuffle + broadcast global), host-graph pagerank
+    "q_sniff_mime",
+    "q_domain_prior",
+    "q_host_rank",
 ]
 
 
