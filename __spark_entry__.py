@@ -2561,6 +2561,44 @@ def _q_host_rank(spark, sf):
     return host_rank(edges)
 
 
+def _q_robots_sitemaps(spark, sf):
+    """Sitemap: directive extraction (global per RFC 9309 — outside
+    the user-agent groups robots_lines models): every host gains a
+    well-formed sitemap line, even hosts a second SHOUTY one, and host
+    3 a relative (junk) line that must be skipped."""
+    from pdf_context_extractor_agent_spark.functions.robots import robots_sitemaps
+
+    r = _robots_df(spark, sf)
+    hid = F.regexp_extract("host", r"h(\d)", 1).cast("int")
+    extra = F.concat(
+        F.lit("\nSitemap: https://"), F.col("host"), F.lit("/sitemap.xml"),
+        F.when(
+            hid % 2 == 0,
+            F.concat(F.lit("\nSITEMAP:   https://cdn.example.com/"),
+                     hid.cast("string"), F.lit("/map.xml.gz")),
+        ).otherwise(F.lit("")),
+        F.when(hid == 3, F.lit("\nSitemap: relative/path.xml"))
+        .otherwise(F.lit("")),
+    )
+    return robots_sitemaps(
+        r.withColumn("robots_txt", F.concat("robots_txt", extra))
+    )
+
+
+def _q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: top-3 most-similar vectors
+    from OTHER clusters (cluster = vec_id % 5), floor-truncated
+    cosine, neg_id tie-break; candidates replicate over the broadcast
+    cluster dim (equi-join, never a theta/cartesian scan)."""
+    from pdf_context_extractor_agent_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    assign = emb.select("vec_id", (F.col("vec_id") % 5).alias("cluster"))
+    return hard_negatives(emb, assign, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2698,6 +2736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_boiler": _q_domain_boiler,
         "q_unigram": _q_unigram,
         "q_host_rank": _q_host_rank,
+        "q_robots_sitemaps": _q_robots_sitemaps,
+        "q_hard_negatives": _q_hard_negatives,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -5033,6 +5073,39 @@ dim AS (
             LEFT JOIN nw USING (doc_id) LEFT JOIN hits USING (doc_id)""",
         # robots-directive extraction over deterministic synthesized
         # HTML; same regexps (RE2/Java common subset) on both engines
+        "q_robots_sitemaps": rf"""
+WITH hosts AS (
+  SELECT DISTINCT (doc_id % 7) AS hid FROM documents
+), bodies AS (
+  SELECT hid, 'h' || hid::VARCHAR || '.example.com' AS host,
+         replace(CASE hid
+           {robots_body_cases}
+           ELSE '' END, '|', chr(10))
+           || chr(10) || 'Sitemap: https://h' || hid::VARCHAR
+           || '.example.com/sitemap.xml'
+           || CASE WHEN hid % 2 = 0
+                   THEN chr(10) || 'SITEMAP:   https://cdn.example.com/'
+                        || hid::VARCHAR || '/map.xml.gz'
+                   ELSE '' END
+           || CASE WHEN hid = 3
+                   THEN chr(10) || 'Sitemap: relative/path.xml'
+                   ELSE '' END AS body
+  FROM hosts
+), rsplit AS (
+  SELECT host, string_split(body, chr(10)) AS l FROM bodies
+), rlines AS (
+  SELECT host, unnest(generate_series(1, len(l))) AS pos, l FROM rsplit
+), x AS (
+  SELECT host, (pos - 1)::INT AS pos,
+         trim(regexp_replace(l[pos], '#.*$', '')) AS line
+  FROM rlines
+), s AS (
+  SELECT host, pos,
+         trim(regexp_extract(line, '(?i)^sitemap\s*:(.*)$', 1))
+           AS sitemap_url
+  FROM x)
+SELECT host, pos, sitemap_url FROM s
+WHERE regexp_matches(sitemap_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')""",
         "q_robots_rules": robots_cte
         + """
 SELECT host, rule, path, path_len FROM rrules""",
@@ -6093,6 +6166,27 @@ GROUP BY sym""",
             JOIN assign a USING (vec_id)
             JOIN probes p ON a.cell = p.cell, q
             ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        # hard negatives: oracle pairs clusters with a plain != join
+        # (oracle-side only) and ranks by the same trunc4 score
+        "q_hard_negatives": """
+            WITH a AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 5 AS cluster
+              FROM embeddings WHERE vec_id < 200),
+            p AS (
+              SELECT q.vec_id AS qid, c.vec_id AS neg_id,
+                     floor(10000.0 * list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))))::BIGINT
+                       AS score4
+              FROM a q JOIN a c ON q.cluster <> c.cluster),
+            r AS (
+              SELECT qid, neg_id, score4,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY score4 DESC, neg_id ASC
+                     )::INT AS neg_rank
+              FROM p)
+            SELECT qid AS vec_id, neg_rank, neg_id, score4
+            FROM r WHERE neg_rank <= 3""",
         "q_embed_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -394,3 +394,28 @@ def feed_entries(
         )
         .filter(F.col("link") != "")
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directives → ``(host, pos, sitemap_url)`` — the
+    discovery bridge from a host's robots.txt into
+    :func:`sitemap_entries`. Sitemap is a GLOBAL directive (RFC 9309
+    §2.3 treats it as outside any user-agent group), so this is a
+    plain line scan, deliberately not routed through the group
+    machinery of :func:`robots_lines` (which drops it). Case-
+    insensitive directive match, comments stripped, absolute URLs
+    only (the spec requires absolute; relative lines are junk and
+    skipped)."""
+    lines = robots.select(
+        host_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.regexp_replace("raw", r"#.*$", "")))
+    url = F.trim(F.regexp_extract("line", r"(?i)^sitemap\s*:(.*)$", 1))
+    return (
+        lines.select(host_col, "pos", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+    )

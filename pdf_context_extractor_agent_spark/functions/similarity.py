@@ -570,3 +570,58 @@ def margin_bitext_pairs(
         )
     )
     return out.filter(F.col("margin") >= threshold)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    assign: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the ``k`` most-similar vectors from OTHER clusters —
+    ``(vec_id, neg_rank, neg_id, score4)`` with ``score4 =
+    floor(cosine·10^4)`` (floor-truncated: exact cross-engine, the
+    module's determinism rule) and neg_id as the deterministic
+    tie-break.
+
+    Plan shape: NOT a theta join (``cluster_a != cluster_b`` would be
+    a cartesian scan). Candidates replicate over the tiny distinct-
+    cluster dim (broadcast; replication factor = C-1, model-sized like
+    a centroid table) keyed by target cluster, then one EQUI-join on
+    the query's own cluster and a per-query top-k window. This exact
+    variant is the evaluation-scale baseline; at corpus scale feed the
+    same anti-cluster filter with :func:`ann_topk` / :func:`ivf_topk`
+    candidates instead of all vectors."""
+    from pyspark.sql import Window
+
+    a = emb.join(assign, id_col).select(
+        F.col(id_col), F.col(vec_col), F.col(cluster_col)
+    )
+    cdim = assign.select(F.col(cluster_col).alias("_tc")).distinct()
+    cand = (
+        a.crossJoin(F.broadcast(cdim))
+        .filter(F.col("_tc") != F.col(cluster_col))
+        .select("_tc", F.col(id_col).alias("neg_id"),
+                F.col(vec_col).alias("_nv"))
+    )
+    q = a.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"),
+        F.col(cluster_col).alias("_tc"),
+    )
+    scored = q.join(cand, "_tc").select(
+        "qid", "neg_id",
+        F.floor(
+            cosine(F.col("_qv").cast("array<double>"),
+                   F.col("_nv").cast("array<double>")) * 10000.0
+        ).cast("long").alias("score4"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score4").desc(),
+                                          F.col("neg_id").asc())
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(F.col("qid").alias(id_col), "neg_rank", "neg_id", "score4")
+    )

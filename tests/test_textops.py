@@ -784,3 +784,29 @@ def test_winnow_guarantee_shared_substring(spark):
              for r in winnow_pairs(winnow_fingerprints(df), min_shared=1)
              .collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+
+
+def test_hard_negatives_excludes_own_cluster(spark):
+    from pdf_context_extractor_agent_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.99, 0.14]),    # cluster 0
+            (2, [0.98, 0.19]), (3, [0.0, 1.0]),    # cluster 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "vec_id long, cluster int"
+    )
+    got = {(r["vec_id"], r["neg_rank"]): r["neg_id"]
+           for r in hard_negatives(emb, assign, k=2).collect()}
+    # vec 0's hardest negative is 2 (cosine ≈ .98), NOT its clustermate 1
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 3
+    # vec 2's hardest negatives are the near-parallel cluster-0 vectors
+    assert got[(2, 1)] in (0, 1)
+    plan = hard_negatives(emb, assign, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
