@@ -2599,6 +2599,36 @@ def _q_hard_negatives(spark, sf):
     return hard_negatives(emb, assign, k=3)
 
 
+def _q_snapshot_drift(spark, sf):
+    """Per-domain crawl-drift dashboard: snapshot_diff counts (old =
+    www+utm variants, new = plain urls, every third body revised) plus
+    exact integer per-side score means and their delta — the
+    extraction-regression alarm between releases."""
+    from pdf_context_extractor_agent_spark.functions.urls import (
+        snapshot_drift_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    base = F.concat(F.lit("h.example"), (d % 11).cast("string"),
+                    F.lit(".com/p/"), d.cast("string"))
+    old = docs.filter(d % 7 != 0).select(
+        F.concat(F.lit("https://WWW."), base, F.lit("?utm_source=feed"))
+        .alias("url"),
+        F.md5("text").alias("digest"),
+        ((d * 7919) % 1000000).alias("score_ppm"),
+    )
+    new = docs.filter(d % 5 != 0).select(
+        F.concat(F.lit("https://"), base).alias("url"),
+        F.md5(
+            F.when(d % 3 == 0, F.concat("text", F.lit("v2")))
+            .otherwise(F.col("text"))
+        ).alias("digest"),
+        ((d * 104729) % 1000000).alias("score_ppm"),
+    )
+    return snapshot_drift_report(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2738,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_rank": _q_host_rank,
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_hard_negatives": _q_hard_negatives,
+        "q_snapshot_drift": _q_snapshot_drift,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -5015,6 +5046,49 @@ dim AS (
                      ) AS r
               FROM done)
             SELECT word, segmentation, score, n_pieces FROM rk WHERE r = 1""",
+        # drift report: full-outer diff + per-side integer score means
+        "q_snapshot_drift": r"""
+            WITH o AS (
+              SELECT doc_id,
+                     'example' || (doc_id % 11)::VARCHAR || '.com' AS domain,
+                     'p/' || doc_id::VARCHAR AS key, md5(text) AS dg,
+                     (doc_id * 7919) % 1000000 AS s
+              FROM documents WHERE doc_id % 7 <> 0),
+            n AS (
+              SELECT doc_id,
+                     'example' || (doc_id % 11)::VARCHAR || '.com' AS domain,
+                     'p/' || doc_id::VARCHAR AS key,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || 'v2'
+                              ELSE text END) AS dg,
+                     (doc_id * 104729) % 1000000 AS s
+              FROM documents WHERE doc_id % 5 <> 0),
+            d AS (
+              SELECT COALESCE(o.domain, n.domain) AS domain,
+                     CASE WHEN o.key IS NULL THEN 'new'
+                          WHEN n.key IS NULL THEN 'gone'
+                          WHEN o.dg = n.dg THEN 'unchanged'
+                          ELSE 'changed' END AS change
+              FROM o FULL OUTER JOIN n ON o.key = n.key),
+            c AS (
+              SELECT domain,
+                     COUNT(CASE WHEN change = 'new' THEN 1 END) AS n_new,
+                     COUNT(CASE WHEN change = 'changed' THEN 1 END)
+                       AS n_changed,
+                     COUNT(CASE WHEN change = 'unchanged' THEN 1 END)
+                       AS n_unchanged,
+                     COUNT(CASE WHEN change = 'gone' THEN 1 END) AS n_gone
+              FROM d GROUP BY domain),
+            om AS (
+              SELECT domain, (SUM(s) // COUNT(*))::BIGINT AS old_score_ppm
+              FROM o GROUP BY domain),
+            nm AS (
+              SELECT domain, (SUM(s) // COUNT(*))::BIGINT AS new_score_ppm
+              FROM n GROUP BY domain)
+            SELECT c.domain, c.n_new, c.n_changed, c.n_unchanged, c.n_gone,
+                   om.old_score_ppm, nm.new_score_ppm,
+                   nm.new_score_ppm - om.old_score_ppm AS score_delta_ppm
+            FROM c LEFT JOIN om ON c.domain = om.domain
+                   LEFT JOIN nm ON c.domain = nm.domain""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -411,3 +411,61 @@ def domain_prior(
             ).alias("prior_ppm"),
         )
     )
+
+
+def snapshot_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    score_col: str = "score_ppm",
+) -> DataFrame:
+    """Per-domain crawl-drift report — the release dashboard a crawl
+    project publishes between snapshots and the alarm input for
+    curation regressions::
+
+        (domain, n_new, n_changed, n_unchanged, n_gone,
+         old_score_ppm, new_score_ppm, score_delta_ppm)
+
+    built from :func:`snapshot_diff` (canonical-url deltas) plus each
+    side's integer quality score (``score_ppm``, e.g. classifier
+    output × 1e6): score means are exact ``sum DIV count`` per domain
+    and side — a drop in ``score_delta_ppm`` on a big domain between
+    snapshots is the classic sign of a template change breaking
+    extraction. ALL-INTEGER, same discipline as :func:`domain_prior`.
+
+    Scale shape: the diff's full-outer join runs on the canonical-url
+    key; the report is one further groupBy on the registered domain
+    (zipfian → AQE skew territory). Null-safe: a domain present on one
+    side only reports that side's mean and a null delta.
+    """
+    diff = snapshot_diff(old, new, url_col, digest_col)
+    dom = registered_domain(F.col("canon_url"))
+    counts = diff.groupBy(dom.alias("domain")).agg(
+        F.count(F.when(F.col("change") == "new", 1)).alias("n_new"),
+        F.count(F.when(F.col("change") == "changed", 1)).alias("n_changed"),
+        F.count(F.when(F.col("change") == "unchanged", 1)).alias("n_unchanged"),
+        F.count(F.when(F.col("change") == "gone", 1)).alias("n_gone"),
+    )
+
+    def side_mean(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                registered_domain(canonicalize_url(F.col(url_col)))
+                .alias("domain"),
+                F.col(score_col).cast("long").alias("_s"),
+            )
+            .groupBy("domain")
+            .agg(F.expr("sum(_s) div count(*)").alias(out))
+        )
+
+    o = side_mean(old, "old_score_ppm")
+    n = side_mean(new, "new_score_ppm")
+    return (
+        counts.join(o, "domain", "left")
+        .join(n, "domain", "left")
+        .withColumn(
+            "score_delta_ppm",
+            F.col("new_score_ppm") - F.col("old_score_ppm"),
+        )
+    )

@@ -349,3 +349,36 @@ def test_domain_prior_shrinks_small_domains(spark):
     # shrinkage direction: tiny sits close to global, big close to 900000
     assert abs(got["tiny.com"]["prior_ppm"] - g) < abs(0 - g)
     assert abs(got["big.com"]["prior_ppm"] - 900000) < abs(g - 900000)
+
+
+def test_snapshot_drift_report_semantics(spark):
+    from pdf_context_extractor_agent_spark.functions.urls import (
+        snapshot_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("https://a.com/1", "d1", 500000),
+            ("https://a.com/2", "d2", 300000),
+            ("https://b.com/1", "d3", 900000),
+        ],
+        "url string, digest string, score_ppm long",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.com/1", "d1", 400000),      # unchanged content
+            ("https://a.com/2", "dX", 200000),      # changed
+            ("https://a.com/3", "d9", 600000),      # new
+            # b.com page gone entirely
+        ],
+        "url string, digest string, score_ppm long",
+    )
+    got = {r["domain"]: r for r in snapshot_drift_report(old, new).collect()}
+    a = got["a.com"]
+    assert (a["n_new"], a["n_changed"], a["n_unchanged"], a["n_gone"]) == (1, 1, 1, 0)
+    assert a["old_score_ppm"] == (500000 + 300000) // 2
+    assert a["new_score_ppm"] == (400000 + 200000 + 600000) // 3
+    assert a["score_delta_ppm"] == a["new_score_ppm"] - a["old_score_ppm"]
+    b = got["b.com"]
+    assert b["n_gone"] == 1 and b["new_score_ppm"] is None
+    assert b["score_delta_ppm"] is None  # one-sided domain → null delta
