@@ -2629,6 +2629,39 @@ def _q_snapshot_drift(spark, sf):
     return snapshot_drift_report(old, new)
 
 
+def _q_sitemap_recrawl(spark, sf):
+    """Freshness-driven recrawl verdicts: lastmod kinds cycle over
+    bare-date / datetime / empty / junk ('soon'), ledger covers
+    doc_id%3!=0 — exercising all four reasons and the exact epoch
+    staleness."""
+    from pdf_context_extractor_agent_spark.functions.robots import sitemap_recrawl
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s"), (d % 7).cast("string"),
+                   F.lit(".com/p/"), d.cast("string"))
+    lastmod = (
+        F.when(d % 11 == 0, F.lit(""))
+        .when(d % 11 == 1, F.lit("soon"))  # junk → no_lastmod
+        .when(d % 2 == 0,
+              F.concat(F.lit("2024-01-"),
+                       F.lpad((1 + d % 28).cast("string"), 2, "0")))
+        .otherwise(
+            F.concat(F.lit("2024-01-"),
+                     F.lpad((1 + d % 28).cast("string"), 2, "0"),
+                     F.lit(" 06:00:00")))
+    )
+    entries = _t(spark, sf, "documents").select(
+        url.alias("loc"), lastmod.alias("lastmod")
+    )
+    crawled = _t(spark, sf, "documents").filter(d % 3 != 0).select(
+        url.alias("url"),
+        (F.lit("2024-01-15 00:00:00").cast("timestamp")
+         + F.expr("make_interval(0,0,0,0,cast(doc_id % 13 as int),0,0)"))
+        .alias("last_fetch_ts"),
+    )
+    return sitemap_recrawl(entries, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2769,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_hard_negatives": _q_hard_negatives,
         "q_snapshot_drift": _q_snapshot_drift,
+        "q_sitemap_recrawl": _q_sitemap_recrawl,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -5089,6 +5123,44 @@ dim AS (
                    nm.new_score_ppm - om.old_score_ppm AS score_delta_ppm
             FROM c LEFT JOIN om ON c.domain = om.domain
                    LEFT JOIN nm ON c.domain = nm.domain""",
+        # recrawl verdicts: try_cast lastmod, exact epoch staleness
+        "q_sitemap_recrawl": r"""
+            WITH e AS (
+              SELECT 'https://s' || (doc_id % 7)::VARCHAR || '.com/p/'
+                       || doc_id::VARCHAR AS url,
+                     try_cast(
+                       CASE
+                         WHEN doc_id % 11 = 0 THEN ''
+                         WHEN doc_id % 11 = 1 THEN 'soon'
+                         WHEN doc_id % 2 = 0
+                           THEN '2024-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                         ELSE '2024-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                              || ' 06:00:00'
+                       END AS TIMESTAMP) AS lastmod_ts,
+                     doc_id
+              FROM documents),
+            c AS (
+              SELECT 'https://s' || (doc_id % 7)::VARCHAR || '.com/p/'
+                       || doc_id::VARCHAR AS url,
+                     TIMESTAMP '2024-01-15 00:00:00'
+                       + (doc_id % 13) * INTERVAL 1 HOUR AS last_fetch_ts
+              FROM documents WHERE doc_id % 3 <> 0),
+            j AS (
+              SELECT e.url, e.lastmod_ts, c.last_fetch_ts,
+                     CASE WHEN c.last_fetch_ts IS NULL THEN 'never_fetched'
+                          WHEN e.lastmod_ts IS NULL THEN 'no_lastmod'
+                          WHEN e.lastmod_ts > c.last_fetch_ts
+                            THEN 'modified_since_fetch'
+                          ELSE 'fresh' END AS reason
+              FROM e LEFT JOIN c ON e.url = c.url)
+            SELECT url, lastmod_ts, last_fetch_ts, reason,
+                   reason IN ('never_fetched', 'modified_since_fetch') AS due,
+                   CASE WHEN lastmod_ts IS NOT NULL
+                             AND last_fetch_ts IS NOT NULL
+                        THEN epoch(lastmod_ts)::BIGINT
+                             - epoch(last_fetch_ts)::BIGINT
+                   END AS staleness_secs
+            FROM j""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -419,3 +419,59 @@ def robots_sitemaps(
         lines.select(host_col, "pos", url.alias("sitemap_url"))
         .filter(F.col("sitemap_url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
     )
+
+
+def sitemap_recrawl(
+    entries: DataFrame,
+    crawled: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    url_col: str = "url",
+    fetch_ts_col: str = "last_fetch_ts",
+) -> DataFrame:
+    """Recrawl planning from sitemap freshness: join discovered page
+    entries against the crawl ledger and emit a due-verdict per url::
+
+        never_fetched          not in the ledger            → due
+        modified_since_fetch   lastmod > last fetch         → due
+        fresh                  lastmod ≤ last fetch         → not due
+        no_lastmod             entry has no parseable date  → not due
+                               (conservative: without a freshness
+                               signal, recrawl cadence belongs to the
+                               frontier's politeness budget instead)
+
+    ``staleness_secs`` (lastmod − last fetch, exact integer epoch
+    difference) orders the due set for budgeted recrawls; feed the
+    result into :func:`frontier_schedule` for the politeness pass.
+    Timestamps parse via try_cast — sitemap lastmod is W3C datetime in
+    the wild, frequently truncated to a bare date; unparseable values
+    classify as ``no_lastmod`` rather than erroring the plan.
+
+    One equi-join on the url key. The sitemap side is discovery-dim
+    data; the ledger is url-keyed like every other pipeline relation.
+    """
+    e = entries.select(
+        F.col(loc_col).alias("url"),
+        F.expr(f"try_cast({lastmod_col} AS timestamp)").alias("lastmod_ts"),
+    )
+    c = crawled.select(
+        F.col(url_col).alias("url"),
+        F.col(fetch_ts_col).alias("last_fetch_ts"),
+    )
+    j = e.join(c, "url", "left")
+    due = (
+        F.when(F.col("last_fetch_ts").isNull(), F.lit("never_fetched"))
+        .when(F.col("lastmod_ts").isNull(), F.lit("no_lastmod"))
+        .when(F.col("lastmod_ts") > F.col("last_fetch_ts"),
+              F.lit("modified_since_fetch"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        "url", "lastmod_ts", "last_fetch_ts",
+        due.alias("reason"),
+        due.isin("never_fetched", "modified_since_fetch").alias("due"),
+        F.when(
+            F.col("lastmod_ts").isNotNull() & F.col("last_fetch_ts").isNotNull(),
+            F.col("lastmod_ts").cast("long") - F.col("last_fetch_ts").cast("long"),
+        ).alias("staleness_secs"),
+    )

@@ -142,3 +142,58 @@ def test_feed_entries_rss_and_atom(spark):
         # pos 2 = linkless item, filtered; atom entry keeps pos 3
         ("h0", 3, "atom", "/c", None, "2024-05-06"),
     ]
+
+
+def test_sitemap_recrawl_verdicts(spark):
+    import datetime as dt
+
+    from pdf_context_extractor_agent_spark.functions.robots import sitemap_recrawl
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/new", "2024-02-01"),
+            ("https://a.com/stale", "2024-03-01 12:00:00"),
+            ("https://a.com/fresh", "2024-01-01"),
+            ("https://a.com/nodate", ""),
+            ("https://a.com/junkdate", "next tuesday"),
+        ],
+        "loc string, lastmod string",
+    )
+    crawled = spark.createDataFrame(
+        [(u, dt.datetime(2024, 2, 15)) for u in
+         ["https://a.com/stale", "https://a.com/fresh",
+          "https://a.com/nodate", "https://a.com/junkdate"]],
+        "url string, last_fetch_ts timestamp",
+    )
+    got = {r["url"]: r for r in sitemap_recrawl(entries, crawled).collect()}
+    assert got["https://a.com/new"]["reason"] == "never_fetched"
+    assert got["https://a.com/new"]["due"]
+    assert got["https://a.com/stale"]["reason"] == "modified_since_fetch"
+    assert got["https://a.com/stale"]["staleness_secs"] == int(
+        (dt.datetime(2024, 3, 1, 12) - dt.datetime(2024, 2, 15)).total_seconds()
+    )
+    assert got["https://a.com/fresh"]["reason"] == "fresh"
+    assert not got["https://a.com/fresh"]["due"]
+    assert got["https://a.com/nodate"]["reason"] == "no_lastmod"
+    assert got["https://a.com/junkdate"]["reason"] == "no_lastmod"
+
+
+def test_robots_sitemaps_directive_scan(spark):
+    from pdf_context_extractor_agent_spark.functions.robots import robots_sitemaps
+
+    r = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /x\n"
+                      "Sitemap: https://a.com/s.xml  # trailing comment\n"
+                      "sitemap:https://a.com/s2.xml.gz\n"
+                      "Sitemap: not-a-url"),
+            ("b.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted((r_["host"], r_["sitemap_url"])
+                 for r_ in robots_sitemaps(r).collect())
+    assert got == [
+        ("a.com", "https://a.com/s.xml"),
+        ("a.com", "https://a.com/s2.xml.gz"),
+    ]
