@@ -2662,6 +2662,25 @@ def _q_sitemap_recrawl(spark, sf):
     return sitemap_recrawl(entries, crawled)
 
 
+def _q_attributes(spark, sf):
+    """Dolma-style attribute sidecar: fixed-key-order JSON string of
+    integer signals (chars, tokens, PII hits, mojibake ppm) over
+    bodies seeded with one email, one phone and one mojibake é."""
+    from pdf_context_extractor_agent_spark.functions.quality import (
+        attribute_records,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")), F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com +555-123-4567 caffÃ©"),
+        ).alias("text"),
+    )
+    return attribute_records(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2781,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_union": _q_hll_union,
         "q_page_metadata": _q_page_metadata,
         "q_fix_mojibake": _q_fix_mojibake,
+        "q_attributes": _q_attributes,
         "q_latest_revision": _q_latest_revision,
         "q_sniff_mime": _q_sniff_mime,
         "q_wet_records": _q_wet_records,
@@ -3482,6 +3502,32 @@ SELECT doc_id,
        floor((n - length(fixed)) / greatest(n, 1) * 1000000.0)::BIGINT
          AS moji_score_ppm,
        md5(fixed) AS fixed_md5
+FROM f"""
+
+    # Dolma-style attribute sidecar: the fixed-key-order JSON concat is
+    # restated verbatim; counts via len(regexp_extract_all), moji ppm
+    # via the same generated repair chain
+    attributes_sql = f"""
+WITH c AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' user' || doc_id::VARCHAR
+           || '@example.com +555-123-4567 caffÃ©' AS t
+  FROM documents),
+f AS (SELECT doc_id, t, {_fix} AS fixed FROM c)
+SELECT doc_id,
+       '{{"n_chars":' || length(t)::VARCHAR
+       || ',"ws_tokens":' || len(string_split_regex(trim(t), '\\s+'))::VARCHAR
+       || ',"re_tokens":'
+       || len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::VARCHAR
+       || ',"pii_email":'
+       || len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::VARCHAR
+       || ',"pii_phone":'
+       || len(regexp_extract_all(t, '\\+?[0-9]{{3}}-[0-9]{{3,4}}-[0-9]{{4}}'))::VARCHAR
+       || ',"moji_ppm":'
+       || floor((length(t) - length(fixed))
+                / greatest(length(t), 1) * 1000000.0)::BIGINT::VARCHAR
+       || '}}' AS attributes
 FROM f"""
 
     bpe_cte = (
@@ -5997,6 +6043,7 @@ FROM flags""",
         "q_hll_union": hll_union_sql,
         "q_page_metadata": page_metadata_sql,
         "q_fix_mojibake": mojibake_sql,
+        "q_attributes": attributes_sql,
         "q5_local_supplier_volume": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -697,3 +697,42 @@ def char_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.size(F.col("_distinct")).alias("n_distinct_chars"),
         div.alias("char_diversity"),
     )
+
+
+def attribute_records(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Dolma-style attribute sidecar: ``(id, attributes)`` where
+    ``attributes`` is one deterministic JSON object string carrying
+    the integer quality signals downstream taggers consume WITHOUT
+    re-reading bodies (the attributes-file convention of Dolma /
+    FineWeb-style pipelines: documents and annotations live in
+    separate, id-joined files)::
+
+        {"n_chars":N,"ws_tokens":N,"re_tokens":N,
+         "pii_email":N,"pii_phone":N,"moji_ppm":N}
+
+    The JSON is assembled by CONCAT with a fixed key order — not
+    ``to_json`` — so the string (and its hash) is bit-identical on any
+    engine; every value is an exact integer (moji score in ppm via the
+    encoding module's floor). Pure projection, zero shuffle."""
+    from .encoding import fix_mojibake
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pii = pii_counts(t)
+    moji = F.floor(
+        (F.length(t) - F.length(fix_mojibake(t)))
+        / F.greatest(F.length(t), F.lit(1)) * 1e6
+    ).cast("long")
+    attributes = F.concat(
+        F.lit('{"n_chars":'), F.length(t).cast("string"),
+        F.lit(',"ws_tokens":'),
+        F.size(F.split(F.trim(t), r"\s+")).cast("string"),
+        F.lit(',"re_tokens":'),
+        F.regexp_count(t, F.lit(TOKEN_REGEX)).cast("string"),
+        F.lit(',"pii_email":'), pii["email"].cast("string"),
+        F.lit(',"pii_phone":'), pii["phone"].cast("string"),
+        F.lit(',"moji_ppm":'), moji.cast("string"),
+        F.lit("}"),
+    )
+    return docs.select(F.col(id_col), attributes.alias("attributes"))

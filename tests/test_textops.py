@@ -810,3 +810,27 @@ def test_hard_negatives_excludes_own_cluster(spark):
     plan = hard_negatives(emb, assign, k=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_attribute_records_json_shape(spark):
+    import json
+
+    from pdf_context_extractor_agent_spark.functions.quality import (
+        attribute_records,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world a@b.co +555-123-4567 caffÃ©"), (2, None)],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["attributes"]
+           for r in attribute_records(docs).collect()}
+    a = json.loads(got[1])  # the concat must produce VALID json
+    assert a["pii_email"] == 1 and a["pii_phone"] == 1
+    assert a["ws_tokens"] == 5 and a["n_chars"] == len(
+        "hello world a@b.co +555-123-4567 caffÃ©"
+    )
+    assert a["moji_ppm"] > 0  # the mojibake é shrinks under repair
+    b = json.loads(got[2])
+    assert b == {"n_chars": 0, "ws_tokens": 1, "re_tokens": 0,
+                 "pii_email": 0, "pii_phone": 0, "moji_ppm": 0}
