@@ -2681,6 +2681,70 @@ def _q_attributes(spark, sf):
     return attribute_records(docs)
 
 
+def _q_politeness(spark, sf):
+    """Crawl-politeness audit: 5 synthetic hosts fetched every 3s with
+    every (doc_id%10==7)th fetch pulled 2s early; per-host Crawl-delay
+    = host id (host h3 missing from the dim → 1s default). Violations
+    = lag-window gap < required."""
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        politeness_audit,
+    )
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.com"))
+    secs = (F.expr("doc_id div 5") * 3
+            + F.when(d % 10 == 7, F.lit(-2)).otherwise(F.lit(0)))
+    fetches = _t(spark, sf, "documents").select(
+        d.alias("doc_id"), host.alias("host"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.expr("make_interval(0,0,0,0,0,0,"
+                  "doc_id div 5 * 3 + IF(doc_id % 10 = 7, -2, 0))"))
+        .alias("fetch_ts"),
+    )
+    del secs
+    delays = spark.createDataFrame(
+        [(f"h{k}.example.com", k) for k in range(5) if k != 3],
+        "host string, crawl_delay_secs int",
+    )
+    return politeness_audit(fetches, delays)
+
+
+def _q_page_flags(spark, sf):
+    """JS-heavy and redirect flags: per doc_id%4 the html carries no
+    script / one script / two scripts / a script plus a meta-refresh
+    redirect; script_ratio floor-truncated 4dp, refresh target null
+    when absent."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        meta_refresh_target,
+        script_ratio,
+    )
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    s1 = F.concat(F.lit('<script type="text/javascript">var x='), ds,
+                  F.lit(";</script>"))
+    s2 = F.concat(F.lit("<script>load("), ds, F.lit(")</script>"))
+    refresh = F.concat(
+        F.lit('<meta http-equiv="refresh" content="0; url=https://m.ex.com/'),
+        ds, F.lit('">'))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 4 == 1, s1)
+        .when(d % 4 == 2, F.concat(s1, s2))
+        .when(d % 4 == 3, F.concat(s1, refresh))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.substring(F.coalesce("text", F.lit("")), 1, 100),
+        F.lit("</body></html>"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", html.alias("html"))
+    return docs.select(
+        "doc_id",
+        script_ratio(F.col("html")).alias("script_ratio"),
+        meta_refresh_target(F.col("html")).alias("refresh_target"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2823,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": _q_hard_negatives,
         "q_snapshot_drift": _q_snapshot_drift,
         "q_sitemap_recrawl": _q_sitemap_recrawl,
+        "q_politeness": _q_politeness,
+        "q_page_flags": _q_page_flags,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -5207,6 +5273,71 @@ dim AS (
                              - epoch(last_fetch_ts)::BIGINT
                    END AS staleness_secs
             FROM j""",
+        # politeness audit: same lag window + delay dim with default
+        "q_politeness": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 5)::VARCHAR || '.example.com' AS host,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + ((doc_id // 5) * 3
+                          + CASE WHEN doc_id % 10 = 7 THEN -2 ELSE 0 END)
+                         * INTERVAL 1 SECOND AS fetch_ts
+              FROM documents),
+            d(host, required_secs) AS (VALUES
+              ('h0.example.com', 0), ('h1.example.com', 1),
+              ('h2.example.com', 2), ('h4.example.com', 4)),
+            w AS (
+              SELECT f.*, lag(fetch_ts) OVER (
+                       PARTITION BY host ORDER BY fetch_ts) AS prev_ts
+              FROM f)
+            SELECT w.doc_id, w.host, w.fetch_ts, w.prev_ts,
+                   COALESCE(d.required_secs, 1)::BIGINT AS required_secs,
+                   CASE WHEN prev_ts IS NOT NULL
+                        THEN epoch(fetch_ts)::BIGINT - epoch(prev_ts)::BIGINT
+                   END AS gap_secs,
+                   COALESCE((epoch(fetch_ts) - epoch(prev_ts))
+                            < COALESCE(d.required_secs, 1), FALSE)
+                     AS violation
+            FROM w LEFT JOIN d ON w.host = d.host""",
+        # script-ratio + meta-refresh flags, same regex chains
+        "q_page_flags": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head>'
+                     || CASE doc_id % 4
+                        WHEN 1 THEN
+                          '<script type="text/javascript">var x='
+                          || doc_id::VARCHAR || ';</script>'
+                        WHEN 2 THEN
+                          '<script type="text/javascript">var x='
+                          || doc_id::VARCHAR || ';</script>'
+                          || '<script>load(' || doc_id::VARCHAR
+                          || ')</script>'
+                        WHEN 3 THEN
+                          '<script type="text/javascript">var x='
+                          || doc_id::VARCHAR || ';</script>'
+                          || '<meta http-equiv="refresh" content="0; url=https://m.ex.com/'
+                          || doc_id::VARCHAR || '">'
+                        ELSE '' END
+                     || '</head><body>' || substr(coalesce(text, ''), 1, 100)
+                     || '</body></html>' AS html
+              FROM documents),
+            x AS (
+              SELECT doc_id, html,
+                     regexp_extract_all(html,
+                       '(?s)(<script[^>]*>.*?</script>)', 1) AS sc
+              FROM h)
+            SELECT doc_id,
+                   floor(COALESCE(list_sum(list_transform(sc,
+                                                          s -> length(s))), 0)
+                         / greatest(length(html), 1) * 10000.0)
+                     / 10000.0 AS script_ratio,
+                   nullif(trim(regexp_extract(
+                     regexp_extract(html,
+                       '(?is)<meta[^>]*http-equiv\s*=\s*["'']?refresh["'']?[^>]*content\s*=\s*["'']([^"'']*)["'']',
+                       1),
+                     '(?i)url\s*=\s*(.+)$', 1)), '') AS refresh_target
+            FROM x""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -475,3 +475,50 @@ def sitemap_recrawl(
             F.col("lastmod_ts").cast("long") - F.col("last_fetch_ts").cast("long"),
         ).alias("staleness_secs"),
     )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    delay_col: str = "crawl_delay_secs",
+    default_delay_secs: int = 1,
+) -> DataFrame:
+    """Post-hoc politeness compliance over a fetch log: for every fetch
+    after a host's first, the gap to the previous fetch on that host
+    must be ≥ the host's Crawl-delay (default 1 s where no directive —
+    :func:`frontier_schedule`'s convention). Output keeps every fetch
+    with ``prev_ts``, ``gap_secs`` (exact epoch difference),
+    ``required_secs`` and a ``violation`` verdict — the audit a crawl
+    operator runs before a politeness complaint does.
+
+    One window over the (host, ts) order the fetch log is naturally
+    keyed by, plus a broadcast-sized join against the per-host delay
+    dim. First fetches have null gap and never violate."""
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    d = delays.select(
+        F.col(host_col),
+        F.col(delay_col).cast("long").alias("required_secs"),
+    )
+    out = (
+        fetches.withColumn("prev_ts", F.lag(ts_col).over(w))
+        .join(d, host_col, "left")
+        .withColumn(
+            "required_secs",
+            F.coalesce("required_secs", F.lit(int(default_delay_secs))),
+        )
+        .withColumn(
+            "gap_secs",
+            F.when(
+                F.col("prev_ts").isNotNull(),
+                F.col(ts_col).cast("long") - F.col("prev_ts").cast("long"),
+            ),
+        )
+        .withColumn(
+            "violation",
+            F.coalesce(F.col("gap_secs") < F.col("required_secs"),
+                       F.lit(False)),
+        )
+    )
+    return out

@@ -1004,3 +1004,33 @@ def domain_frequent_lines(
             "\n",
         ).alias("kept_text"),
     )
+
+
+def script_ratio(html: Column) -> Column:
+    """Fraction of the document occupied by ``<script>`` blocks — the
+    cheap JS-heavy-page detector: a crawl route sends high-ratio pages
+    to a rendering fetcher instead of the static kernel. Pure
+    expression (lazy-dot RE2 regexp + length arithmetic), truncated to
+    4dp for cross-engine exactness."""
+    h = F.coalesce(html, F.lit(""))
+    scripts = F.regexp_extract_all(h, F.lit(r"(?s)(<script[^>]*>.*?</script>)"),
+                                   F.lit(1))
+    script_chars = F.aggregate(scripts, F.lit(0), lambda a, x: a + F.length(x))
+    return (
+        F.floor(script_chars / F.greatest(F.length(h), F.lit(1)) * 10000.0)
+        / 10000.0
+    ).cast("double")
+
+
+def meta_refresh_target(html: Column) -> Column:
+    """Redirect target of a ``<meta http-equiv="refresh">`` tag (the
+    client-side redirect crawls must chase): extracts the url= payload
+    of the content attribute, case-insensitive, null when absent."""
+    h = F.coalesce(html, F.lit(""))
+    content = F.regexp_extract(
+        h,
+        r"""(?is)<meta[^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*content\s*=\s*["']([^"']*)["']""",
+        1,
+    )
+    url = F.trim(F.regexp_extract(content, r"""(?i)url\s*=\s*(.+)$""", 1))
+    return F.when(url == "", None).otherwise(url)

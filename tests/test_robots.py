@@ -197,3 +197,33 @@ def test_robots_sitemaps_directive_scan(spark):
         ("a.com", "https://a.com/s.xml"),
         ("a.com", "https://a.com/s2.xml.gz"),
     ]
+
+
+def test_politeness_audit_flags_fast_fetches(spark):
+    import datetime as dt
+
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        politeness_audit,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    fetches = spark.createDataFrame(
+        [
+            ("a.com", base),
+            ("a.com", base + dt.timedelta(seconds=5)),   # gap 5 ≥ 4 ok
+            ("a.com", base + dt.timedelta(seconds=7)),   # gap 2 < 4 BAD
+            ("nodim.com", base),
+            ("nodim.com", base + dt.timedelta(seconds=0, microseconds=500000)),
+        ],
+        "host string, fetch_ts timestamp",
+    )
+    delays = spark.createDataFrame([("a.com", 4)],
+                                   "host string, crawl_delay_secs int")
+    rows = sorted(politeness_audit(fetches, delays).collect(),
+                  key=lambda r: (r["host"], r["fetch_ts"]))
+    a = [r for r in rows if r["host"] == "a.com"]
+    assert [r["violation"] for r in a] == [False, False, True]
+    assert a[2]["gap_secs"] == 2 and a[2]["required_secs"] == 4
+    nd = [r for r in rows if r["host"] == "nodim.com"]
+    # default 1s delay; sub-second gap truncates to 0 < 1 → violation
+    assert [r["violation"] for r in nd] == [False, True]

@@ -662,3 +662,28 @@ def test_domain_frequent_lines_scoping(spark):
     )
     assert all("Terms apply." not in r["kept_text"] for r in glob.collect()
                if "p0" in r["doc_id"] or "p1" in r["doc_id"])
+
+
+def test_script_ratio_and_meta_refresh(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        meta_refresh_target,
+        script_ratio,
+    )
+
+    rows = [
+        ("plain", "<html><body>hello</body></html>"),
+        ("heavy", "<script>a</script><script>bb</script>x"),
+        ("redir", "<META HTTP-EQUIV='Refresh' CONTENT='5; URL=https://t.co/x'>"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, html string")
+    got = {r["k"]: (r["sr"], r["rt"]) for r in df.select(
+        "k", script_ratio(F.col("html")).alias("sr"),
+        meta_refresh_target(F.col("html")).alias("rt")).collect()}
+    assert got["plain"] == (0.0, None)
+    h = "<script>a</script><script>bb</script>x"
+    expect = int(len("<script>a</script>") + len("<script>bb</script>")
+                 ) / len(h)
+    assert abs(got["heavy"][0] - (int(expect * 10000) / 10000)) < 1e-12
+    assert got["redir"] == (0.0, "https://t.co/x")
+    assert got["none"] == (0.0, None)
