@@ -2745,6 +2745,26 @@ def _q_page_flags(spark, sf):
     )
 
 
+def _q_unescape(spark, sf):
+    """HTML entity decode: named chain (&amp; last → single-decode),
+    numeric refs via the pure-SQL UTF-8 encoder (Spark chr wraps at
+    256); malformed / surrogate / out-of-range refs stay literal. The
+    oracle uses DuckDB's native full-unicode chr under identical
+    guards."""
+    from pdf_context_extractor_agent_spark.functions.webtext import unescape_docs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.lit(" &amp;&lt;ok&gt; caf&#233; q&#8217; h&#x2019;"
+                  " bad&#boom; sur&#55296; big&#1114112; z&#x1F600;"
+                  " amp&#38;lt;"),
+        ).alias("text"),
+    )
+    return unescape_docs(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2889,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_recrawl": _q_sitemap_recrawl,
         "q_politeness": _q_politeness,
         "q_page_flags": _q_page_flags,
+        "q_unescape": _q_unescape,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -3569,6 +3590,49 @@ SELECT doc_id,
          AS moji_score_ppm,
        md5(fixed) AS fixed_md5
 FROM f"""
+
+    # HTML entity decode: DuckDB's chr() is full-unicode, so the oracle
+    # needs only the SAME validity guards; the named chain is generated
+    # from the engine's own table (&amp; last)
+    from pdf_context_extractor_agent_spark.functions.webtext import NAMED_ENTITIES
+
+    _un = "u"
+    for _ent, _ch in NAMED_ENTITIES:
+        _e = _ent.replace("'", "''")
+        _c = _ch.replace("'", "''")
+        _un = f"replace({_un}, '{_e}', '{_c}')"
+    unescape_sql = f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' &amp;&lt;ok&gt; caf&#233; q&#8217; h&#x2019;'
+           || ' bad&#boom; sur&#55296; big&#1114112; z&#x1F600;'
+           || ' amp&#38;lt;' AS t
+  FROM documents),
+sp AS (SELECT doc_id, string_split(t, '&#') AS fr FROM d),
+num AS (
+  SELECT doc_id,
+         fr[1] || array_to_string(list_transform(fr[2:], x ->
+           CASE
+             WHEN regexp_matches(x, '^[0-9]{{1,7}};')
+                  AND regexp_extract(x, '^([0-9]{{1,7}});', 1)::BIGINT
+                      BETWEEN 1 AND 1114111
+                  AND NOT (regexp_extract(x, '^([0-9]{{1,7}});', 1)::BIGINT
+                           BETWEEN 55296 AND 57343)
+               THEN translate(chr(regexp_extract(x, '^([0-9]{{1,7}});', 1)::INT),
+                              '&', chr(1))
+                    || substr(x, length(regexp_extract(x, '^[0-9]{{1,7}};', 0)) + 1)
+             WHEN regexp_matches(x, '^[xX][0-9a-fA-F]{{1,6}};')
+                  AND ('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::BIGINT
+                      BETWEEN 1 AND 1114111
+                  AND NOT (('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::BIGINT
+                           BETWEEN 55296 AND 57343)
+               THEN translate(chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::INT),
+                              '&', chr(1))
+                    || substr(x, length(regexp_extract(x, '^[xX][0-9a-fA-F]{{1,6}};', 0)) + 1)
+             ELSE '&#' || x
+           END), '') AS u
+  FROM sp)
+SELECT doc_id, replace({_un}, chr(1), '&') AS unescaped FROM num"""
 
     # Dolma-style attribute sidecar: the fixed-key-order JSON concat is
     # restated verbatim; counts via len(regexp_extract_all), moji ppm
@@ -6175,6 +6239,7 @@ FROM flags""",
         "q_page_metadata": page_metadata_sql,
         "q_fix_mojibake": mojibake_sql,
         "q_attributes": attributes_sql,
+        "q_unescape": unescape_sql,
         "q5_local_supplier_volume": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1034,3 +1034,94 @@ def meta_refresh_target(html: Column) -> Column:
     )
     url = F.trim(F.regexp_extract(content, r"""(?i)url\s*=\s*(.+)$""", 1))
     return F.when(url == "", None).otherwise(url)
+
+
+# --------------------------------------------------------------------------
+# HTML entity decoding
+# --------------------------------------------------------------------------
+
+#: the named subset a crawl actually meets (the full HTML5 table is
+#: data, not code — extend this list). &amp; deliberately LAST: after
+#: every other named entity is consumed, the leftover "&amp;lt;"
+#: correctly becomes the literal "&lt;" (single-decode semantics);
+#: replacing it earlier would double-decode.
+NAMED_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&copy;", "©"), ("&reg;", "®"),
+    ("&trade;", "™"), ("&hellip;", "…"), ("&mdash;", "—"),
+    ("&ndash;", "–"), ("&lsquo;", "‘"), ("&rsquo;", "’"),
+    ("&ldquo;", "“"), ("&rdquo;", "”"), ("&euro;", "€"), ("&deg;", "°"),
+    ("&amp;", "&"),
+]
+
+# Codepoint → character in PURE SQL: Spark's chr() wraps mod 256, so
+# the character is built by UTF-8-ENCODING the codepoint with integer
+# arithmetic (1-4 byte cases), unhex'ing the hex string, and decoding
+# the bytes — valid by construction for every non-surrogate codepoint
+# ≤ U+10FFFF; surrogates/0/out-of-range yield NULL and the caller
+# keeps the reference literal (HTML calls these invalid too).
+_CP_TO_CHAR = """decode(unhex(CASE
+  WHEN {n} <= 0 OR {n} > 1114111 OR ({n} >= 55296 AND {n} <= 57343)
+    THEN CAST(NULL AS STRING)
+  WHEN {n} < 128 THEN lpad(hex({n}), 2, '0')
+  WHEN {n} < 2048
+    THEN lpad(hex(192 + ({n} DIV 64)), 2, '0')
+      || lpad(hex(128 + ({n} % 64)), 2, '0')
+  WHEN {n} < 65536
+    THEN lpad(hex(224 + ({n} DIV 4096)), 2, '0')
+      || lpad(hex(128 + (({n} DIV 64) % 64)), 2, '0')
+      || lpad(hex(128 + ({n} % 64)), 2, '0')
+  ELSE lpad(hex(240 + ({n} DIV 262144)), 2, '0')
+      || lpad(hex(128 + (({n} DIV 4096) % 64)), 2, '0')
+      || lpad(hex(128 + (({n} DIV 64) % 64)), 2, '0')
+      || lpad(hex(128 + ({n} % 64)), 2, '0')
+  END), 'UTF-8')"""
+
+_DEC_N = "CAST(regexp_extract(x, '^([0-9]{1,7});', 1) AS BIGINT)"
+_HEX_N = "conv(regexp_extract(x, '^[xX]([0-9a-fA-F]{1,6});', 1), 16, 10)"
+
+_NUMERIC_UNESCAPE = (
+    """aggregate(
+  slice(split(__COL__, '&#'), 2, greatest(size(split(__COL__, '&#')) - 1, 0)),
+  try_element_at(split(__COL__, '&#'), 1),
+  (acc, x) -> concat(acc,
+    CASE
+      WHEN x RLIKE '^[0-9]{1,7};'
+           AND __DECCHR__ IS NOT NULL
+        THEN concat(translate(__DECCHR__, '&', '\u0001'),
+                    substring(x, length(regexp_extract(x, '^[0-9]{1,7};', 0)) + 1))
+      WHEN x RLIKE '^[xX][0-9a-fA-F]{1,6};'
+           AND __HEXCHR__ IS NOT NULL
+        THEN concat(translate(__HEXCHR__, '&', '\u0001'),
+                    substring(x, length(regexp_extract(x, '^[xX][0-9a-fA-F]{1,6};', 0)) + 1))
+      ELSE concat('&#', x)
+    END))"""
+    .replace("__DECCHR__", _CP_TO_CHAR.replace("{n}", _DEC_N))
+    .replace("__HEXCHR__", _CP_TO_CHAR.replace("{n}", _HEX_N))
+)
+
+
+def unescape_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """HTML entity decode for extracted text → ``(id, unescaped)``.
+
+    Numeric character references (``&#8217;`` / ``&#x2019;``) decode
+    via a split-on-``&#`` fold whose replacement character is UTF-8-
+    assembled in pure integer SQL (see ``_CP_TO_CHAR`` — Spark's chr()
+    wraps at 256, so the byte-level encoder is what makes full-unicode
+    refs possible without a UDF); malformed, surrogate and out-of-range
+    refs stay literal. Named entities then apply as a replace chain
+    with ``&amp;`` last, so ``&amp;lt;`` and ``&#38;lt;`` both yield
+    the literal ``&lt;`` — single-decode semantics. Zero shuffle."""
+    src = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_he"),
+    )
+    out = F.expr(_NUMERIC_UNESCAPE.replace("__COL__", "_he"))
+    for ent, ch in NAMED_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    # restore numeric-decoded ampersands (sentinel'd so the named chain
+    # cannot double-decode "&#38;lt;" into "<")
+    out = F.replace(out, F.lit("\x01"), F.lit("&"))
+    return src.select(id_col, out.alias("unescaped"))

@@ -687,3 +687,24 @@ def test_script_ratio_and_meta_refresh(spark):
     assert abs(got["heavy"][0] - (int(expect * 10000) / 10000)) < 1e-12
     assert got["redir"] == (0.0, "https://t.co/x")
     assert got["none"] == (0.0, None)
+
+
+def test_unescape_docs_entities(spark):
+    from pdf_context_extractor_agent_spark.functions.webtext import unescape_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A &amp; B &lt;x&gt; caf&#233; q&#8217; e&#x1F600;"),
+            (2, "&amp;lt; stays literal-once: &#38;lt; too"),
+            (3, "bad &#boom; sur &#55296; big &#1114112; zero &#0;"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["unescaped"] for r in unescape_docs(docs).collect()}
+    assert got[1] == "A & B <x> café q’ e😀"
+    # single-decode semantics: both spellings of &amp;lt; → literal &lt;
+    assert got[2] == "&lt; stays literal-once: &lt; too"
+    # invalid refs stay verbatim
+    assert got[3] == "bad &#boom; sur &#55296; big &#1114112; zero &#0;"
+    assert got[4] == ""
