@@ -5,6 +5,7 @@ from .pages import (  # noqa: F401
     read_pages,
     salted_repartition,
     skew_partitioned,
+    sniff_content_type,
     split_by_size,
     split_html_chunks,
 )

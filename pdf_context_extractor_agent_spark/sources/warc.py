@@ -182,12 +182,20 @@ def wet_records(
     return pages.select(F.col(url_col).alias("url"), record.alias("wet_record"))
 
 
-def write_wet(pages: DataFrame, path: str, **cols: str) -> None:
+def write_wet(
+    pages: DataFrame, path: str, compress: bool = False, **cols: str
+) -> None:
     """Write WET shards: one text file per partition, records
     concatenated in partition order (the text sink appends one ``\\n``
     per row after the record's own trailing CRLFCRLF separator, which
-    the record parser skips as inter-record slack)."""
-    wet_records(pages, **cols).select("wet_record").write.mode("overwrite").text(path)
+    the record parser skips as inter-record slack). ``compress=True``
+    writes gzip files — one member per shard, which
+    :func:`read_warc`'s member-looping gunzip reads back directly
+    (Common Crawl distributes WET as ``.warc.wet.gz``)."""
+    w = wet_records(pages, **cols).select("wet_record").write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.text(path)
 
 
 # --------------------------------------------------------------------------

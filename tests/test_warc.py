@@ -166,3 +166,22 @@ def test_write_wet_files_reparse(spark, tmp_path):
     back = read_warc(spark, out + "/part-*")
     got = sorted((r["url"], bytes(r["html"]).decode()) for r in back.collect())
     assert got == [(f"http://e.com/{i}", f"body {i}") for i in range(8)]
+
+
+def test_write_wet_gzip_roundtrip(spark, tmp_path):
+    from pdf_context_extractor_agent_spark.sources.warc import read_warc, write_wet
+
+    pages = spark.createDataFrame(
+        [(f"http://e.com/{i}", dt.datetime(2024, 2, 1, i), f"gz body {i}")
+         for i in range(5)],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wetgz")
+    write_wet(pages.repartition(2), out, compress=True)
+    import glob
+
+    files = glob.glob(out + "/part-*")
+    assert files and all(f.endswith(".gz") for f in files)
+    back = read_warc(spark, out + "/part-*")
+    got = sorted((r["url"], bytes(r["html"]).decode()) for r in back.collect())
+    assert got == [(f"http://e.com/{i}", f"gz body {i}") for i in range(5)]
