@@ -2765,6 +2765,52 @@ def _q_unescape(spark, sf):
     return unescape_docs(docs)
 
 
+_WILD_BODIES = [
+    "User-agent: *|Disallow: /*.pdf$|Allow: /pub/*.pdf$",
+    "User-agent: *|Disallow: /a/*/sec|Allow: /a/open/sec",
+    "User-agent: *|Disallow: /q$",
+    "User-agent: *|Disallow: /meta(x)+[y]|Allow: /",
+    "",
+]
+_WILD_PATHS = ["/x.pdf", "/pub/z.pdf", "/a/1/sec", "/a/open/sec", "/q",
+               "/q2", "/meta(x)+[y]z"]
+
+
+def _q_robots_wildcards(spark, sf):
+    """RFC 9309 wildcard matching: * runs, trailing-$ anchors, regex
+    metacharacters in rule paths escaped; longest RAW pattern wins,
+    ties to allow. Bodies parse through the full robots chain; the
+    oracle carries the hand-translated anchored regexes and replays
+    the same match + specificity window."""
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        robots_check,
+        robots_rules,
+    )
+
+    d = F.col("doc_id")
+    hosts = _t(spark, sf, "documents").select((d % 5).alias("hid")).distinct()
+    body = F.element_at(
+        F.array(*[F.lit(b) for b in _WILD_BODIES]), F.col("hid").cast("int") + 1
+    )
+    robots = hosts.select(
+        F.concat(F.lit("w"), F.col("hid").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.translate(body, "|", "\n").alias("robots_txt"),
+    )
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in _WILD_PATHS]),
+        F.expr("cast((doc_id div 5) % 7 as int)") + 1,
+    )
+    urls = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://w"), (d % 5).cast("string"),
+                 F.lit(".example.com"), path,
+                 F.lit("?id="), d.cast("string")).alias("url"),
+    )
+    rules = robots_rules(robots, agent="ccbot")
+    return robots_check(urls, rules, wildcards=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2910,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness": _q_politeness,
         "q_page_flags": _q_page_flags,
         "q_unescape": _q_unescape,
+        "q_robots_wildcards": _q_robots_wildcards,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -5402,6 +5449,46 @@ dim AS (
                        1),
                      '(?i)url\s*=\s*(.+)$', 1)), '') AS refresh_target
             FROM x""",
+        # wildcard robots: hand-translated anchored regexes (the
+        # translation itself is unit-tested on metacharacters); same
+        # specificity window
+        "q_robots_wildcards": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://w' || (doc_id % 5)::VARCHAR || '.example.com'
+                       || ['/x.pdf','/pub/z.pdf','/a/1/sec','/a/open/sec',
+                           '/q','/q2','/meta(x)+[y]z']
+                          [((doc_id // 5) % 7)::INT + 1]
+                       || '?id=' || doc_id::VARCHAR AS url,
+                     'w' || (doc_id % 5)::VARCHAR || '.example.com' AS host,
+                     ['/x.pdf','/pub/z.pdf','/a/1/sec','/a/open/sec',
+                      '/q','/q2','/meta(x)+[y]z']
+                       [((doc_id // 5) % 7)::INT + 1] AS path
+              FROM documents),
+            r(rhost, rule, rpath, rlen, pat) AS (VALUES
+              ('w0.example.com', 'disallow', '/*.pdf$', 7, '^/.*\.pdf$'),
+              ('w0.example.com', 'allow', '/pub/*.pdf$', 11,
+               '^/pub/.*\.pdf$'),
+              ('w1.example.com', 'disallow', '/a/*/sec', 8, '^/a/.*/sec'),
+              ('w1.example.com', 'allow', '/a/open/sec', 11, '^/a/open/sec'),
+              ('w2.example.com', 'disallow', '/q$', 3, '^/q$'),
+              ('w3.example.com', 'disallow', '/meta(x)+[y]', 12,
+               '^/meta\(x\)\+\[y\]'),
+              ('w3.example.com', 'allow', '/', 1, '^/')),
+            j AS (
+              SELECT u.doc_id, u.url, u.host, u.path, r.rule, r.rpath, r.rlen
+              FROM u LEFT JOIN r
+                ON u.host = r.rhost AND regexp_matches(u.path, r.pat)),
+            rk AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY rlen DESC NULLS LAST, rule ASC NULLS LAST
+                     ) AS rn
+              FROM j)
+            SELECT doc_id, url, host, path, rule AS matched_rule,
+                   rpath AS matched_path,
+                   COALESCE(rule, 'allow') = 'allow' AS allowed
+            FROM rk WHERE rn = 1""",
         "q_latest_revision": r"""
             WITH u AS (
               SELECT doc_id,

@@ -183,11 +183,27 @@ def robots_crawl_delay(
     )
 
 
+def _wildcard_pattern(rpath) -> "F.Column":
+    """RFC 9309 path pattern → anchored regex: ``*`` matches any run,
+    a TRAILING ``$`` anchors end-of-path (elsewhere ``$`` is literal);
+    every other regex metacharacter is escaped."""
+    anchored = rpath.endswith("$")
+    base = F.when(anchored, rpath.substr(F.lit(1), F.length(rpath) - 1)) \
+        .otherwise(rpath)
+    esc = F.regexp_replace(base, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    starred = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), starred,
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def robots_check(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
     host_col: str = "host",
+    wildcards: bool = False,
 ) -> DataFrame:
     """Verdict every URL against the parsed rules dimension.
 
@@ -196,8 +212,17 @@ def robots_check(
     ``host, path, matched_rule, matched_path, allowed`` — audit
     columns, not silent drops.
 
+    ``wildcards=True`` enables RFC 9309 §2.2.3 pattern matching:
+    ``*`` in a rule path matches any character run and a trailing
+    ``$`` anchors the end of the path (Google/Bing semantics — most
+    real robots files use them). Specificity stays the spec's rule:
+    longest RAW pattern wins (``path_len`` over the original rule
+    text, wildcards counted). The default prefix mode is untouched —
+    it is the faster join (literal startswith vs per-row-compiled
+    RLIKE on the dimension side) and exactly RFC-minimal.
+
     Plan shape: derive host+path narrowly, ONE equi-join on host with
-    the literal-prefix predicate pushed into the join condition, then a
+    the match predicate pushed into the join condition, then a
     per-URL window to pick the winning rule. The rules side is a
     dimension (per-host, not per-page): AQE broadcasts it when small.
     """
@@ -212,10 +237,14 @@ def robots_check(
         F.col("path").alias("__rpath"),
         F.col("path_len").alias("__rlen"),
     )
+    if wildcards:
+        r = r.withColumn("__rpat", _wildcard_pattern(F.col("__rpath")))
+        match = F.expr("path RLIKE __rpat")
+    else:
+        match = F.col("path").startswith(F.col("__rpath"))
     joined = keyed.join(
         r,
-        (F.col("host") == F.col("__rhost"))
-        & F.col("path").startswith(F.col("__rpath")),
+        (F.col("host") == F.col("__rhost")) & match,
         "left",
     )
     w = (

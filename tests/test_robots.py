@@ -227,3 +227,42 @@ def test_politeness_audit_flags_fast_fetches(spark):
     nd = [r for r in rows if r["host"] == "nodim.com"]
     # default 1s delay; sub-second gap truncates to 0 < 1 → violation
     assert [r["violation"] for r in nd] == [False, True]
+
+
+def test_robots_wildcard_matching(spark):
+    from pdf_context_extractor_agent_spark.functions.robots import robots_check
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/*.pdf$", 7),
+            ("a.com", "allow", "/pub/*.pdf$", 11),
+            ("a.com", "disallow", "/x+y(1)", 7),   # regex metas literal
+            ("a.com", "disallow", "/q$", 3),
+        ],
+        "host string, rule string, path string, path_len int",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/doc/paper.pdf"),     # *.pdf$ → blocked
+            (2, "https://a.com/doc/paper.pdf?x=1"), # query stripped → blocked
+            (3, "https://a.com/pub/ok.pdf"),        # longer allow wins
+            (4, "https://a.com/doc/paper.pdfx"),    # $ anchor → NOT blocked
+            (5, "https://a.com/x+y(1)z"),           # literal metas prefix
+            (6, "https://a.com/q"),                 # /q$ exact
+            (7, "https://a.com/q2"),                # anchor blocks only /q
+        ],
+        "doc_id int, url string",
+    )
+    got = {r["doc_id"]: (r["allowed"], r["matched_path"])
+           for r in robots_check(urls, rules, wildcards=True).collect()}
+    assert got[1] == (False, "/*.pdf$")
+    assert got[2] == (False, "/*.pdf$")
+    assert got[3] == (True, "/pub/*.pdf$")
+    assert got[4] == (True, None)
+    assert got[5] == (False, "/x+y(1)")
+    assert got[6] == (False, "/q$")
+    assert got[7] == (True, None)
+    # prefix mode unchanged: the wildcard rules match literally there
+    pre = {r["doc_id"]: r["allowed"]
+           for r in robots_check(urls, rules, wildcards=False).collect()}
+    assert pre[1] is True  # literal '/*.pdf$' is not a prefix of the path
