@@ -6,6 +6,7 @@ from .pipeline import (  # noqa: F401
     streaming_extract_statements,
     streaming_lang_counts,
     streaming_minhash_neardup,
+    streaming_sessionize,
     streaming_wet,
     streaming_page_text,
     streaming_quality,

@@ -312,3 +312,84 @@ def streaming_wet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# stateful cross-batch sessionization
+# --------------------------------------------------------------------------
+
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.IntegerType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("next_seq", T.IntegerType()),
+    ]
+)
+
+SESSION_GAP_US = 1800 * 1_000_000  # the batch q_sessionize gap
+
+
+def _sessionize_fn(key, pdfs, state):
+    """Per-user fold: events sorted by timestamp extend the open
+    session while the gap stays ≤ SESSION_GAP_US; a larger gap CLOSES
+    the session (emitted) and opens the next. The open session lives
+    in state across micro-batches — only closed sessions are emitted,
+    exactly once. Contract: batches arrive time-ordered per key (the
+    Kafka partition-per-key reality); a late event older than the
+    state's last timestamp starts a session boundary like any gap."""
+    (user_id,) = key
+    ts = []
+    for pdf in pdfs:
+        ts.extend(int(v) for v in pdf["us"])
+    ts.sort()
+    if state.exists:
+        start_us, last_us, n_events, next_seq = state.get
+    else:
+        start_us, last_us, n_events, next_seq = None, None, 0, 0
+    closed = []
+    for t in ts:
+        if start_us is None:
+            start_us, last_us, n_events = t, t, 1
+            continue
+        if t - last_us > SESSION_GAP_US or t < last_us:
+            closed.append((user_id, next_seq, start_us, last_us, n_events))
+            next_seq += 1
+            start_us, last_us, n_events = t, t, 1
+        else:
+            last_us, n_events = t, n_events + 1
+    state.update((start_us, last_us, n_events, next_seq))
+    yield pd.DataFrame(
+        closed,
+        columns=["user_id", "session_seq", "start_us", "end_us", "n_events"],
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Cross-batch gap sessionization (applyInPandasWithState): input
+    needs ``user_id`` and a timestamp column ``ts``; emits CLOSED
+    sessions only — the open tail stays in state until a later batch
+    closes it. Key-partitioned state, microsecond arithmetic matching
+    the batch q_sessionize exactly (a differential test proves closed
+    streamed sessions == the batch window computation minus each
+    user's final open session)."""
+    keyed = events_stream.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -187,3 +187,66 @@ def test_streaming_wet_matches_batch(spark, stream_dir, tmp_path):
         for u, ts, b in iter_warc_records(r["wet_record"].encode("utf-8")):
             batch[u] = (ts, b.decode("utf-8"))
     assert streamed == batch and len(streamed) == 7
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Closed streamed sessions == the batch window sessionization
+    minus each user's final (still-open) session — across a micro-batch
+    split placed mid-timeline."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pdf_context_extractor_agent_spark.streaming import streaming_sessionize
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(4):
+        t = base + dt.timedelta(minutes=uid)
+        for s in range(3):                      # 3 sessions per user
+            for e in range(2 + uid % 2):        # 2-3 events each
+                rows.append((uid, t))
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=40)       # gap > 30min closes
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    cut = base + dt.timedelta(minutes=45)
+    src = tmp_path / "sess_src"
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+        str(src / "b1.parquet"))
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+        str(src / "b2.parquet"))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["session_seq"]): (r["start_us"], r["end_us"],
+                                           r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    # batch twin (q_sessionize logic), drop each user's last session
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = df.withColumn(
+        "sid",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = sess.groupBy("user_id", "sid").agg(
+        F.min(us).alias("s"), F.max(us).alias("e"), F.count("*").alias("n")
+    )
+    last = agg.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    batch = {
+        (r["user_id"], r["sid"] - 1): (r["s"], r["e"], r["n"])
+        for r in agg.join(last, "user_id")
+        .filter(F.col("sid") < F.col("last_sid")).collect()
+    }
+    assert streamed == batch and len(streamed) == 4 * 2
