@@ -2811,6 +2811,22 @@ def _q_robots_wildcards(spark, sf):
     return robots_check(urls, rules, wildcards=True)
 
 
+def _q_lsh_eval(spark, sf):
+    """LSH band-geometry tuning harness: exact all-pairs Jaccard truth
+    vs the banded md5 pipeline over documents + 60 first-word-dropped
+    twins (guaranteed near-dups); the oracle recomputes BOTH sides and
+    the same integer ppm metrics."""
+    from pdf_context_extractor_agent_spark.functions.dedup import lsh_eval
+
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    twins = base.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\w+ ", "")
+        .alias("text"),
+    )
+    return lsh_eval(base.unionByName(twins))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / relational core
@@ -2957,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_flags": _q_page_flags,
         "q_unescape": _q_unescape,
         "q_robots_wildcards": _q_robots_wildcards,
+        "q_lsh_eval": _q_lsh_eval,
         "q_minhash_md5": _q_minhash_md5,
         "q_minhash_lsh_md5": _q_minhash_lsh_md5,
         "q_simhash_md5": _q_simhash_md5,
@@ -5941,6 +5958,55 @@ QUALIFY row_number() OVER (PARTITION BY urlkey
                           CASE WHEN next_l = 'good' THEN 'good' ELSE 'bad' END
                         ELSE base_label END) = 'good' AS is_content
             FROM sm""",
+        # LSH tuning harness: both sides recomputed (banded pipeline +
+        # exact all-pairs), same ppm metrics
+        "q_lsh_eval": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000, regexp_replace(coalesce(text, ''),
+                                                   '^\\w+ ', '')
+              FROM documents WHERE doc_id < 60),
+            words AS (
+              SELECT doc_id, string_split({norm}, ' ') AS w FROM d),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                              FOR i IN generate_series(1, greatest(len(w)-2, 1))]))
+                       AS shingle
+              FROM words),
+            sigs AS (SELECT doc_id, {mh_sig} FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, band_idx, {band_key} AS band_key
+              FROM sigs CROSS JOIN (VALUES {band_vals}) b(band_idx)),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+               AND l.doc_id < r.doc_id),
+            sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+            ver AS (
+              SELECT doc_a, doc_b
+              FROM pairs JOIN sets x ON doc_a = x.doc_id
+                         JOIN sets y ON doc_b = y.doc_id
+              WHERE {jacc} >= 0.5),
+            truth AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM sets x JOIN sets y
+                ON x.doc_id < y.doc_id
+               AND len(list_intersect(x.s, y.s)) > 0
+              WHERE {jacc} >= 0.5),
+            c AS (
+              SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                     (SELECT count(*) FROM pairs)::BIGINT AS n_candidates,
+                     (SELECT count(*) FROM ver)::BIGINT AS n_verified)
+            SELECT n_truth, n_candidates, n_verified,
+                   (n_truth - n_verified)::BIGINT AS n_missed,
+                   (n_verified * 1000000 // greatest(n_truth, 1))::BIGINT
+                     AS recall_ppm,
+                   (n_verified * 1000000 // greatest(n_candidates, 1))::BIGINT
+                     AS cand_precision_ppm
+            FROM c""",
         "q_minhash_lsh_md5": f"""
             {shingle_cte},
             sigs AS (SELECT doc_id, {mh_sig} FROM sh GROUP BY doc_id),

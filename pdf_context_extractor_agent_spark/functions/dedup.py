@@ -940,3 +940,72 @@ def winnow_pairs(
         .agg(F.countDistinct("gram_hash").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def lsh_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tuning harness for the MinHash-LSH pipeline: ONE summary row
+    comparing the banded pipeline against exact all-pairs Jaccard
+    ground truth at ``threshold``::
+
+        (n_truth, n_candidates, n_verified, n_missed,
+         recall_ppm, cand_precision_ppm)
+
+    ``n_missed`` is the banding stage's false-negative count (verify
+    can't create false positives — it computes the same Jaccard the
+    truth does, so verified ⊆ truth and precision-after-verify is 1 by
+    construction; what (r=hashes/bands, b=bands) actually trades away
+    is RECALL, and ``cand_precision_ppm`` shows how much verify work
+    the band collisions cost). Run at evaluation scale when choosing
+    band geometry; the ground truth is an all-pairs shingle join and
+    deliberately NOT a production plan.
+
+    Integer ppm arithmetic; truth pairs need ≥1 shared shingle (a
+    Jaccard ≥ any positive threshold implies one), so the all-pairs
+    scan is the shingle-level equi-join, never a cartesian."""
+    sh = shingles(docs, id_col, text_col, n)
+    cands = lsh_candidate_pairs_keyed(
+        minhash_md5_signatures(sh, num_hashes), bands
+    ).distinct()
+    verified = jaccard_verify(cands, sh, threshold).filter("is_near_dup")
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("_sz"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("_sz").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("_sz").alias("_nb")), "doc_b")
+        .filter(
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            >= threshold
+        )
+    )
+    c_truth = truth.agg(F.count("*").alias("n_truth"))
+    c_cand = cands.agg(F.count("*").alias("n_candidates"))
+    c_ver = verified.agg(F.count("*").alias("n_verified"))
+    return (
+        c_truth.crossJoin(c_cand).crossJoin(c_ver)
+        .select(
+            "n_truth", "n_candidates", "n_verified",
+            (F.col("n_truth") - F.col("n_verified")).alias("n_missed"),
+            F.expr("n_verified * 1000000 div greatest(n_truth, 1)")
+            .alias("recall_ppm"),
+            F.expr("n_verified * 1000000 div greatest(n_candidates, 1)")
+            .alias("cand_precision_ppm"),
+        )
+    )

@@ -834,3 +834,23 @@ def test_attribute_records_json_shape(spark):
     b = json.loads(got[2])
     assert b == {"n_chars": 0, "ws_tokens": 1, "re_tokens": 0,
                  "pii_email": 0, "pii_phone": 0, "moji_ppm": 0}
+
+
+def test_lsh_eval_metrics(spark):
+    from pdf_context_extractor_agent_spark.functions.dedup import lsh_eval
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base.replace("alpha", "omega")),   # near dup of 1
+        (3, "totally different words entirely here now and forever more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_eval(df, threshold=0.5).collect()[0]
+    assert r["n_truth"] >= 1           # (1,2) is a true near-dup pair
+    assert r["n_verified"] <= r["n_truth"]
+    assert r["n_missed"] == r["n_truth"] - r["n_verified"]
+    assert 0 <= r["recall_ppm"] <= 1_000_000
+    assert 0 <= r["cand_precision_ppm"] <= 1_000_000
+    # 16 hashes / 8 bands on a strong near-dup: banding should find it
+    assert r["n_verified"] >= 1 and r["recall_ppm"] == 1_000_000
