@@ -131,9 +131,18 @@ def page_rank(
     context length or a band count — not data fetched per iteration.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge relation and outdeg are re-read every iteration, and the
+    # rank state fans out twice per round (contrib + dangling mass): an
+    # uncut lineage re-derives the caller's edge pipeline O(2^n_iter)
+    # times.  Checkpoint both inputs once and the state every round so
+    # each relation is computed exactly once per job.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=False)
     base = (100 - damping_pct) * RANK_SCALE // n_nodes // 100
     rank = nodes.withColumn(
         "rank", F.lit(RANK_SCALE // n_nodes).cast("long")
@@ -164,8 +173,7 @@ def page_rank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % 4 == 0:
-            rank = rank.localCheckpoint(eager=False)
+        rank = rank.localCheckpoint(eager=False)
     return rank
 
 
@@ -201,7 +209,12 @@ def hits(
     same exchange reused by AQE.  No driver fetch inside the loop.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Same lineage discipline as page_rank: the edge list is joined
+    # twice per round and auth feeds both hub and the final join, so
+    # an uncut chain recomputes upstream work exponentially.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     hub = nodes.withColumn("hub", F.lit(HITS_SCALE).cast("long"))
     auth = None
@@ -236,9 +249,8 @@ def hits(
                 F.expr(f"CAST(raw * {HITS_SCALE} DIV tot AS LONG)").alias("hub"),
             )
         )
-        if (it + 1) % 4 == 0:
-            auth = auth.localCheckpoint(eager=False)
-            hub = hub.localCheckpoint(eager=False)
+        auth = auth.localCheckpoint(eager=False)
+        hub = hub.localCheckpoint(eager=False)
     return auth.join(hub, "node").select("node", "auth", "hub")
 
 
@@ -275,6 +287,9 @@ def label_propagation(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # lab fans out twice per round (vote join + coalesce join) — cut
+    # the lineage every round, and pin the per-round edge relation.
+    e = e.localCheckpoint(eager=False)
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     lab = nodes.withColumn("label", F.col("node"))
     for it in range(n_iter):
@@ -292,8 +307,7 @@ def label_propagation(
                      "node", "left")
             .select("node", F.coalesce("new_label", "label").alias("label"))
         )
-        if (it + 1) % 4 == 0:
-            lab = lab.localCheckpoint(eager=False)
+        lab = lab.localCheckpoint(eager=False)
     return lab
 
 
@@ -363,7 +377,12 @@ def hyperball(
     m = 1 << p
     wbits = 60 - p
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # s fans out twice per hop (contrib join + union) and also feeds
+    # each hop's estimate — checkpoint the register state per hop and
+    # pin the edge relation, or lineage growth is exponential in t.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     h = md5_hash60(F.col("node").cast("string"), 0)
     w = F.shiftright(h, p)
@@ -380,6 +399,7 @@ def hyperball(
             s.unionByName(contrib)
             .groupBy("node", "bucket")
             .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
         )
         out = out.join(_hb_estimate(s, m, wbits, f"n{t}"), "node")
     harmonic = F.lit(0.0)
@@ -419,6 +439,11 @@ def host_graph(
             & (F.col("hs") != F.col("hd"))
         )
         .distinct()
+        # Both the host dimension and the hid edge list are built from
+        # this distinct — and consumers (host_rank) iterate over the
+        # edges while also counting the dimension.  Cut the lineage here
+        # (lazily) so the page→host distinct runs exactly once per job.
+        .localCheckpoint(eager=False)
     )
     hosts = (
         e.select(F.col("hs").alias("host"))
@@ -437,7 +462,7 @@ def host_graph(
     )
     dim = loc.join(F.broadcast(offsets), "_pid").select(
         "host", (F.col("_lr") - 1 + F.col("_off")).cast("long").alias("hid")
-    )
+    ).localCheckpoint(eager=False)
     edges = (
         e.join(dim.select(F.col("host").alias("hs"), F.col("hid").alias("src")),
                "hs")
@@ -460,6 +485,11 @@ def host_rank(
     The host count is a plan constant (one count() of the dimension),
     exactly like q_pagerank's node count."""
     dim, edges = host_graph(page_edges, src_col, dst_col)
+    # host_graph checkpoints the distinct-pairs relation and the host
+    # dimension, so this eager count() materializes the prologue ONCE;
+    # page_rank then checkpoints the edge list before iterating.  Net:
+    # every host-graph relation is computed exactly one time per call
+    # (r4 recomputed the prologue ~6×, 20.9 s for a 23-host graph).
     n = dim.count()
     ranks = page_rank(edges, n, n_iter=n_iter)
     return dim.join(ranks, dim["hid"] == ranks["node"]).select("host", "rank")

@@ -238,3 +238,52 @@ def test_host_graph_dense_ids_and_rank(spark):
     ranks2 = {r["host"]: r["rank"]
               for r in host_rank(edges.repartition(5)).collect()}
     assert ranks == ranks2
+
+
+def test_iterative_lineage_is_checkpointed(spark):
+    """Every iterative graph op must cut its lineage each round: the
+    state fans out 2× per iteration (e.g. PageRank's contrib + dangling
+    mass both read `rank`), so an uncut plan re-derives the caller's
+    edge pipeline O(2^n_iter) times — the r4 q_host_rank scale-killer
+    (20.9 s for a 23-host graph).  The final optimized plan must be
+    anchored on checkpointed RDD scans, with ZERO residual scans of the
+    original source or of the host-graph Deduplicate prologue."""
+    from pdf_context_extractor_agent_spark.functions.graph import (
+        hits,
+        host_rank,
+        hyperball,
+        label_propagation,
+        page_rank,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://b.com/1", "https://c.com/"),
+            ("https://c.com/1", "https://a.com/"),
+        ],
+        "url string, out_url string",
+    )
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    plan = optimized(host_rank(edges))
+    # the distinct + two-phase dense-id prologue must appear ZERO times
+    # in the final plan (it ran once, behind the checkpoints)
+    assert "Deduplicate" not in plan
+    assert plan.count("LocalRelation") == 0  # source never rescanned
+
+    ids = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    src = ids.distinct()  # a marker node we can count in the plan
+    for op in (
+        lambda: page_rank(src, 3, n_iter=3),
+        lambda: hits(src, 3, n_iter=2),
+        lambda: label_propagation(src, 3, n_iter=2),
+        lambda: hyperball(src, 3, t_max=2),
+    ):
+        p = optimized(op())
+        # uncut lineage would replicate the Deduplicate marker once per
+        # downstream reference (≥2 for any of these); checkpointing per
+        # round leaves at most the single pre-checkpoint occurrence
+        assert p.count("Deduplicate") == 0, p[:500]
