@@ -77,7 +77,29 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_expected_warnings(spark)
     return spark
+
+
+def _silence_expected_warnings(spark: SparkSession) -> None:
+    """Mute WindowExec's no-partition warning for this session.
+
+    The two-phase prefix-sum rank (sampling.assign_offsets, graph
+    host_graph) deliberately runs an unpartitioned window over a
+    PARTITION-COUNT-sized relation (one row per partition, never data
+    rows), so the "moving all data to a single partition" warning is a
+    false alarm here — but dozens of them in a bench artifact read as a
+    scale bug.  Any genuinely unpartitioned window over data rows would
+    be caught by the plan-shape tests, not by this log line.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning
 
 
 def stop_spark() -> None:
