@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime as dt
 import html as _html
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -518,7 +519,8 @@ def render_pdfish(pages: list[Page]) -> bytes:
 def render_minipdf_doc(pages: list[Page], cid: bool = False,
                        mixed_codespace: bool = False,
                        scrambled_encoding: bool = False,
-                       objstm: bool = False) -> bytes:
+                       objstm: bool = False,
+                       simple_font: bool = False) -> bytes:
     """Render the content model as a structurally valid minimal PDF:
     same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
     ruling-line grids) but expressed in real PDF content-stream
@@ -549,7 +551,18 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
 
     ``objstm=True`` emits the PDF 1.5 layout (dict objects packed in a
     Flate'd /ObjStm, binary cross-reference stream) — what every modern
-    real-world writer produces by default."""
+    real-world writer produces by default.
+
+    ``simple_font=True`` renders every ASCII table cell through an
+    embedded TrueType font ``/F3`` carrying /FirstChar + /Widths, with
+    the cell's show-string SPLIT into two consecutive ``Tj`` operators
+    and no repositioning between them — the second half's X exists only
+    via the font's glyph-width advance, the way metrics-aware real
+    writers emit text. Byte-identity over these docs proves the kernel
+    reads simple-font /Widths (pdfplumber's non-CID metric path,
+    reference dep: src/pdf_reader.py:17-29); the width array leads with
+    junk entries below the first used code, so an off-by-one in
+    /FirstChar indexing mis-places the second half and fails identity."""
     from .kernels.minipdf_layout import PAGE_H, _escape, cid_hex, render_minipdf
 
     cid_of: dict[str, int] = {}
@@ -601,11 +614,39 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
 
     font = "/F2" if cid else "/F1"
 
+    simple_widths: tuple[int, list[int]] | None = None
+    if simple_font:
+        used = {c for page in pages for k, payload in page
+                if k not in ("colstart", "colbreak", "p")
+                for r in payload for cell in r for c in cell
+                if " " <= c <= "~"}
+        # FirstChar below the lowest used code, junk width (≠ the real
+        # 600 = CHAR_W·1000/size) on every unused slot: any indexing
+        # slip lands on junk and breaks byte identity
+        first_char = 29
+        simple_widths = (
+            first_char,
+            [600 if chr(c) in used else 444 for c in range(first_char, 127)],
+        )
+
     streams = []
     for page in pages:
         ops: list[str] = []
 
         def text(x: int, ly: int, s: str) -> None:
+            if (
+                simple_font
+                and len(s) >= 2
+                and all(" " <= c <= "~" for c in s)
+            ):
+                # metrics-positioned split: the second Tj's X is purely
+                # the /Widths advance over the first half's glyphs
+                h1, h2 = s[: len(s) // 2], s[len(s) // 2:]
+                ops.append(
+                    f"BT /F3 10 Tf 1 0 0 1 {x} {PAGE_H - ly} Tm "
+                    f"({_escape(h1)}) Tj ({_escape(h2)}) Tj ET"
+                )
+                return
             ops.append(f"BT {font} 10 Tf 1 0 0 1 {x} {PAGE_H - ly} Tm {show(s)} Tj ET")
 
         def seg(x1: int, ly1: int, x2: int, ly2: int) -> None:
@@ -671,8 +712,23 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
             cid_codespace=codespace,
             cid_encoding=code_of_cid,
             objstm=objstm,
+            simple_widths=simple_widths,
         )
-    return render_minipdf(streams, objstm=objstm)
+    return render_minipdf(streams, objstm=objstm, simple_widths=simple_widths)
+
+
+def _break_xref(blob: bytes) -> bytes:
+    """Corrupt a classic PDF's cross-reference table in place: every
+    offset zeroed and ``startxref`` pointed at 0 — the 'malformed xref'
+    damage real-world PDFs commonly carry. File length is preserved so
+    any offset-dependent content bytes are untouched. Non-classic
+    layouts (xref streams) are returned unchanged."""
+    p = blob.rfind(b"\nxref\n")
+    if p < 0 or b"trailer" not in blob[p:]:
+        return blob
+    tail = re.sub(rb"\b\d{10} 00000 n", b"0000000000 00000 n", blob[p:])
+    tail = re.sub(rb"startxref\s+\d+", b"startxref\n0", tail)
+    return blob[:p] + tail
 
 
 def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
@@ -695,13 +751,28 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
         # every fifth (i ≡ 24 mod 50) additionally uses the PDF 1.5
         # ObjStm + xref-stream layout (intersecting the CID slices at
         # e.g. i ≡ 124 mod 150, so the combined path is corpus-covered)
+        # every i ≡ 14 (mod 30) doc shows its ASCII table cells through
+        # an embedded /FirstChar+/Widths TrueType font as split Tj runs
+        # positioned only by glyph advance — byte identity certifies the
+        # simple-font width path (disjoint from the CID slice i ≡ 4)
         blob = render_minipdf_doc(
             pages,
             cid=(i % 30 == 4),
             mixed_codespace=(i % 60 == 34),
             scrambled_encoding=(i % 120 == 4),
             objstm=(i % 50 == 24),
+            simple_font=(i % 30 == 14),
         )
+        if i % 30 == 24:
+            # every i ≡ 24 (mod 30) classic-layout doc ships a BROKEN
+            # cross-reference table (all offsets zeroed, startxref 0) —
+            # the damage pdfplumber absorbs by rescanning for objects
+            # (reference src/pdf_reader.py:27). The kernel resolves
+            # objects by scanning "N 0 obj" directly, never the xref,
+            # so identity over this slice certifies that tolerance.
+            # (objstm docs i ≡ 24 mod 50 carry a binary xref stream
+            # instead — _break_xref leaves non-classic layouts alone.)
+            blob = _break_xref(blob)
     else:
         # every seventh HTML doc renders its tables with colspan/rowspan
         # merges of adjacent equal cells (the web-real table shape), so

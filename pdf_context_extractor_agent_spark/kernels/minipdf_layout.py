@@ -90,13 +90,25 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
-def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) -> dict:
+def _tokenize_stream(
+    data: str,
+    font_cmaps: dict[str, CMapTable] | None = None,
+    font_widths: dict[str, "WidthTable"] | None = None,
+) -> dict:
     """One content stream → {runs, h, v} in layout (top-down) coords.
 
     ``font_cmaps`` maps resource names ("/F2") to (ToUnicode CID→str
     table, codespace ranges); ``Tf`` selects the active table, hex
     show-strings decode through it (variable-byte codespace-driven
     codes, code=codepoint fallback).
+
+    ``font_widths`` maps resource names to simple-font /Widths tables;
+    when the active font carries one, every show operator advances the
+    text position by the shown glyphs' widths × font size / 1000 (and
+    TJ kern adjustments subtract adj/1000 × size), so consecutive
+    shows with no intervening Tm/Td land where a metrics-aware
+    renderer puts them. Fonts without /Widths keep the no-advance
+    behavior (every show explicitly positioned).
     """
     runs: list[tuple[int, int, str]] = []
     h_segs: list[tuple[int, int, int, int]] = []
@@ -105,6 +117,8 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) 
     tx = ty = 0.0          # current text position (PDF coords)
     leading = 12.0         # TL text leading (T* / ' displacement)
     cur_cmap: CMapTable | None = None
+    cur_widths: WidthTable | None = None
+    cur_size = 10.0        # Tf size operand (scales /Widths advances)
     path_pt: tuple[float, float] | None = None
     pending_seg: tuple[float, float, float, float] | None = None
 
@@ -154,9 +168,24 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) 
     def shown(tok: str) -> str:
         return lit(tok) if tok[0] == "(" else hexs(tok)
 
+    def advance(text: str) -> None:
+        """Move tx past ``text`` by the active simple font's metrics."""
+        nonlocal tx
+        if cur_widths is None:
+            return
+        first, widths, missing = cur_widths
+        n = len(widths)
+        total = 0
+        for ch in text:
+            i = ord(ch) - first
+            total += widths[i] if 0 <= i < n else missing
+        tx += total * cur_size / 1000.0
+
     def show_top() -> None:
         if stack and isinstance(stack[-1], str) and stack[-1][:1] in "(<":
-            runs.append((int(tx), flip(ty), shown(stack[-1])))
+            text = shown(stack[-1])
+            runs.append((int(tx), flip(ty), text))
+            advance(text)
 
     for m in _TOKEN_RE.finditer(data):
         kind = m.lastindex
@@ -173,27 +202,52 @@ def _tokenize_stream(data: str, font_cmaps: dict[str, CMapTable] | None = None) 
             if tok == "Tj":
                 show_top()
             elif tok == "Tf":
-                # /Fx size Tf — switch the active ToUnicode table
-                if len(stack) >= 2 and isinstance(stack[-2], str) and font_cmaps:
-                    cur_cmap = font_cmaps.get(stack[-2])
+                # /Fx size Tf — switch the active ToUnicode table and
+                # width metrics; remember the size for advance scaling
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    if font_cmaps:
+                        cur_cmap = font_cmaps.get(stack[-2])
+                    if font_widths:
+                        cur_widths = font_widths.get(stack[-2])
+                    else:
+                        cur_widths = None
+                    try:
+                        cur_size = float(stack[-1])
+                    except (TypeError, ValueError):
+                        pass
             elif tok == "TJ":
                 # [(a) -250 (b)] TJ — brackets are not tokens, so the
                 # stack holds the strings and kern numbers in order
                 parts: list[str] = []
+                adv = 0.0  # total advance in 1/1000-em units × size
                 for item in stack:
                     if isinstance(item, str) and item[:1] in "(<":
-                        parts.append(shown(item))
+                        s = shown(item)
+                        parts.append(s)
+                        if cur_widths is not None:
+                            first_c, widths_a, missing = cur_widths
+                            nw = len(widths_a)
+                            for ch in s:
+                                i2 = ord(ch) - first_c
+                                adv += widths_a[i2] if 0 <= i2 < nw else missing
                     elif item is not None and not (
                         isinstance(item, str) and item.startswith("/")
                     ):
                         try:
-                            if float(item) <= -KERN_SPACE:
-                                parts.append(" ")
+                            k = float(item)
                         except ValueError:
-                            pass
+                            continue
+                        if k <= -KERN_SPACE:
+                            parts.append(" ")
+                        # a TJ adjustment moves the glyph origin by
+                        # -adj/1000 × size regardless of whether it
+                        # rendered as a space (spec §9.4.3)
+                        adv -= k
                 text = "".join(parts)
                 if text:
                     runs.append((int(tx), flip(ty), text))
+                if cur_widths is not None:
+                    tx += adv * cur_size / 1000.0
             elif tok == "TL":
                 if stack:
                     try:
@@ -289,6 +343,8 @@ _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 # /Encoding as an indirect STREAM ref (embedded CMap); the /Identity-H
 # name form deliberately does not match
 _ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 
 # ToUnicode CMap syntax (PDF 32000 §9.10.3): bfchar pairs and bfrange
 # triples, the range destination either a scalar start or an array
@@ -575,6 +631,55 @@ def _page_font_cmaps(blob: bytes, page_obj: bytes,
     return out
 
 
+# glyph-width table of a SIMPLE (non-CID Type1/TrueType) embedded font:
+# (first_char, widths-per-code, missing_width).  Units are 1/1000 em,
+# the /Widths convention; codes outside [first, first+len) take the
+# missing width (spec default 0 — /MissingWidth lives in the
+# FontDescriptor, outside this subset's contract).
+WidthTable = tuple[int, tuple[int, ...], int]
+
+
+def _font_widths(blob: bytes, font_num: int) -> WidthTable | None:
+    """``/FirstChar``/``/Widths`` metrics of a simple font object, or
+    None when the font declares neither (CID fonts carry /W instead;
+    the built-in 14 carry nothing — both keep the no-advance path).
+
+    This is the non-CID half of pdfplumber's glyph-metric handling
+    (reference dep: src/pdf_reader.py:17-29): successive show-runs with
+    no intervening Tm/Td are positioned purely by these advances, so a
+    kernel that ignores them mis-places every run after the first."""
+    loc = _object_slice(blob, font_num)
+    if loc is None:
+        return None
+    fm = _FIRSTCHAR_RE.search(loc[1])
+    wm = _WIDTHS_RE.search(loc[1])
+    if fm is None or wm is None:
+        return None
+    try:
+        widths = tuple(int(float(t)) for t in wm.group(1).split())
+    except ValueError:
+        return None
+    return int(fm.group(1)), widths, 0
+
+
+def _page_font_widths(blob: bytes, page_obj: bytes,
+                      cache: dict[int, WidthTable | None]) -> dict[str, WidthTable]:
+    """Page /Resources /Font dict → {"/Fx": width table} for simple
+    fonts that declare /FirstChar + /Widths."""
+    fm = _FONT_RES_RE.search(page_obj)
+    if fm is None:
+        return {}
+    out: dict[str, WidthTable] = {}
+    for name, fnum in _FONT_REF_RE.findall(fm.group(1)):
+        fnum = int(fnum)
+        if fnum not in cache:
+            cache[fnum] = _font_widths(blob, fnum)
+        wt = cache[fnum]
+        if wt is not None:
+            out["/" + name.decode("ascii")] = wt
+    return out
+
+
 def parse_minipdf(blob: bytes) -> list[dict]:
     """PDF bytes → per-page structs via the shared layout reconstruction.
 
@@ -603,6 +708,7 @@ def parse_minipdf(blob: bytes) -> list[dict]:
     structured = bool(page_objs) and all(c is not None for c, _ in page_objs)
     if structured:
         font_cache: dict[int, CMapTable] = {}
+        width_cache: dict[int, WidthTable | None] = {}
         for contents_num, obj in page_objs:
             s = _object_stream(blob, contents_num)
             if s is None:
@@ -610,8 +716,11 @@ def parse_minipdf(blob: bytes) -> list[dict]:
                 pages_raw = []
                 break
             cmaps = _page_font_cmaps(blob, obj, font_cache)
+            widths = _page_font_widths(blob, obj, width_cache)
             pages_raw.append(
-                _tokenize_stream(_decode_stream(*s), cmaps or None)
+                _tokenize_stream(
+                    _decode_stream(*s), cmaps or None, widths or None
+                )
             )
 
     if not structured:
@@ -831,6 +940,7 @@ def render_minipdf(
     cid_codespace: list[tuple[int, int, int]] | None = None,
     cid_encoding: dict[int, int] | None = None,
     objstm: bool = False,
+    simple_widths: tuple[int, list[int]] | None = None,
 ) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
     (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
@@ -855,6 +965,13 @@ def render_minipdf(
     font_res = f"/F1 {f1_num} 0 R"
     if cid_cmap is not None:
         font_res += f" /F2 {f1_num + 1} 0 R"
+    if simple_widths is not None:
+        # /F3 lands after every CID-related object (F2 + its CMap
+        # stream(s)) so existing object numbering is untouched
+        f3_num = f1_num + 1
+        if cid_cmap is not None:
+            f3_num += 2 + (1 if cid_encoding is not None else 0)
+        font_res += f" /F3 {f3_num} 0 R"
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
@@ -907,6 +1024,15 @@ def render_minipdf(
             objects.append(
                 _cmap_stream(encoding_cmap(cid_encoding, cid_codespace))
             )
+    if simple_widths is not None:
+        first_char, widths = simple_widths
+        objects.append(
+            (
+                f"<< /Type /Font /Subtype /TrueType /BaseFont /ArialMT "
+                f"/FirstChar {first_char} /LastChar {first_char + len(widths) - 1} "
+                f"/Widths [{' '.join(str(w) for w in widths)}] >>"
+            ).encode()
+        )
 
     if objstm:
         return _assemble_objstm(objects)

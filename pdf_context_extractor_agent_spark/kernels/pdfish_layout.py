@@ -63,6 +63,39 @@ def is_pdfish(blob: bytes) -> bool:
     return blob[: len(MAGIC)] == MAGIC
 
 
+# a following run starting within this of the previous run's computed
+# right edge (x + len·CHAR_W) continues the SAME word — the analog of
+# pdfplumber's char-merge x-tolerance. Real writers emit text in many
+# small show-runs positioned by font-metric advance (one per kern pair
+# or style change); coalescing them back into words must happen before
+# any layout analysis (line text, cell assignment, alignment anchors).
+JOIN_TOL = 1
+
+
+def _coalesce_runs(
+    runs: list[tuple[int, int, str]],
+) -> list[tuple[int, int, str]]:
+    """Merge x-contiguous same-line show-runs into single word runs.
+
+    Two runs merge when their Ys are within ``Y_TOL`` and the second
+    starts within ``JOIN_TOL`` of the first's computed right edge —
+    i.e. the writer continued the same word via width advance rather
+    than repositioning. Downstream (grid cells, aligned-table anchors,
+    line clustering) then sees one run per word exactly as if the text
+    had been shown in one operation.
+    """
+    out: list[tuple[int, int, str]] = []
+    for x, y, t in sorted(runs, key=lambda r: (r[1], r[0])):
+        if out:
+            px, py, pt = out[-1]
+            gap = x - (px + len(pt) * CHAR_W)
+            if abs(y - py) <= Y_TOL and 0 <= gap <= JOIN_TOL:
+                out[-1] = (px, py, pt + t)
+                continue
+        out.append((x, y, t))
+    return out
+
+
 def _cluster_lines(runs: list[tuple[int, int, str]]) -> list[tuple[int, str]]:
     """Y-cluster glyph runs → (y, text) lines, reading order resolved.
 
@@ -349,6 +382,7 @@ def assemble_pages(pages_raw: list[dict]) -> list[dict]:
     out = []
     for page_no, p in enumerate(pages_raw, start=1):
         grids = _detect_grids(p["h"], p["v"])
+        page_runs = _coalesce_runs(p["runs"])
 
         def grid_of(x: int, y: int):
             for g in grids:
@@ -356,7 +390,7 @@ def assemble_pages(pages_raw: list[dict]) -> list[dict]:
                     return g
             return None
 
-        free_runs = [r for r in p["runs"] if grid_of(r[0], r[1]) is None]
+        free_runs = [r for r in page_runs if grid_of(r[0], r[1]) is None]
         aligned, free_runs = _detect_aligned(free_runs)
 
         boxes: list[dict] = list(aligned)
@@ -365,7 +399,7 @@ def assemble_pages(pages_raw: list[dict]) -> list[dict]:
             cells = [
                 [[] for _ in range(len(cols_x) - 1)] for _ in range(len(rows_y) - 1)
             ]
-            for x, y, t in p["runs"]:
+            for x, y, t in page_runs:
                 if not (g["x0"] <= x <= g["x1"] and g["y0"] <= y <= g["y1"]):
                     continue
                 ri = next(

@@ -69,7 +69,12 @@ def match_items(
     shuffle, no distinct stage) — the right shape only if the name
     column were high-cardinality, kept for the differential test.
     """
-    pat = F.broadcast(item_pattern_df(spark).drop("statement_type"))
+    # only the slot identity survives into the outputs — pattern text
+    # and the ordering ints already did their job when pids were
+    # assigned, so don't carry them through the (large) winners relation
+    pat = F.broadcast(
+        item_pattern_df(spark).select("pid", "section_path", "standard_name", "is_total")
+    )
 
     # J1 winner: every bank regex is evaluated as a literal (compiled
     # once per task by codegen); pids are assigned in (statement,

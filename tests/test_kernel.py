@@ -747,3 +747,114 @@ def test_span_fast_path_matches_stdlib():
         slow.feed(doc)
         slow.close()
         assert fast.result() == slow.result(), doc
+
+
+def test_simple_font_widths_corpus_byte_identity():
+    """Corpus simple-font docs (i ≡ 14 mod 30) show ASCII table cells
+    as SPLIT consecutive Tj runs positioned only by the embedded
+    /FirstChar+/Widths advance; byte identity certifies the non-CID
+    glyph-metric path (pdfplumber's simple-font handling, reference
+    src/pdf_reader.py:17-29)."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    for i in (14, 44, 74, 134):
+        _, _, blob, text, _ = make_doc(i)
+        if i % 50 != 24:  # objstm docs Flate-pack the font dict
+            assert b"/Widths" in blob and b"/FirstChar 29" in blob, i
+            assert b") Tj (" in blob, i  # genuinely split shows
+        got = "\n".join(p["page_text"] for p in parse_doc(blob))
+        assert got == text, i
+
+
+def test_simple_font_widths_are_load_bearing():
+    """Negative control: shifting /FirstChar by one re-indexes every
+    glyph onto the junk width slots, so the second half of each split
+    cell lands at the wrong X and identity must FAIL — proving the
+    kernel actually reads the width table rather than assuming a
+    constant advance."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    _, _, blob, text, _ = make_doc(14)
+    broken = blob.replace(b"/FirstChar 29", b"/FirstChar 30")
+    got = "\n".join(p["page_text"] for p in parse_doc(broken))
+    assert got != text
+
+
+def test_broken_xref_corpus_byte_identity():
+    """Corpus broken-xref docs (i ≡ 24 mod 30, classic layout) carry a
+    zeroed cross-reference table and startxref 0 — the malformed-xref
+    damage pdfplumber absorbs by rescanning (reference
+    src/pdf_reader.py:27). Object resolution here scans ``N 0 obj``
+    directly, so extraction must be unaffected."""
+    from pdf_context_extractor_agent_spark.corpus import _break_xref, make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    for i in (54, 84, 114):  # classic-layout slice members (not objstm)
+        _, _, blob, text, _ = make_doc(i)
+        assert b"0000000000 00000 n" in blob and b"startxref\n0" in blob, i
+        got = "\n".join(p["page_text"] for p in parse_doc(blob))
+        assert got == text, i
+    # the corruptor must leave xref-stream (objstm) layouts alone
+    _, _, objstm_blob, _, _ = make_doc(24)  # i%50==24 → objstm
+    assert _break_xref(objstm_blob) == objstm_blob
+
+
+def test_tokenizer_width_advance_semantics():
+    """Unit semantics of the /Widths advance: Tf size scales it, TJ
+    kern adjustments subtract adj/1000·size, unmapped codes take the
+    missing width (0)."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        _tokenize_stream,
+    )
+
+    wt = {"/F3": (65, (500, 1000), 0)}  # A→500, B→1000
+    runs = _tokenize_stream(
+        "BT /F3 20 Tf 1 0 0 1 100 700 Tm (AB) Tj (A) Tj ET", font_widths=wt
+    )["runs"]
+    # AB advances (500+1000)/1000·20 = 30 → second run at 130
+    assert [(r[0], r[2]) for r in runs] == [(100, "AB"), (130, "A")]
+
+    runs = _tokenize_stream(
+        "BT /F3 10 Tf 1 0 0 1 0 700 Tm [(A) -500 (B)] TJ (A) Tj ET",
+        font_widths=wt,
+    )["runs"]
+    # TJ: 500 + kern 500 + 1000 = 2000 → /1000·10 = 20; kern ≥ KERN_SPACE
+    # renders as a space inside the joined run
+    assert [(r[0], r[2]) for r in runs] == [(0, "A B"), (20, "A")]
+
+    # glyph outside [first, first+len) → missing width 0 (no advance)
+    runs = _tokenize_stream(
+        "BT /F3 10 Tf 1 0 0 1 0 700 Tm (z) Tj (A) Tj ET", font_widths=wt
+    )["runs"]
+    assert [(r[0], r[2]) for r in runs] == [(0, "z"), (0, "A")]
+
+    # a font with no width table never advances (legacy behavior)
+    runs = _tokenize_stream(
+        "BT /F1 10 Tf 1 0 0 1 0 700 Tm (AB) Tj (C) Tj ET", font_widths=wt
+    )["runs"]
+    assert [(r[0], r[2]) for r in runs] == [(0, "AB"), (0, "C")]
+
+
+def test_coalesce_runs():
+    """X-contiguous same-line runs merge into one word run; gapped or
+    off-line runs stay separate."""
+    from pdf_context_extractor_agent_spark.kernels.pdfish_layout import (
+        _coalesce_runs,
+    )
+
+    # CHAR_W = 6: "ab" spans 12 → run at 112 is contiguous, merges
+    assert _coalesce_runs([(100, 50, "ab"), (112, 50, "cd")]) == [
+        (100, 50, "abcd")
+    ]
+    # a word-space gap (6 px) must NOT merge
+    assert _coalesce_runs([(100, 50, "ab"), (118, 50, "cd")]) == [
+        (100, 50, "ab"),
+        (118, 50, "cd"),
+    ]
+    # different lines never merge
+    assert _coalesce_runs([(100, 50, "ab"), (112, 60, "cd")]) == [
+        (100, 50, "ab"),
+        (112, 60, "cd"),
+    ]
