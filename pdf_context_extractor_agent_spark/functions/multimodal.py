@@ -1,14 +1,23 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` + typed
 metadata, processed by Arrow-batched kernels.
 
-The container has no image/audio codecs, so the DECODE step is stubbed:
-real codec libraries are probed with an import-try and, when absent, a
-clearly-marked deterministic fake decoder handles the self-describing
-FAKE container format produced by :func:`make_fake_image`. Everything
-AROUND the decode — schemas, mapInPandas batch shapes, partitioning,
-feature extraction on the decoded buffer — is real and tested, so
-swapping in Pillow/ffmpeg on a production image is a one-function
-change inside the kernel.
+Decode tiers, probed in order inside the kernels:
+
+* the deterministic FAKE containers (:func:`make_fake_image` /
+  :func:`make_fake_audio`) — the oracle path: feature values are
+  restatable in plain SQL, so every operator stays value-checked;
+* REAL stdlib codecs — 8-bit non-interlaced PNG (zlib chunk walk +
+  all five row filters, :func:`_decode_png`) and 16-bit PCM WAV
+  (``wave``, :func:`_decode_wav`) — genuine files from any tool
+  decode with no third-party dependency;
+* PIL / soundfile when importable (absent in this container) for the
+  remaining compressed formats (JPEG/mp3/…), else an honest
+  ``NotImplementedError``.
+
+Everything AROUND the decode — schemas, mapInPandas batch shapes,
+partitioning, feature extraction on the decoded buffer — is identical
+across tiers, so the oracle certifies the math and the real-codec
+tests certify the decode.
 """
 
 from __future__ import annotations
@@ -62,17 +71,125 @@ def make_fake_image(media_id: int, width: int = 16, height: int = 16) -> bytes:
     return _MAGIC + struct.pack("<II", width, height) + px
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# integer ITU-R BT.601 luma weights (×1000) — the standard RGB→gray
+# reduction, kept integer-exact so decoded features are cross-engine
+# verifiable like everything else in this module
+_LUMA = (299, 587, 114)
+
+
+def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decoder (zlib + numpy): 8-bit gray / gray+alpha /
+    RGB / RGBA / palette, all five row filters, non-interlaced.
+
+    This is a REAL codec — any non-interlaced 8-bit PNG from any tool
+    decodes — implemented on zlib so the sandbox (which carries no
+    image libraries) still exercises a genuine decode path. Interlaced
+    or 16-bit files raise: honesty over silent corruption. RGB reduces
+    to BT.601 integer luma; alpha is ignored (features are computed on
+    intensity).
+    """
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    palette: np.ndarray | None = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("PNG without IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth}/interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p2 = 0
+    for y in range(h):
+        ft = raw[p2]
+        cur = np.frombuffer(raw[p2 + 1:p2 + 1 + stride], dtype=np.uint8).copy()
+        p2 += 1 + stride
+        if ft == 1:  # Sub: per-channel modular prefix sum
+            for c in range(channels):
+                cur[c::channels] = (
+                    np.cumsum(cur[c::channels], dtype=np.uint64) & 0xFF
+                ).astype(np.uint8)
+        elif ft == 2:  # Up (uint8 addition wraps = mod 256, per spec)
+            cur = cur + prev
+        elif ft == 3:  # Average — serial in x, scalar loop
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth — serial in x, scalar loop
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        elif ft != 0:
+            raise NotImplementedError(f"PNG filter {ft}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise NotImplementedError("palette PNG without PLTE")
+        px = palette[px[:, :, 0]]
+        channels = 3
+    if channels <= 2:  # gray / gray+alpha
+        gray = px[:, :, 0]
+    else:
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = (
+            (_LUMA[0] * rgb[:, :, 0] + _LUMA[1] * rgb[:, :, 1]
+             + _LUMA[2] * rgb[:, :, 2]) // 1000
+        ).astype(np.uint8)
+    return int(w), int(h), gray
+
+
 def _decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode step. Real codecs would branch on mime here."""
+    """Decode step: FAKEIMG oracle container, real PNG (stdlib codec),
+    then PIL for anything else when the library is present."""
     if payload[:8] == _MAGIC:
         w, h = struct.unpack("<II", payload[8:16])
         arr = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8).reshape(h, w)
         return w, h, arr
-    if _HAS_PIL:  # pragma: no cover
-        raise NotImplementedError("real-codec path: wire PIL.Image.open here")
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, arr
     raise NotImplementedError(
-        "no codec available for this payload (container lacks image libs; "
-        "only the FAKEIMG1 self-describing format is decodable)"
+        "no codec for this payload: FAKEIMG1 and 8-bit PNG decode "
+        "in-sandbox; other formats need PIL (probed, absent here)"
     )
 
 
@@ -225,15 +342,39 @@ def make_fake_audio(
     return _AUDIO_MAGIC + struct.pack("<II", n, sample_rate) + s.astype("<i2").tobytes()
 
 
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Stdlib RIFF/WAVE decoder (``wave`` module): 16-bit PCM, any
+    sample rate; multi-channel input is reduced to its first channel.
+    A real codec path — any canonical WAV from any tool decodes —
+    with honest raises for compressed (non-PCM) or non-16-bit files."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {wf.getsampwidth()} (16-bit PCM only)"
+            )
+        frames = wf.readframes(wf.getnframes())
+        pcm = np.frombuffer(frames, dtype="<i2")
+        nch = wf.getnchannels()
+        if nch > 1:
+            pcm = pcm[::nch]
+        return wf.getframerate(), pcm
+
+
 def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Audio decode step. Real codecs (soundfile/ffmpeg) would branch on
-    the container here; only the FAKE format is decodable in-sandbox."""
+    """Audio decode step: FAKEAUD oracle container or real 16-bit PCM
+    WAV (stdlib codec); compressed formats (mp3/ogg/flac) would need
+    soundfile/ffmpeg, absent in this container."""
     if payload[:8] == _AUDIO_MAGIC:
         n, rate = struct.unpack("<II", payload[8:16])
         return rate, np.frombuffer(payload[16:16 + 2 * n], dtype="<i2")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "no codec available for this payload (container lacks audio libs; "
-        "only the FAKEAUD1 self-describing format is decodable)"
+        "no codec for this payload: FAKEAUD1 and 16-bit PCM WAV decode "
+        "in-sandbox; compressed formats need soundfile/ffmpeg (absent)"
     )
 
 

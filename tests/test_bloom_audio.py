@@ -156,10 +156,58 @@ def test_audio_trailing_partial_window_dropped(spark):
 
 def test_audio_unknown_container_raises(spark):
     media = spark.createDataFrame(
-        [(1, "audio", b"RIFF....WAVE")], "media_id long, kind string, payload binary"
+        [(1, "audio", b"OggS....vorbis")], "media_id long, kind string, payload binary"
     )
     with pytest.raises(Exception, match="no codec"):
         audio_features(media, window=16).collect()
+
+
+def test_audio_real_wav_codec_matches_fake(spark):
+    """A genuine stdlib-written 16-bit PCM WAV of the same samples must
+    produce feature rows identical to the FAKEAUD container's — the
+    real-codec path feeds the same integer kernel. A stereo WAV reduces
+    to channel 0."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        make_fake_audio,
+    )
+
+    n = 4 * 64
+    s = (((7 * 131) + np.arange(n, dtype=np.int64) * 17) % 4096) - 2048
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(s.astype("<i2").tobytes())
+    stereo = io.BytesIO()
+    with wave.open(stereo, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        inter = np.empty(2 * n, dtype="<i2")
+        inter[0::2] = s.astype("<i2")
+        inter[1::2] = 0  # junk right channel: must be ignored
+        wf.writeframes(inter.tobytes())
+    media = spark.createDataFrame(
+        [
+            (1, "audio", make_fake_audio(7, n_windows=4, window=64)),
+            (2, "audio", buf.getvalue()),
+            (3, "audio", stereo.getvalue()),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = audio_features(media, window=64).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(
+            (r.window_idx, r.sum_abs, r.max_abs, r.energy, r.zero_crossings)
+        )
+    assert by_id[1] == by_id[2] == by_id[3]
 
 
 # --------------------------------------------------------------------------

@@ -854,3 +854,153 @@ def test_lsh_eval_metrics(spark):
     assert 0 <= r["cand_precision_ppm"] <= 1_000_000
     # 16 hashes / 8 bands on a strong near-dup: banding should find it
     assert r["n_verified"] >= 1 and r["recall_ppm"] == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# real PNG codec (stdlib zlib decode path)
+# --------------------------------------------------------------------------
+
+def _encode_png(arr, color_type, row_filters, palette=None):
+    """Spec-side PNG encoder (test-local, independent of the decoder):
+    applies the requested per-row filter transforms and assembles
+    IHDR/PLTE/IDAT/IEND chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        raw = flat[y]
+        ft = row_filters[y % len(row_filters)]
+        f = raw.copy()
+        if ft == 1:
+            f[ch:] = raw[ch:] - raw[:-ch]
+        elif ft == 2:
+            f = raw - prev
+        elif ft == 3:
+            for i in range(stride):
+                a = raw[i - ch] if i >= ch else 0
+                f[i] = raw[i] - ((int(a) + int(prev[i])) >> 1)
+        elif ft == 4:
+            for i in range(stride):
+                a = int(raw[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f[i] = raw[i] - pred
+        out += bytes([ft]) + (f & 0xFF).astype(np.uint8).tobytes()
+        prev = raw
+    body = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b"")
+    return body
+
+
+def test_png_decoder_all_filters_grayscale():
+    import numpy as np
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import _decode_png
+
+    rng = np.arange(9 * 11, dtype=np.uint8).reshape(9, 11) * 7 % 251
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = _encode_png(rng, color_type=0, row_filters=filters)
+        w, h, gray = _decode_png(blob)
+        assert (w, h) == (11, 9)
+        assert np.array_equal(gray, rng), filters
+
+
+def test_png_decoder_rgb_rgba_palette_luma():
+    import numpy as np
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import _decode_png
+
+    rgb = (np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3) * 29) % 255
+    rgb32 = rgb.astype(np.uint32)
+    luma = (
+        (299 * rgb32[:, :, 0] + 587 * rgb32[:, :, 1] + 114 * rgb32[:, :, 2])
+        // 1000
+    ).astype(np.uint8)
+    w, h, gray = _decode_png(_encode_png(rgb, 2, [0, 1, 2, 3, 4]))
+    assert (w, h) == (4, 5) and np.array_equal(gray, luma)
+
+    rgba = np.dstack([rgb, np.full((5, 4), 200, np.uint8)])
+    _, _, gray_a = _decode_png(_encode_png(rgba, 6, [4, 2]))
+    assert np.array_equal(gray_a, luma)  # alpha ignored
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]])
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    exp = (
+        (299 * palette[idx][:, :, 0] + 587 * palette[idx][:, :, 1]
+         + 114 * palette[idx][:, :, 2]) // 1000
+    ).astype(np.uint8)
+    _, _, gray_p = _decode_png(_encode_png(idx, 3, [0, 1], palette=palette))
+    assert np.array_equal(gray_p, exp)
+
+
+def test_png_decoder_honest_raises():
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+    import pytest
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import _decode_png
+
+    arr = np.zeros((2, 2), np.uint8)
+    blob = _encode_png(arr, 0, [0])
+    interlaced = blob.replace(
+        _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+        _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1),
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _decode_png(interlaced)
+    with pytest.raises(NotImplementedError, match="bit_depth"):
+        _decode_png(blob.replace(
+            _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+            _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0),
+        ))
+
+
+def test_image_ahash_on_real_png(spark):
+    """An actual PNG payload must flow through image_ahash/image_features
+    end-to-end (the VERDICT r4 'can't eat a JPEG' gap, closed for PNG):
+    same pixels via FAKEIMG and via PNG must produce the same hash and
+    features."""
+    import numpy as np
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import (
+        image_ahash,
+        image_features,
+        make_fake_image,
+    )
+
+    fake = make_fake_image(5, 16, 16)
+    px = np.frombuffer(fake[16:], dtype=np.uint8).reshape(16, 16)
+    png = _encode_png(px, 0, [0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [(1, "image", fake), (2, "image", png)],
+        "media_id long, kind string, payload binary",
+    )
+    hashes = {r.media_id: r.ahash64 for r in image_ahash(media).collect()}
+    assert hashes[1] == hashes[2]
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert feats[1].mean_intensity == feats[2].mean_intensity
+    assert feats[1].histogram == feats[2].histogram
