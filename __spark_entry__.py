@@ -654,6 +654,114 @@ def _q_extract_parsed(spark, sf):
     return parse_statements(_corpus_pages(spark), spark)["parsed"]
 
 
+# --- value-level oracle for the statement pipeline itself ------------------
+# The kind-8 corpus docs embed FIXTURE A (corpus._fixture_a_rows — the
+# reference's hand-verified integration fixture, FIXTURES.md §3/§4 and
+# balance_sheet.py:832-866): their end-to-end parse is a known constant,
+# so the full pipeline (corpus → layout kernel → merge → SI → columns →
+# match) gets a hash-checked DuckDB oracle, not just a row count.
+# 15 golden rows per doc (9 categories + 6 totals); the FULL lifecycle
+# additionally re-emits the parent-company table prefix's 流动资产合计
+# totals row (totals are never deduped — reference dict-overwrite
+# semantics), the boundary lifecycle prunes the parent table (P2-P4).
+_FIXTURE_DOC_IDS = (8, 18, 28)
+
+# (section_path, standard_name, original_name, cur, prev, note,
+#  row_order, is_total) — verified against tests/test_pipeline.py's
+# golden expectations for fixture A
+_FIXTURE_PARSED = [
+    ("assets.current_assets", "货币资金", "货币资金", "1000000.00", "900000.00", "六、1", 2, False),
+    ("assets.current_assets", "应收账款", "应收账款", "500000.00", "450000.00", "六、2", 3, False),
+    ("assets.current_assets", "存货", "存货", "300000.00", "280000.00", "六、3", 4, False),
+    ("assets.current_assets_total", "current_assets_total", "流动资产合计", "1800000.00", "1630000.00", None, 5, True),
+    ("assets.non_current_assets", "固定资产", "固定资产", "2000000.00", "1900000.00", "六、4", 7, False),
+    ("assets.non_current_assets", "无形资产", "无形资产", "100000.00", "95000.00", "六、5", 8, False),
+    ("assets.non_current_assets_total", "non_current_assets_total", "非流动资产合计", "2100000.00", "1995000.00", None, 9, True),
+    ("assets.assets_total", "assets_total", "资产总计", "3900000.00", "3625000.00", None, 10, True),
+    ("liabilities.current_liabilities", "短期借款", "短期借款", "200000.00", "180000.00", "六、6", 12, False),
+    ("liabilities.current_liabilities", "应付账款", "应付账款", "300000.00", "250000.00", "六、7", 13, False),
+    ("liabilities.current_liabilities_total", "current_liabilities_total", "流动负债合计", "500000.00", "430000.00", None, 14, True),
+    ("equity.items", "实收资本", "实收资本", "2000000.00", "2000000.00", "六、8", 16, False),
+    ("equity.items", "未分配利润", "未分配利润", "1400000.00", "1195000.00", "六、9", 17, False),
+    ("equity.equity_total", "equity_total", "所有者权益合计", "3400000.00", "3195000.00", None, 18, True),
+    ("liabilities_and_equity_total", "liabilities_and_equity_total", "负债和所有者权益总计", "3900000.00", "3625000.00", None, 19, True),
+]
+# the FULL lifecycle's extra parent-prefix totals row
+_FIXTURE_PARENT_EXTRA = [
+    ("assets.current_assets_total", "current_assets_total", "流动资产合计", "1800000.00", "1630000.00", None, 24, True),
+]
+
+
+def _fixture_url(i: int) -> str:
+    return f"https://reports.example.com/{i % 97:02d}/doc{i:08d}.html"
+
+
+def _fixture_parsed_sql(include_parent_extra: bool) -> str:
+    rows = _FIXTURE_PARSED + (_FIXTURE_PARENT_EXTRA if include_parent_extra else [])
+
+    def q(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v + "'"
+
+    values = ",\n".join(
+        f"('{_fixture_url(i)}', " + ", ".join(q(v) for v in row) + ")"
+        for i in _FIXTURE_DOC_IDS
+        for row in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values + "\n) AS t(url, section_path, "
+        "standard_name, original_name, current_period, previous_period, "
+        "note, row_order, is_total)"
+    )
+
+
+def _fixture_pages(spark):
+    from pdf_context_extractor_agent_spark.corpus import pages_df
+    from pdf_context_extractor_agent_spark.kernels import extract_pages
+
+    urls = [_fixture_url(i) for i in _FIXTURE_DOC_IDS]
+    return extract_pages(
+        pages_df(spark, max(_FIXTURE_DOC_IDS) + 1).filter(F.col("url").isin(urls))
+    )
+
+
+_PARSED_ORACLE_COLS = (
+    "url", "section_path", "standard_name", "original_name",
+    "current_period", "previous_period", "note", "row_order", "is_total",
+)
+
+
+def _q_extract_fixture_parsed(spark, sf):
+    """End-to-end statement pipeline over the fixture-A docs, value-
+    checked against the golden parse (VERDICT r4 item 5)."""
+    from pdf_context_extractor_agent_spark.plans import parse_statements
+
+    res = parse_statements(_fixture_pages(spark), spark)["parsed"]
+    return res.select(
+        "url", "section_path", "standard_name", "original_name",
+        "current_period", "previous_period", "note",
+        F.col("row_order").cast("int").alias("row_order"), "is_total",
+    )
+
+
+def _q_balance_boundary_fixture(spark, sf):
+    """main.py lifecycle (P2→P3→P4 boundary before merge) over the
+    fixture-A docs, value-checked (VERDICT r4 item 9)."""
+    from pdf_context_extractor_agent_spark.plans import parse_balance_via_boundary
+
+    res = parse_balance_via_boundary(_fixture_pages(spark), spark)["parsed"]
+    return res.select(
+        "url", "section_path", "standard_name", "original_name",
+        "current_period", "previous_period", "note",
+        F.col("row_order").cast("int").alias("row_order"), "is_total",
+    )
+
+
 def _q_extract_checks(spark, sf):
     from pdf_context_extractor_agent_spark.plans import parse_statements
 
@@ -2989,6 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_notes": _q_extract_notes,
         "q_extract_text_identity": _q_extract_text_identity,
         "q_balance_boundary_parsed": _q_balance_boundary,
+        "q_extract_fixture_parsed": _q_extract_fixture_parsed,
+        "q_balance_boundary_fixture": _q_balance_boundary_fixture,
         "q_multimodal_features": _q_multimodal,
     }
 
@@ -6389,6 +6499,8 @@ FROM flags""",
         "q_url_templates": url_templates_sql,
         "q_temperature_mix": temperature_mix_sql,
         "q_hll_union": hll_union_sql,
+        "q_extract_fixture_parsed": _fixture_parsed_sql(include_parent_extra=True),
+        "q_balance_boundary_fixture": _fixture_parsed_sql(include_parent_extra=False),
         "q_page_metadata": page_metadata_sql,
         "q_fix_mojibake": mojibake_sql,
         "q_attributes": attributes_sql,
