@@ -1004,3 +1004,22 @@ def test_image_ahash_on_real_png(spark):
     feats = {r.media_id: r for r in image_features(media).collect()}
     assert feats[1].mean_intensity == feats[2].mean_intensity
     assert feats[1].histogram == feats[2].histogram
+
+
+def test_minhash_default_geometry(spark):
+    """minhash_dedup's default band geometry must stay the sweep-chosen
+    (k=32, b=8, r=4) for the 0.8-Jaccard target (SCALE.md 'LSH band
+    geometry'): 100% measured recall at half the candidate volume of
+    the r=2 geometries. A drive-by 'optimization' of these numbers
+    silently loses near-duplicates."""
+    import inspect
+
+    from pdf_context_extractor_agent_spark.functions.dedup import minhash_dedup
+
+    sig = inspect.signature(minhash_dedup)
+    assert sig.parameters["num_hashes"].default == 32
+    assert sig.parameters["bands"].default == 8
+    assert sig.parameters["threshold"].default == 0.8
+    # r = hashes/bands must divide evenly (lsh_candidate_pairs slices
+    # the signature into equal bands)
+    assert sig.parameters["num_hashes"].default % sig.parameters["bands"].default == 0
