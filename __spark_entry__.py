@@ -2770,6 +2770,51 @@ def _q_sitemap_recrawl(spark, sf):
     return sitemap_recrawl(entries, crawled)
 
 
+def _q_crawl_plan(spark, sf):
+    """One-call crawl-planning composition (plans/crawl.py, mirroring
+    curate()'s shape): robots rules + crawl-delay dims, sitemap
+    freshness → due recrawls, candidate∪due → robots verdicts →
+    politeness-scheduled frontier. Candidates ride the 7 robots hosts
+    with priorities; recrawl entries live on the same hosts at /p/N
+    (priority null → sorts after prioritized under DESC NULLS LAST)."""
+    from pdf_context_extractor_agent_spark.plans.crawl import crawl_plan
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents")
+    loc = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                   F.lit(".example.com/p/"), d.cast("string"))
+    lastmod = (
+        F.when(d % 11 == 0, F.lit(""))
+        .when(d % 11 == 1, F.lit("soon"))
+        .when(d % 2 == 0,
+              F.concat(F.lit("2024-01-"),
+                       F.lpad((1 + d % 28).cast("string"), 2, "0")))
+        .otherwise(
+            F.concat(F.lit("2024-01-"),
+                     F.lpad((1 + d % 28).cast("string"), 2, "0"),
+                     F.lit(" 06:00:00")))
+    )
+    entries = docs.select(loc.alias("loc"), lastmod.alias("lastmod"))
+    ledger = docs.filter(d % 3 != 0).select(
+        loc.alias("url"),
+        (F.lit("2024-01-15 00:00:00").cast("timestamp")
+         + F.expr("make_interval(0,0,0,0,cast(doc_id % 13 as int),0,0)"))
+        .alias("last_fetch_ts"),
+    )
+    candidates = _frontier_urls(spark, sf).select(
+        "url", (d % 13).cast("int").alias("priority")
+    )
+    plan = crawl_plan(
+        candidates,
+        _robots_df(spark, sf),
+        sitemap_pages=entries,
+        crawl_ledger=ledger,
+        agent="ccbot",
+        priority_col="priority",
+    )
+    return plan["frontier"]
+
+
 def _q_attributes(spark, sf):
     """Dolma-style attribute sidecar: fixed-key-order JSON string of
     integer signals (chars, tokens, PII hits, mojibake ppm) over
@@ -3077,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": _q_hard_negatives,
         "q_snapshot_drift": _q_snapshot_drift,
         "q_sitemap_recrawl": _q_sitemap_recrawl,
+        "q_crawl_plan": _q_crawl_plan,
         "q_politeness": _q_politeness,
         "q_page_flags": _q_page_flags,
         "q_unescape": _q_unescape,
@@ -5756,6 +5802,76 @@ keyed AS (
   FROM keyed
 )
 SELECT s.doc_id, s.url, s.priority, s.host, s.fetch_seq,
+       coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+       (s.fetch_seq - 1) * coalesce(d.crawl_delay, 1.0) AS scheduled_offset_secs
+FROM seq s LEFT JOIN delays d USING (host)""",
+        # the crawl_plan composition: robots rules/delays + sitemap
+        # freshness due-set + candidate∪due robots verdicts + frontier
+        "q_crawl_plan": robots_cte
+        + r""",
+delays AS (
+  SELECT g.host, max(TRY_CAST(g.value AS DOUBLE)) AS crawl_delay
+  FROM rgrp g JOIN rapplies a USING (host, group_id)
+  WHERE g.directive = 'crawl-delay' AND TRY_CAST(g.value AS DOUBLE) IS NOT NULL
+  GROUP BY g.host
+),
+"""
+        + frontier_urls_cte.lstrip()
+        + rf""",
+cand AS (
+  SELECT url, (doc_id % 13)::INT AS priority FROM urls
+),
+sm_e AS (
+  SELECT 'https://h' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+           || doc_id::VARCHAR AS url,
+         try_cast(CASE
+             WHEN doc_id % 11 = 0 THEN ''
+             WHEN doc_id % 11 = 1 THEN 'soon'
+             WHEN doc_id % 2 = 0
+               THEN '2024-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+             ELSE '2024-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                  || ' 06:00:00'
+           END AS TIMESTAMP) AS lastmod_ts
+  FROM documents),
+sm_c AS (
+  SELECT 'https://h' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+           || doc_id::VARCHAR AS url,
+         TIMESTAMP '2024-01-15 00:00:00'
+           + (doc_id % 13) * INTERVAL 1 HOUR AS last_fetch_ts
+  FROM documents WHERE doc_id % 3 <> 0),
+due AS (
+  SELECT e.url, NULL::INT AS priority
+  FROM sm_e e LEFT JOIN sm_c c ON e.url = c.url
+  WHERE c.last_fetch_ts IS NULL
+     OR (e.lastmod_ts IS NOT NULL AND e.lastmod_ts > c.last_fetch_ts)
+),
+allu AS (SELECT * FROM cand UNION ALL SELECT * FROM due),
+keyed AS (
+  SELECT url, priority,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
+                        '^www\.', '') AS host,
+         CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) END AS path
+  FROM allu
+), matched AS (
+  SELECT k.url, k.priority, k.host, k.path, r.rule,
+         row_number() OVER (PARTITION BY k.url
+                            ORDER BY r.path_len DESC NULLS LAST, r.rule ASC NULLS LAST)
+           AS rn
+  FROM keyed k LEFT JOIN rrules r
+    ON k.host = r.host AND starts_with(k.path, r.path)
+), verd AS (
+  SELECT url, priority, host FROM matched
+  WHERE rn = 1 AND coalesce(rule, 'allow') = 'allow'
+), seq AS (
+  SELECT url, priority, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC NULLS LAST,
+                                     {url_canon_chain} ASC)
+           AS fetch_seq
+  FROM verd
+)
+SELECT s.url, s.priority, s.host, s.fetch_seq,
        coalesce(d.crawl_delay, 1.0) AS crawl_delay,
        (s.fetch_seq - 1) * coalesce(d.crawl_delay, 1.0) AS scheduled_offset_secs
 FROM seq s LEFT JOIN delays d USING (host)""",

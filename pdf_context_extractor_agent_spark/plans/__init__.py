@@ -1,5 +1,6 @@
 """Assembled end-to-end plans (the reference's entry points, SURVEY §3)."""
 
+from .crawl import crawl_plan  # noqa: F401
 from .curate import curate, quality_gate  # noqa: F401
 from .extract import (  # noqa: F401
     extraction_result,

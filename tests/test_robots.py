@@ -266,3 +266,64 @@ def test_robots_wildcard_matching(spark):
     pre = {r["doc_id"]: r["allowed"]
            for r in robots_check(urls, rules, wildcards=False).collect()}
     assert pre[1] is True  # literal '/*.pdf$' is not a prefix of the path
+
+
+def test_crawl_plan_composition(spark):
+    """plans.crawl.crawl_plan: due recrawls join the candidates, robots
+    verdicts keep every URL (audit, not silent drop), only allowed URLs
+    reach the frontier, and the no-sitemap variant skips recrawl."""
+    from pdf_context_extractor_agent_spark.plans.crawl import crawl_plan
+
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2")],
+        "host string, robots_txt string",
+    )
+    candidates = spark.createDataFrame(
+        [
+            ("https://h0.example.com/a", 5),
+            ("https://h0.example.com/private/x", 9),  # disallowed
+            ("https://h0.example.com/b", 1),
+        ],
+        "url string, priority int",
+    )
+    entries = spark.createDataFrame(
+        [
+            ("https://h0.example.com/new", "2024-02-01"),       # never fetched → due
+            ("https://h0.example.com/old", "2024-01-01"),       # fresh
+            ("https://h0.example.com/private/new", "2024-02-01"),  # due but disallowed
+        ],
+        "loc string, lastmod string",
+    )
+    from pyspark.sql import functions as F
+
+    ledger = spark.createDataFrame(
+        [("https://h0.example.com/old", "2024-01-15 00:00:00")],
+        "url string, last_fetch_ts string",
+    ).withColumn("last_fetch_ts", F.col("last_fetch_ts").cast("timestamp"))
+
+    plan = crawl_plan(
+        candidates, robots, sitemap_pages=entries, crawl_ledger=ledger,
+        priority_col="priority",
+    )
+    verdicts = {r.url: r.allowed for r in plan["verdicts"].collect()}
+    # every candidate AND every due recrawl has an audited verdict
+    assert len(verdicts) == 5  # 3 candidates + 2 due
+    assert verdicts["https://h0.example.com/private/x"] is False
+    assert verdicts["https://h0.example.com/private/new"] is False
+    front = {r.url: (r.fetch_seq, r.crawl_delay, r.scheduled_offset_secs, r.priority)
+             for r in plan["frontier"].collect()}
+    # disallowed URLs never reach the frontier; fresh URLs are not due
+    assert set(front) == {
+        "https://h0.example.com/a",
+        "https://h0.example.com/b",
+        "https://h0.example.com/new",
+    }
+    # priority DESC, null-priority recrawl last; offsets spaced by delay
+    assert front["https://h0.example.com/a"] == (1, 2.0, 0.0, 5)
+    assert front["https://h0.example.com/b"] == (2, 2.0, 2.0, 1)
+    assert front["https://h0.example.com/new"][0] == 3
+    assert front["https://h0.example.com/new"][3] is None
+
+    lean = crawl_plan(candidates, robots, priority_col="priority")
+    assert lean["recrawl"] is None
+    assert lean["frontier"].count() == 2
