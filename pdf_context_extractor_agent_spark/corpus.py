@@ -520,7 +520,8 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
                        mixed_codespace: bool = False,
                        scrambled_encoding: bool = False,
                        objstm: bool = False,
-                       simple_font: bool = False) -> bytes:
+                       simple_font: bool = False,
+                       encrypt: bool = False) -> bytes:
     """Render the content model as a structurally valid minimal PDF:
     same deterministic geometry as FPDF1 (word runs with ±1 Y jitter,
     ruling-line grids) but expressed in real PDF content-stream
@@ -552,6 +553,16 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
     ``objstm=True`` emits the PDF 1.5 layout (dict objects packed in a
     Flate'd /ObjStm, binary cross-reference stream) — what every modern
     real-world writer produces by default.
+
+    ``encrypt=True`` (classic layout only) wraps the file in the
+    standard security handler — see ``render_minipdf``.
+
+    ``encrypt=True`` wraps the classic layout in the standard security
+    handler (40-bit RC4, empty passwords, all permissions) — the
+    restrict-printing-not-reading encryption real annual reports
+    carry, which pdfplumber opens silently (reference
+    src/pdf_reader.py:17-29). Byte identity over this slice certifies
+    the kernel's key derivation + per-object RC4 decrypt tier.
 
     ``simple_font=True`` renders every ASCII table cell through an
     embedded TrueType font ``/F3`` carrying /FirstChar + /Widths, with
@@ -713,8 +724,10 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
             cid_encoding=code_of_cid,
             objstm=objstm,
             simple_widths=simple_widths,
+            encrypt=encrypt,
         )
-    return render_minipdf(streams, objstm=objstm, simple_widths=simple_widths)
+    return render_minipdf(streams, objstm=objstm, simple_widths=simple_widths,
+                          encrypt=encrypt)
 
 
 def _break_xref(blob: bytes) -> bytes:
@@ -762,6 +775,11 @@ def make_doc(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
             scrambled_encoding=(i % 120 == 4),
             objstm=(i % 50 == 24),
             simple_font=(i % 30 == 14),
+            # every i = 44 (mod 60) classic-layout doc is RC4-encrypted
+            # (standard handler, empty passwords) -- composing with the
+            # simple-font slice; objstm members skip it (xref streams
+            # must stay plaintext)
+            encrypt=(i % 60 == 44 and i % 50 != 24),
         )
         if i % 30 == 24:
             # every i ≡ 24 (mod 30) classic-layout doc ships a BROKEN

@@ -318,6 +318,144 @@ def _page_rotations(blob: bytes) -> list[int]:
     return rotations
 
 
+# ---------------------------------------------------------------------------
+# standard security handler (PDF 1.7 §7.6.3): RC4 decryption for
+# empty-user-password files — the overwhelmingly common "encrypted"
+# annual-report case pdfplumber opens silently (reference dep:
+# src/pdf_reader.py:17-29; such files restrict printing/copying, not
+# reading). AES (/V 4+) and password-protected files raise honestly.
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password pad (§7.6.3.3 algorithm 2, step a)
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the /V 1-2 stream cipher); length-preserving, so
+    in-place stream decryption never perturbs xref offsets/Lengths."""
+    S = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % kl]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_HEXVAL_RE = {
+    k: re.compile(rb"/" + k + rb"\s*<([0-9A-Fa-f]*)>")
+    for k in (b"O", b"U")
+}
+_INTVAL_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(-?\d+)")
+    for k in (b"V", b"R", b"P", b"Length")
+}
+
+
+def _encryption_key(blob: bytes) -> bytes | None:
+    """File encryption key for an empty user password, or None when the
+    file is unencrypted. Raises NotImplementedError for handlers this
+    subset does not cover (AES, non-Standard filters) and ValueError
+    when the empty password does not verify (a genuinely
+    password-protected file — unreadable without secrets, like
+    pdfplumber's PDFPasswordIncorrect)."""
+    em = _ENCRYPT_REF_RE.search(blob)
+    if em is None:
+        return None
+    loc = _object_slice(blob, int(em.group(1)))
+    if loc is None:
+        raise NotImplementedError("/Encrypt points at a missing object")
+    ed = loc[1]
+    if b"/Standard" not in ed:
+        raise NotImplementedError("non-Standard security handler")
+    ints = {
+        k.decode(): (int(m.group(1)) if (m := _INTVAL_RE[k].search(ed)) else None)
+        for k in _INTVAL_RE
+    }
+    v, r = ints["V"] or 1, ints["R"] or 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(f"encryption V={v} R={r} (RC4 V1/V2 only)")
+    om = _HEXVAL_RE[b"O"].search(ed)
+    um = _HEXVAL_RE[b"U"].search(ed)
+    if om is None or um is None:
+        raise NotImplementedError("/O //U not in hex-string form")
+    o_val = bytes.fromhex(om.group(1).decode())
+    u_val = bytes.fromhex(um.group(1).decode())
+    p = ints["P"] if ints["P"] is not None else -1
+    n = (ints["Length"] or 40) // 8
+    idm = _ID_RE.search(blob)
+    id0 = bytes.fromhex(idm.group(1).decode()) if idm else b""
+    import hashlib
+
+    h = hashlib.md5(
+        _PW_PAD + o_val + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # verify the empty user password (algorithm 6): R2 compares RC4 of
+    # the pad; R3 compares the first 16 bytes of the double-hash form
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u_val
+    else:
+        chk = hashlib.md5(_PW_PAD + id0).digest()
+        for i in range(20):
+            chk = _rc4(bytes(b ^ i for b in key), chk)
+        ok = chk == u_val[:16]
+    if not ok:
+        raise ValueError("PDF is password-protected (empty password rejected)")
+    return key
+
+
+def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    import hashlib
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
+
+
+_TOPOBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+0\s+obj\b")
+
+
+def decrypt_pdf(blob: bytes) -> bytes:
+    """qpdf-style whole-file decrypt: every top-level stream body is
+    RC4-decrypted in place with its per-object key. RC4 preserves
+    length, so offsets, /Length values and the xref stay valid and the
+    rest of the parser runs untouched. No-op for unencrypted files."""
+    key = _encryption_key(blob)
+    if key is None:
+        return blob
+    out = bytearray(blob)
+    for m in _TOPOBJ_RE.finditer(blob):
+        num = int(m.group(1))
+        endobj = blob.find(b"endobj", m.end())
+        sm = _STREAM_RE.search(blob, m.end())
+        if sm is None or (0 <= endobj < sm.start()):
+            continue  # this object carries no stream
+        start = sm.start(2)
+        lm = _LENGTH_RE.search(sm.group(1))
+        ln = int(lm.group(1)) if lm else len(sm.group(2))
+        out[start:start + ln] = _rc4(_object_key(key, num), blob[start:start + ln])
+    # drop the /Encrypt reference: the bytes are now plaintext
+    return bytes(out).replace(b"/Encrypt", b"/Decrypt", 1)
+
+
 def _decode_stream_bytes(obj_dict: bytes, data: bytes) -> bytes:
     """Apply /FlateDecode when declared; pass through otherwise. A
     corrupt deflate stream degrades to raw bytes (never raises)."""
@@ -690,6 +828,10 @@ def parse_minipdf(blob: bytes) -> list[dict]:
     Blobs without a resolvable page tree (truncated or hand-rolled
     fragments) fall back to scanning every stream as a page.
     """
+    # tier 0: strip standard-handler RC4 encryption (empty password) so
+    # every later stage sees plaintext — offsets unchanged (RC4
+    # preserves length), no other code path knows encryption exists
+    blob = decrypt_pdf(blob)
     pages_raw = []
     page_objs: list[tuple[int | None, bytes]] = []
     for m in _PAGE_OBJ_RE.finditer(blob):
@@ -941,6 +1083,7 @@ def render_minipdf(
     cid_encoding: dict[int, int] | None = None,
     objstm: bool = False,
     simple_widths: tuple[int, list[int]] | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """Assemble a structurally valid PDF around per-page content streams
     (catalog, page tree, MediaBox, Length-tagged streams, xref, trailer).
@@ -1035,7 +1178,41 @@ def render_minipdf(
         )
 
     if objstm:
+        if encrypt:
+            raise ValueError("encrypt is classic-layout only (xref streams "
+                             "must stay plaintext per §7.5.8.2)")
         return _assemble_objstm(objects)
+
+    trailer_extra = b""
+    if encrypt:
+        # standard security handler, R2/V1 (40-bit RC4), empty user and
+        # owner passwords, all permissions — the "restrict printing, not
+        # reading" shape real encrypted annual reports use
+        import hashlib
+
+        id0 = hashlib.md5(b"".join(objects)).digest()
+        o_val = _rc4(hashlib.md5(_PW_PAD).digest()[:5], _PW_PAD)
+        p = -1
+        key = hashlib.md5(
+            _PW_PAD + o_val + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        ).digest()[:5]
+        u_val = _rc4(key, _PW_PAD)
+        objects = [
+            _encrypt_object_streams(obj, num, key)
+            for num, obj in enumerate(objects, start=1)
+        ]
+        enc_num = len(objects) + 1
+        objects.append(
+            (
+                f"<< /Filter /Standard /V 1 /R 2 /P {p} "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+            ).encode()
+        )
+        trailer_extra = (
+            b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+            % (enc_num, id0.hex().encode(), id0.hex().encode())
+        )
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
@@ -1047,10 +1224,22 @@ def render_minipdf(
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, trailer_extra, xref_pos)
     )
     return bytes(out)
+
+
+def _encrypt_object_streams(obj: bytes, num: int, key: bytes) -> bytes:
+    """RC4-encrypt the stream body of one assembled object (writer-side
+    twin of :func:`decrypt_pdf`'s per-object decrypt)."""
+    m = _STREAM_RE.search(obj)
+    if m is None:
+        return obj
+    start = m.start(2)
+    lm = _LENGTH_RE.search(m.group(1))
+    ln = int(lm.group(1)) if lm else len(m.group(2))
+    return obj[:start] + _rc4(_object_key(key, num), obj[start:start + ln]) + obj[start + ln:]
 
 
 def _assemble_objstm(objects: list[bytes]) -> bytes:

@@ -1,6 +1,7 @@
 """Layout-kernel tests: byte-identity, page/table structure, boilerplate."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from pdf_context_extractor_agent_spark.corpus import make_doc
 from pdf_context_extractor_agent_spark.kernels import extracted_text, parse_html_doc
@@ -762,7 +763,8 @@ def test_simple_font_widths_corpus_byte_identity():
         _, _, blob, text, _ = make_doc(i)
         if i % 50 != 24:  # objstm docs Flate-pack the font dict
             assert b"/Widths" in blob and b"/FirstChar 29" in blob, i
-            assert b") Tj (" in blob, i  # genuinely split shows
+            if i % 60 != 44:  # encrypted slice: streams are ciphertext
+                assert b") Tj (" in blob, i  # genuinely split shows
         got = "\n".join(p["page_text"] for p in parse_doc(blob))
         assert got == text, i
 
@@ -858,3 +860,58 @@ def test_coalesce_runs():
         (100, 50, "ab"),
         (112, 60, "cd"),
     ]
+
+
+def test_rc4_known_vectors():
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert _rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    # involution: decrypt(encrypt(x)) == x
+    assert _rc4(b"k", _rc4(b"k", b"roundtrip")) == b"roundtrip"
+
+
+def test_encrypted_pdf_roundtrip_and_honest_raises():
+    """Standard-security-handler tier: RC4-encrypted files with an empty
+    user password decrypt transparently (the restrict-printing shape
+    pdfplumber opens silently, reference src/pdf_reader.py:17-29);
+    genuinely password-protected files raise; parse_doc degrades them
+    to an empty page instead of poisoning the task."""
+    import re
+
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    stream = "BT /F1 10 Tf 1 0 0 1 100 700 Tm (hello encrypted world) Tj ET"
+    for compress in (False, True):
+        blob = render_minipdf([stream], compress=compress, encrypt=True)
+        assert b"/Encrypt" in blob and b"hello" not in blob
+        assert parse_minipdf(blob)[0]["page_text"] == "hello encrypted world"
+
+    blob = render_minipdf([stream], encrypt=True)
+    m = re.search(rb"/U <([0-9a-f]+)>", blob)
+    protected = blob.replace(m.group(1), b"00" + m.group(1)[2:])
+    with pytest.raises(ValueError, match="password-protected"):
+        parse_minipdf(protected)
+    # the task-level guard: poison doc → one empty page, never a raise
+    assert parse_doc(protected)[0]["page_text"] == ""
+
+
+def test_encrypted_corpus_byte_identity():
+    """Corpus slice i ≡ 44 (mod 60), classic layout: encrypted docs
+    (composing with the simple-font slice) stay byte-identical."""
+    from pdf_context_extractor_agent_spark.corpus import make_doc
+    from pdf_context_extractor_agent_spark.kernels.html_layout import parse_doc
+
+    n_enc = 0
+    for i in (44, 104, 164):
+        _, _, blob, text, _ = make_doc(i)
+        if i % 50 != 24:
+            assert b"/Encrypt" in blob, i
+            n_enc += 1
+        got = "\n".join(p["page_text"] for p in parse_doc(blob))
+        assert got == text, i
+    assert n_enc >= 2
