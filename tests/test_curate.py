@@ -111,3 +111,31 @@ def test_curate_blocked_domain_reason_stays_first_and_gated_docs_skip_probe(spar
     # quality reasons only — the seen probe was skipped for this doc
     assert v[1].gate_reasons == ["too_short", "repetitive"]
     assert v[2].kept and v[2].gate_reasons == []
+
+
+def test_run_curation_cli(tmp_path):
+    """The curation CLI writes corpus/ + verdicts/ (+ stats/ + packed/)
+    and reports an honest kept/drop summary."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [sys.executable, "scripts/run_curation.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out), "--cores", "4", "--stats", "--pack", "256"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curated:" in r.stdout and "kept" in r.stdout
+    import duckdb
+
+    n_corpus = duckdb.sql(f"SELECT count(*) FROM '{out}/corpus/*.parquet'").fetchone()[0]
+    n_verd = duckdb.sql(f"SELECT count(*) FROM '{out}/verdicts/*.parquet'").fetchone()[0]
+    n_in = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert n_verd == n_in          # audit: one verdict per input doc
+    assert 0 < n_corpus <= n_in
+    assert duckdb.sql(f"SELECT count(*) FROM '{out}/stats/*.parquet'").fetchone()[0] > 0
+    assert duckdb.sql(f"SELECT count(*) FROM '{out}/packed/*.parquet'").fetchone()[0] > 0
