@@ -483,6 +483,8 @@ _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 _ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
+_WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+0\s+R")
+_WIDTHS_ARR_RE = re.compile(rb"\[([^\]]*)\]")
 
 # ToUnicode CMap syntax (PDF 32000 §9.10.3): bfchar pairs and bfrange
 # triples, the range destination either a scalar start or an array
@@ -790,9 +792,20 @@ def _font_widths(blob: bytes, font_num: int) -> WidthTable | None:
     if loc is None:
         return None
     fm = _FIRSTCHAR_RE.search(loc[1])
-    wm = _WIDTHS_RE.search(loc[1])
-    if fm is None or wm is None:
+    if fm is None:
         return None
+    wm = _WIDTHS_RE.search(loc[1])
+    if wm is None:
+        # real writers frequently indirect the array: /Widths 12 0 R
+        rm = _WIDTHS_REF_RE.search(loc[1])
+        if rm is None:
+            return None
+        wloc = _object_slice(blob, int(rm.group(1)))
+        if wloc is None:
+            return None
+        wm = _WIDTHS_ARR_RE.search(wloc[1])
+        if wm is None:
+            return None
     try:
         widths = tuple(int(float(t)) for t in wm.group(1).split())
     except ValueError:

@@ -915,3 +915,25 @@ def test_encrypted_corpus_byte_identity():
         got = "\n".join(p["page_text"] for p in parse_doc(blob))
         assert got == text, i
     assert n_enc >= 2
+
+
+def test_indirect_widths_reference():
+    """Real writers frequently indirect the width array (/Widths 12 0 R);
+    resolution goes through the same xref-free object scan."""
+    import re
+
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    stream = "BT /F3 10 Tf 1 0 0 1 100 700 Tm (ab) Tj (cd) Tj ET"
+    blob = render_minipdf([stream], simple_widths=(97, [600, 600, 600, 600]))
+    assert parse_minipdf(blob)[0]["page_text"] == "abcd"
+    m = re.search(rb"/Widths \[([^\]]*)\]", blob)
+    num = int(re.search(rb"/Size (\d+)", blob).group(1))
+    blob2 = blob.replace(m.group(0), b"/Widths %d 0 R" % num)
+    ins = b"%d 0 obj\n[%s]\nendobj\n" % (num, m.group(1))
+    p = blob2.find(b"xref\n")
+    blob2 = blob2[:p] + ins + blob2[p:]  # xref offsets now stale, too
+    assert parse_minipdf(blob2)[0]["page_text"] == "abcd"
