@@ -286,3 +286,35 @@ def test_resolve_choices_partitions_tables(spark):
     assert mismatch == 0
     # matched tables are never skipped, whatever history says
     assert log.filter("n_diff = 0 AND choice <> 'left'").count() == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_decoder_roundtrip_fuzz(w, h, color_type, seed, data):
+    """Any 8-bit non-interlaced PNG — random pixels, random per-row
+    filter choices — decodes to exactly the encoded pixels (grayscale)
+    or their BT.601 integer luma (color)."""
+    import numpy as np
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import _decode_png
+    from tests.test_textops import _encode_png
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=h))
+    got_w, got_h, gray = _decode_png(_encode_png(arr, color_type, filters))
+    assert (got_w, got_h) == (w, h)
+    if channels <= 2:
+        exp = arr[:, :, 0]
+    else:
+        a32 = arr.astype(np.uint32)
+        exp = ((299 * a32[:, :, 0] + 587 * a32[:, :, 1] + 114 * a32[:, :, 2])
+               // 1000).astype(np.uint8)
+    assert np.array_equal(gray, exp)
