@@ -554,9 +554,6 @@ def render_minipdf_doc(pages: list[Page], cid: bool = False,
     Flate'd /ObjStm, binary cross-reference stream) — what every modern
     real-world writer produces by default.
 
-    ``encrypt=True`` (classic layout only) wraps the file in the
-    standard security handler — see ``render_minipdf``.
-
     ``encrypt=True`` wraps the classic layout in the standard security
     handler (40-bit RC4, empty passwords, all permissions) — the
     restrict-printing-not-reading encryption real annual reports

@@ -122,8 +122,18 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(f"PNG color type {color_type}")
     import zlib
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"no codec: corrupt PNG IDAT ({e})")
     stride = w * channels
+    if len(raw) < h * (1 + stride):
+        # truncated file: keep the honest-raise contract rather than a
+        # bare numpy broadcast error from a short row
+        raise NotImplementedError(
+            f"truncated PNG: {len(raw)} decompressed bytes, "
+            f"{h * (1 + stride)} needed"
+        )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     p2 = 0
@@ -138,19 +148,31 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
                 ).astype(np.uint8)
         elif ft == 2:  # Up (uint8 addition wraps = mod 256, per spec)
             cur = cur + prev
-        elif ft == 3:  # Average — serial in x, scalar loop
+        elif ft == 3:  # Average — serial in x (left-neighbor recurrence);
+            # python-list arithmetic: ~4× faster than per-element ndarray
+            # indexing, though still Python-speed — Paeth-heavy photos
+            # decode slowly here, which is why the PIL tier is preferred
+            # when importable
+            c = cur.tolist()
+            pr = prev.tolist()
             for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
-                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth — serial in x, scalar loop
+                a = c[i - channels] if i >= channels else 0
+                c[i] = (c[i] + ((a + pr[i]) >> 1)) & 0xFF
+            cur = np.asarray(c, dtype=np.uint8)
+        elif ft == 4:  # Paeth — serial in x, same list treatment
+            c = cur.tolist()
+            pr = prev.tolist()
             for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
+                a = c[i - channels] if i >= channels else 0
+                b = pr[i]
+                cc = pr[i - channels] if i >= channels else 0
+                p = a + b - cc
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - cc if p >= cc else cc - p
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                c[i] = (c[i] + pred) & 0xFF
+            cur = np.asarray(c, dtype=np.uint8)
         elif ft != 0:
             raise NotImplementedError(f"PNG filter {ft}")
         out[y] = cur
@@ -350,17 +372,22 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError(
-                f"WAV sample width {wf.getsampwidth()} (16-bit PCM only)"
-            )
-        frames = wf.readframes(wf.getnframes())
-        pcm = np.frombuffer(frames, dtype="<i2")
-        nch = wf.getnchannels()
-        if nch > 1:
-            pcm = pcm[::nch]
-        return wf.getframerate(), pcm
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"WAV sample width {wf.getsampwidth()} (16-bit PCM only)"
+                )
+            frames = wf.readframes(wf.getnframes())
+            pcm = np.frombuffer(frames, dtype="<i2")
+            nch = wf.getnchannels()
+            if nch > 1:
+                pcm = pcm[::nch]
+            return wf.getframerate(), pcm
+    except (wave.Error, EOFError) as e:
+        # truncated or non-PCM (ADPCM/float) RIFF payloads keep the
+        # module's honest-raise contract instead of leaking wave.Error
+        raise NotImplementedError(f"no codec: malformed/compressed WAV ({e})")
 
 
 def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:

@@ -114,7 +114,12 @@ def _tokenize_stream(
     h_segs: list[tuple[int, int, int, int]] = []
     v_segs: list[tuple[int, int, int, int]] = []
     stack: list = []
-    tx = ty = 0.0          # current text position (PDF coords)
+    tx = ty = 0.0          # current show position (text matrix, PDF coords)
+    lx = ly = 0.0          # current LINE start (text line matrix): Td, T*
+    #                        and ' translate THIS matrix (§9.4.2) — show
+    #                        operators advance only tx, so a Td after a
+    #                        metrics-advanced show must not inherit the
+    #                        advance
     leading = 12.0         # TL text leading (T* / ' displacement)
     cur_cmap: CMapTable | None = None
     cur_widths: WidthTable | None = None
@@ -255,17 +260,21 @@ def _tokenize_stream(
                     except (TypeError, ValueError):
                         pass
             elif tok == "T*":
-                ty -= leading
+                ly -= leading
+                tx, ty = lx, ly
             elif tok == "'":
-                ty -= leading
+                ly -= leading
+                tx, ty = lx, ly
                 show_top()
             elif tok == "Tm":
                 if len(stack) >= 6:
                     tx, ty = float(stack[-2]), float(stack[-1])
+                    lx, ly = tx, ty
             elif tok == "Td":
                 if len(stack) >= 2:
-                    tx += float(stack[-2])
-                    ty += float(stack[-1])
+                    lx += float(stack[-2])
+                    ly += float(stack[-1])
+                    tx, ty = lx, ly
             elif tok == "m":
                 if len(stack) >= 2:
                     path_pt = (float(stack[-2]), float(stack[-1]))
@@ -430,7 +439,7 @@ def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
     ).digest()[: min(len(key) + 5, 16)]
 
 
-_TOPOBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+0\s+obj\b")
+_TOPOBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b")
 
 
 def decrypt_pdf(blob: bytes) -> bytes:
@@ -443,15 +452,17 @@ def decrypt_pdf(blob: bytes) -> bytes:
         return blob
     out = bytearray(blob)
     for m in _TOPOBJ_RE.finditer(blob):
-        num = int(m.group(1))
+        num, gen = int(m.group(1)), int(m.group(2))
         endobj = blob.find(b"endobj", m.end())
         sm = _STREAM_RE.search(blob, m.end())
         if sm is None or (0 <= endobj < sm.start()):
             continue  # this object carries no stream
         start = sm.start(2)
-        lm = _LENGTH_RE.search(sm.group(1))
-        ln = int(lm.group(1)) if lm else len(sm.group(2))
-        out[start:start + ln] = _rc4(_object_key(key, num), blob[start:start + ln])
+        n = _stream_length(sm.group(1), blob)
+        ln = n if n is not None else len(sm.group(2))
+        out[start:start + ln] = _rc4(
+            _object_key(key, num, gen), blob[start:start + ln]
+        )
     # drop the /Encrypt reference: the bytes are now plaintext
     return bytes(out).replace(b"/Encrypt", b"/Decrypt", 1)
 
@@ -473,7 +484,33 @@ def _decode_stream(obj_dict: bytes, data: bytes) -> str:
     return _decode_stream_bytes(obj_dict, data).decode("utf-8", errors="replace")
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct /Length only: the (?![0-9]) stops backtracking from shaving
+# digits off an indirect reference ('/Length 80 0 R' must NOT parse as
+# 8), and the trailing lookahead rejects the indirect 'N g R' form
+# outright — indirect lengths resolve through _stream_length below
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_INT_RE = re.compile(rb"(\d+)")
+
+
+def _stream_length(obj_dict: bytes, blob: bytes | None = None) -> int | None:
+    """Declared stream length: direct value, or — when ``blob`` is
+    given — an indirect '/Length N g R' reference resolved through the
+    object scan (Acrobat/Distiller writers routinely indirect it)."""
+    lm = _LENGTH_RE.search(obj_dict)
+    if lm is not None:
+        return int(lm.group(1))
+    if blob is not None:
+        rm = _LENGTH_REF_RE.search(obj_dict)
+        if rm is not None:
+            loc = _object_slice(blob, int(rm.group(1)))
+            if loc is not None:
+                im = _INT_RE.search(loc[1])
+                if im is not None:
+                    return int(im.group(1))
+    return None
+
+
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _FONT_RES_RE = re.compile(rb"/Font\s*<<((?:[^<>]|<[^<][^>]*>)*)>>")
 _FONT_REF_RE = re.compile(rb"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+0\s+R")
@@ -628,9 +665,8 @@ def _iter_streams(blob: bytes):
             return
         obj_dict, data = m.group(1), m.group(2)
         pos = m.end()
-        lm = _LENGTH_RE.search(obj_dict)
-        if lm:
-            n = int(lm.group(1))
+        n = _stream_length(obj_dict, blob)
+        if n is not None:
             data = blob[m.start(2): m.start(2) + n]
             end = blob.find(b"endstream", m.start(2) + n)
             pos = end + len(b"endstream") if end >= 0 else len(blob)
@@ -715,9 +751,8 @@ def _object_stream(blob: bytes, num: int) -> tuple[bytes, bytes] | None:
     if m is None:
         return None
     obj_dict, data = m.group(1), m.group(2)
-    lm = _LENGTH_RE.search(obj_dict)
-    if lm:
-        n = int(lm.group(1))
+    n = _stream_length(obj_dict, blob)
+    if n is not None:
         data = blob[m.start(2): m.start(2) + n]
     return obj_dict, data
 
@@ -890,11 +925,10 @@ def parse_minipdf(blob: bytes) -> list[dict]:
                 break
             obj_dict, data = m.group(1), m.group(2)
             pos = m.end()
-            lm = _LENGTH_RE.search(obj_dict)
-            if lm:
+            n = _stream_length(obj_dict, blob)
+            if n is not None:
                 # authoritative byte count: binary (Flate) data may contain
                 # the literal 'endstream', which the regex would stop at
-                n = int(lm.group(1))
                 data = blob[m.start(2): m.start(2) + n]
                 end = blob.find(b"endstream", m.start(2) + n)
                 pos = end + len(b"endstream") if end >= 0 else len(blob)

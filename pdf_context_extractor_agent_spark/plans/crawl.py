@@ -76,9 +76,26 @@ def crawl_plan(
 
     urls = candidates
     recrawl = None
-    if sitemap_pages is not None and crawl_ledger is not None:
+    if sitemap_pages is not None:
+        if crawl_ledger is None:
+            # first crawl: no ledger yet means NOTHING has been fetched,
+            # so every sitemap entry is due as never_fetched — silently
+            # dropping discovery here would be exactly the filter-
+            # silently failure mode this module bans
+            spark = candidates.sparkSession
+            crawl_ledger = spark.createDataFrame(
+                [], "url string, last_fetch_ts timestamp"
+            )
         recrawl = sitemap_recrawl(sitemap_pages, crawl_ledger)
-        due = recrawl.filter(F.col("due")).select(F.col("url").alias(url_col))
+        due = (
+            recrawl.filter(F.col("due"))
+            .select(F.col("url").alias(url_col))
+            # a URL that is both a candidate and due keeps its candidate
+            # row (it carries the caller's priority); a bag union would
+            # give it two verdict rows and two frontier slots — fetched
+            # twice, with every later offset inflated by one crawl_delay
+            .join(candidates.select(url_col), url_col, "left_anti")
+        )
         urls = candidates.unionByName(due, allowMissingColumns=True)
 
     verdicts = robots_check(urls, rules, url_col=url_col, wildcards=wildcards)

@@ -112,14 +112,16 @@ def main() -> int:
 
     n_in = docs.count()
     n_kept = res["corpus"].count()
+    # one count per DROPPED DOC (primary reason = first gate reason),
+    # so the printed counts sum to exactly the number of dropped docs
     dropped = (
         res["verdicts"].filter(~F.col("kept"))
-        .select(F.explode_outer("gate_reasons").alias("r"),
-                "exact_dup", "near_dup_shadowed")
         .select(
-            F.when(F.col("r").isNotNull(), F.col("r"))
-            .when(F.col("exact_dup"), F.lit("exact_dup"))
-            .otherwise(F.lit("near_dup_shadowed")).alias("reason")
+            F.coalesce(
+                F.try_element_at("gate_reasons", F.lit(1)),
+                F.when(F.col("exact_dup"), F.lit("exact_dup")),
+                F.lit("near_dup_shadowed"),
+            ).alias("reason")
         )
         .groupBy("reason").count().orderBy(F.desc("count")).collect()
     )

@@ -265,3 +265,14 @@ def test_audio_band_join_is_exhaustive_at_threshold(spark):
     assert got == sorted(brute)
     # the 4-bit-flip row pairs with base ONLY via others, never directly
     assert (0, 4, 4) not in got
+
+
+def test_malformed_wav_keeps_no_codec_contract(spark):
+    """Truncated/compressed RIFF payloads must raise the honest
+    NotImplementedError('no codec...'), never a bare wave.Error."""
+    media = spark.createDataFrame(
+        [(1, "audio", b"RIFF\x10\x00\x00\x00WAVEjunk")],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="no codec"):
+        audio_features(media, window=16).collect()

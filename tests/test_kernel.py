@@ -937,3 +937,59 @@ def test_indirect_widths_reference():
     p = blob2.find(b"xref\n")
     blob2 = blob2[:p] + ins + blob2[p:]  # xref offsets now stale, too
     assert parse_minipdf(blob2)[0]["page_text"] == "abcd"
+
+
+def test_td_offsets_from_line_start_not_show_position():
+    """§9.4.2: Td/T*/' translate the text LINE matrix — a Td after a
+    metrics-advanced show must position from the line start, not from
+    the advanced show position (real writers emit exactly this shape)."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        _tokenize_stream,
+    )
+
+    wt = {"/F3": (65, (600, 600), 0)}
+    runs = _tokenize_stream(
+        "BT /F3 10 Tf 1 0 0 1 100 700 Tm (AB) Tj 0 -12 Td (AB) Tj ET",
+        font_widths=wt,
+    )["runs"]
+    assert [(r[0], r[1]) for r in runs] == [(100, 92), (100, 104)]
+    # T* and ' also reset to the line start
+    runs = _tokenize_stream(
+        "BT /F3 10 Tf 14 TL 1 0 0 1 50 700 Tm (AB) Tj T* (C) Tj 1 0 0 1 50 600 Tm (AB) Tj (D) ' ET",
+        font_widths=wt,
+    )["runs"]
+    assert [(r[0], r[2]) for r in runs] == [(50, "AB"), (50, "C"), (50, "AB"), (50, "D")]
+
+
+def test_indirect_length_reference_decrypts_fully():
+    """Acrobat-style indirect stream lengths ('/Length N 0 R') must not
+    truncate decryption: the digits of the REFERENCE must never parse
+    as the length (the '/Length 80 0 R' backtracking trap), and the
+    referenced object resolves to the true byte count."""
+    import re
+
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        _LENGTH_RE,
+        _stream_length,
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    # regex-level: indirect forms never match the direct-length pattern
+    assert _LENGTH_RE.search(b"/Length 80 0 R") is None
+    assert _LENGTH_RE.search(b"/Length 8 0 R") is None
+    assert int(_LENGTH_RE.search(b"/Length 80 /Filter").group(1)) == 80
+
+    stream = "BT /F1 10 Tf 1 0 0 1 100 700 Tm (indirect length survives) Tj ET"
+    blob = render_minipdf([stream], encrypt=True)
+    # rewrite the first content stream's direct /Length into an indirect
+    # reference + appended length object
+    m = re.search(rb"/Length (\d+) >>\nstream", blob)
+    num = int(re.search(rb"/Size (\d+)", blob).group(1))
+    blob2 = blob.replace(
+        b"/Length " + m.group(1) + b" >>\nstream",
+        b"/Length %d 0 R >>\nstream" % num, 1)
+    p = blob2.find(b"xref\n")
+    blob2 = blob2[:p] + b"%d 0 obj\n%s\nendobj\n" % (num, m.group(1)) + blob2[p:]
+    assert _stream_length(b"/Length %d 0 R" % num, blob2) == int(m.group(1))
+    assert parse_minipdf(blob2)[0]["page_text"] == "indirect length survives"

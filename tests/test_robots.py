@@ -327,3 +327,35 @@ def test_crawl_plan_composition(spark):
     lean = crawl_plan(candidates, robots, priority_col="priority")
     assert lean["recrawl"] is None
     assert lean["frontier"].count() == 2
+
+
+def test_crawl_plan_first_crawl_and_dup_url(spark):
+    """First crawl (no ledger): every sitemap entry is due as
+    never_fetched. A URL that is both candidate and due keeps ONE
+    frontier slot (the candidate's priority)."""
+    from pyspark.sql import functions as F
+
+    from pdf_context_extractor_agent_spark.plans.crawl import crawl_plan
+
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    candidates = spark.createDataFrame(
+        [("https://h0.example.com/both", 7)], "url string, priority int"
+    )
+    entries = spark.createDataFrame(
+        [("https://h0.example.com/both", "2024-02-01"),
+         ("https://h0.example.com/fresh", "2024-02-01")],
+        "loc string, lastmod string",
+    )
+    plan = crawl_plan(candidates, robots, sitemap_pages=entries,
+                      priority_col="priority")  # NO ledger → first crawl
+    front = {r.url: (r.fetch_seq, r.priority) for r in plan["frontier"].collect()}
+    # both sitemap URLs due (never_fetched); /both deduped to ONE slot
+    # with the candidate's priority
+    assert front == {
+        "https://h0.example.com/both": (1, 7),
+        "https://h0.example.com/fresh": (2, None),
+    }
+    assert plan["verdicts"].count() == 2  # one verdict row per unique URL

@@ -1023,3 +1023,19 @@ def test_minhash_default_geometry(spark):
     # r = hashes/bands must divide evenly (lsh_candidate_pairs slices
     # the signature into equal bands)
     assert sig.parameters["num_hashes"].default % sig.parameters["bands"].default == 0
+
+
+def test_truncated_png_honest_raise():
+    """Corrupt IDAT or short decompressed data raises the module's
+    honest NotImplementedError, never a bare zlib/numpy error."""
+    import numpy as np
+    import pytest
+
+    from pdf_context_extractor_agent_spark.functions.multimodal import _decode_png
+
+    blob = _encode_png(np.zeros((4, 4), np.uint8), 0, [0])
+    # corrupt the IDAT payload bytes (keep chunk framing)
+    i = blob.find(b"IDAT") + 4
+    bad = blob[:i] + bytes(8) + blob[i + 8:]
+    with pytest.raises(NotImplementedError, match="no codec|truncated"):
+        _decode_png(bad)
