@@ -97,6 +97,15 @@ def lm_doc_scores(docs: DataFrame, text_col: str = "text", buckets: int = 4) -> 
     with equal true scores (exact-duplicate texts exist in any crawl)
     could flip order run-to-run on raw doubles — rounding collapses
     the ulp noise and makes the bucket assignment deterministic.
+
+    The bucket rank is the TWO-PHASE global scan (range-partition by
+    the order key → parallel local row_number → one-row-per-partition
+    offsets broadcast back), NEVER ``ntile`` over an unpartitioned
+    window — that is a per-DOCUMENT relation, and a global-order window
+    on it collapses 10^12 rows into one task. The ntile bucket-size
+    convention (first ``n mod b`` buckets take the extra row) is
+    reproduced arithmetically from the global rank, so the result is
+    bit-identical to SQL ``ntile``.
     """
     bg = doc_bigrams(docs, text_col)
     model = bigram_lm(bg)
@@ -107,15 +116,46 @@ def lm_doc_scores(docs: DataFrame, text_col: str = "text", buckets: int = 4) -> 
         F.sum("first_cnt").alias("sum_first_cnt"),
         F.avg("logp").alias("avg_logp"),
     )
-    w = Window.orderBy(F.round(F.col("avg_logp"), 5).desc(), F.col("doc_id"))
-    return per_doc.select(
-        "doc_id",
-        "n_bigrams",
-        "sum_pair_cnt",
-        "sum_first_cnt",
-        F.col("avg_logp"),
-        F.exp(-F.col("avg_logp")).alias("ppl"),
-        F.ntile(buckets).over(w).alias("lm_bucket"),
+    # order key: score desc (negated rounded score asc), doc_id asc
+    ranged = (
+        per_doc.withColumn("_k", -F.round(F.col("avg_logp"), 5))
+        .repartitionByRange("_k", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy("_k", "doc_id")
+    loc = ranged.withColumn("_lr", F.row_number().over(wloc))
+    wtot = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = loc.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_pc").over(wtot), F.lit(0))
+    ).select("_pid", "_off")
+    total = counts.agg(F.sum("_pc").alias("_n"))
+    q = F.expr(f"_n DIV {buckets}")
+    rem = F.col("_n") % buckets
+    r0 = F.col("_lr") - 1 + F.col("_off")  # 0-based global rank
+    bucket = (
+        F.when(r0 < rem * (q + 1), F.expr(f"(_lr - 1 + _off) DIV (_n DIV {buckets} + 1)"))
+        .otherwise(
+            rem
+            + F.expr(
+                f"((_lr - 1 + _off) - (_n % {buckets}) * (_n DIV {buckets} + 1)) "
+                f"DIV greatest(_n DIV {buckets}, 1)"
+            )
+        )
+        + 1
+    )
+    return (
+        loc.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_pair_cnt",
+            "sum_first_cnt",
+            F.col("avg_logp"),
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+            bucket.cast("int").alias("lm_bucket"),
+        )
     )
 
 

@@ -382,3 +382,42 @@ def test_snapshot_drift_report_semantics(spark):
     b = got["b.com"]
     assert b["n_gone"] == 1 and b["new_score_ppm"] is None
     assert b["score_delta_ppm"] is None  # one-sided domain → null delta
+
+
+def test_lm_bucket_has_no_global_ntile_window(spark):
+    """lm_doc_scores is a per-DOCUMENT relation: the CCNet bucket must
+    come from the two-phase global rank, never ntile over an
+    unpartitioned window (one task at 10^12 rows). The only
+    no-partition window allowed in the plan is the prefix-sum over the
+    one-row-per-partition counts dim."""
+    from pdf_context_extractor_agent_spark.functions.lm import lm_doc_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = lm_doc_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+
+
+def test_lm_bucket_matches_sql_ntile_semantics(spark):
+    """The arithmetic bucket reproduces SQL ntile exactly, including the
+    first-(n mod b)-buckets-take-the-extra-row convention and n < b."""
+    from pdf_context_extractor_agent_spark.functions.lm import lm_doc_scores
+
+    for n_docs, buckets in ((7, 4), (3, 4), (8, 4), (10, 3)):
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{(i * 3) % 7} w{i} w{(i + 1) % 5}") for i in range(n_docs)],
+            "doc_id long, text string",
+        )
+        out = lm_doc_scores(docs, buckets=buckets).collect()
+        ordered = sorted(out, key=lambda r: (-round(r.avg_logp, 5), r.doc_id))
+        n, b = len(ordered), buckets
+        q, rem = divmod(n, b)
+        exp = []
+        for i in range(n):
+            if i < rem * (q + 1):
+                exp.append(i // (q + 1) + 1)
+            else:
+                exp.append(rem + (i - rem * (q + 1)) // max(q, 1) + 1)
+        assert [r.lm_bucket for r in ordered] == exp, (n_docs, buckets)
