@@ -730,10 +730,14 @@ def _fixture_pages(spark):
     )
 
 
-_PARSED_ORACLE_COLS = (
-    "url", "section_path", "standard_name", "original_name",
-    "current_period", "previous_period", "note", "row_order", "is_total",
-)
+def _fixture_oracle_select(parsed):
+    """Project a parsed relation onto the fixture oracle's columns (the
+    single definition both lifecycle queries share)."""
+    return parsed.select(
+        "url", "section_path", "standard_name", "original_name",
+        "current_period", "previous_period", "note",
+        F.col("row_order").cast("int").alias("row_order"), "is_total",
+    )
 
 
 def _q_extract_fixture_parsed(spark, sf):
@@ -741,11 +745,8 @@ def _q_extract_fixture_parsed(spark, sf):
     checked against the golden parse (VERDICT r4 item 5)."""
     from pdf_context_extractor_agent_spark.plans import parse_statements
 
-    res = parse_statements(_fixture_pages(spark), spark)["parsed"]
-    return res.select(
-        "url", "section_path", "standard_name", "original_name",
-        "current_period", "previous_period", "note",
-        F.col("row_order").cast("int").alias("row_order"), "is_total",
+    return _fixture_oracle_select(
+        parse_statements(_fixture_pages(spark), spark)["parsed"]
     )
 
 
@@ -754,11 +755,8 @@ def _q_balance_boundary_fixture(spark, sf):
     fixture-A docs, value-checked (VERDICT r4 item 9)."""
     from pdf_context_extractor_agent_spark.plans import parse_balance_via_boundary
 
-    res = parse_balance_via_boundary(_fixture_pages(spark), spark)["parsed"]
-    return res.select(
-        "url", "section_path", "standard_name", "original_name",
-        "current_period", "previous_period", "note",
-        F.col("row_order").cast("int").alias("row_order"), "is_total",
+    return _fixture_oracle_select(
+        parse_balance_via_boundary(_fixture_pages(spark), spark)["parsed"]
     )
 
 

@@ -181,6 +181,11 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if color_type == 3:
         if palette is None:
             raise NotImplementedError("palette PNG without PLTE")
+        if int(px.max(initial=0)) >= len(palette):
+            raise NotImplementedError(
+                f"palette index {int(px.max())} outside the "
+                f"{len(palette)}-entry PLTE"
+            )
         px = palette[px[:, :, 0]]
         channels = 3
     if channels <= 2:  # gray / gray+alpha
@@ -379,6 +384,9 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
                     f"WAV sample width {wf.getsampwidth()} (16-bit PCM only)"
                 )
             frames = wf.readframes(wf.getnframes())
+            # a data chunk truncated mid-sample would make frombuffer
+            # raise a bare ValueError; drop the partial trailing bytes
+            frames = frames[: len(frames) - (len(frames) % 2)]
             pcm = np.frombuffer(frames, dtype="<i2")
             nch = wf.getnchannels()
             if nch > 1:

@@ -382,7 +382,14 @@ def _encryption_key(blob: bytes) -> bytes | None:
     when the empty password does not verify (a genuinely
     password-protected file — unreadable without secrets, like
     pdfplumber's PDFPasswordIncorrect)."""
-    em = _ENCRYPT_REF_RE.search(blob)
+    # only honor /Encrypt inside the TRAILER dict: matching it anywhere
+    # would let an unencrypted document whose content stream merely
+    # contains the text '/Encrypt N 0 R' trigger the decryption tier
+    # and degrade to an empty page
+    tp = blob.rfind(b"trailer")
+    if tp < 0:
+        return None  # xref-stream layouts in this subset are never encrypted
+    em = _ENCRYPT_REF_RE.search(blob, tp)
     if em is None:
         return None
     loc = _object_slice(blob, int(em.group(1)))
@@ -463,8 +470,10 @@ def decrypt_pdf(blob: bytes) -> bytes:
         out[start:start + ln] = _rc4(
             _object_key(key, num, gen), blob[start:start + ln]
         )
-    # drop the /Encrypt reference: the bytes are now plaintext
-    return bytes(out).replace(b"/Encrypt", b"/Decrypt", 1)
+    # drop the /Encrypt reference IN THE TRAILER (decrypted content may
+    # legitimately contain the same byte run): the bytes are plaintext now
+    tp = blob.rfind(b"trailer")
+    return bytes(out[:tp]) + bytes(out[tp:]).replace(b"/Encrypt", b"/Decrypt", 1)
 
 
 def _decode_stream_bytes(obj_dict: bytes, data: bytes) -> bytes:

@@ -74,6 +74,12 @@ def crawl_plan(
     rules = robots_rules(robots, agent=agent)
     delays = robots_crawl_delay(robots, agent=agent)
 
+    if crawl_ledger is not None and sitemap_pages is None:
+        raise ValueError(
+            "crawl_ledger given without sitemap_pages: the ledger is only "
+            "consumed by the sitemap-freshness stage — silently ignoring "
+            "it would hide the misuse"
+        )
     urls = candidates
     recrawl = None
     if sitemap_pages is not None:

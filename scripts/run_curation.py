@@ -85,6 +85,11 @@ def main() -> int:
         blocklist=blocklist,
         url_col=url_col,
     )
+    # four actions read corpus (write, stats, pack, count) and two read
+    # verdicts — persist both or the shingle/LSH/cluster DAG recomputes
+    # per action
+    res["corpus"] = res["corpus"].persist()
+    res["verdicts"] = res["verdicts"].persist()
     out = args.output.rstrip("/")
     res["corpus"].write.mode("overwrite").parquet(f"{out}/corpus")
     res["verdicts"].write.mode("overwrite").parquet(f"{out}/verdicts")
@@ -101,6 +106,10 @@ def main() -> int:
                 F.coalesce(F.col("lang") if "lang" in src.columns else F.lit(None),
                            F.lit("corpus")),
             )
+        if "lang" not in src.columns:
+            # corpus_stats reads lang for the language-spread statistic;
+            # the documented minimum input is (doc_id, text)
+            src = src.withColumn("lang", F.lit(None).cast("string"))
         corpus_stats(src).write.mode("overwrite").parquet(f"{out}/stats")
 
     if args.pack:

@@ -993,3 +993,21 @@ def test_indirect_length_reference_decrypts_fully():
     blob2 = blob2[:p] + b"%d 0 obj\n%s\nendobj\n" % (num, m.group(1)) + blob2[p:]
     assert _stream_length(b"/Length %d 0 R" % num, blob2) == int(m.group(1))
     assert parse_minipdf(blob2)[0]["page_text"] == "indirect length survives"
+
+
+def test_encrypt_marker_in_content_does_not_trigger_decryption():
+    """An UNENCRYPTED document whose content stream contains the text
+    '/Encrypt 9 0 R' must parse normally: the decryption tier only
+    honors /Encrypt inside the trailer dict."""
+    from pdf_context_extractor_agent_spark.kernels.minipdf_layout import (
+        parse_minipdf,
+        render_minipdf,
+    )
+
+    stream = (
+        "BT /F1 10 Tf 1 0 0 1 100 700 Tm "
+        "(see /Encrypt 9 0 R for details) Tj ET"
+    )
+    blob = render_minipdf([stream])
+    assert b"/Encrypt 9 0 R" in blob and b"trailer" in blob
+    assert parse_minipdf(blob)[0]["page_text"] == "see /Encrypt 9 0 R for details"

@@ -410,14 +410,19 @@ def test_lm_bucket_matches_sql_ntile_semantics(spark):
             [(i, f"w{i} w{(i * 3) % 7} w{i} w{(i + 1) % 5}") for i in range(n_docs)],
             "doc_id long, text string",
         )
-        out = lm_doc_scores(docs, buckets=buckets).collect()
-        ordered = sorted(out, key=lambda r: (-round(r.avg_logp, 5), r.doc_id))
-        n, b = len(ordered), buckets
-        q, rem = divmod(n, b)
-        exp = []
-        for i in range(n):
-            if i < rem * (q + 1):
-                exp.append(i // (q + 1) + 1)
-            else:
-                exp.append(rem + (i - rem * (q + 1)) // max(q, 1) + 1)
-        assert [r.lm_bucket for r in ordered] == exp, (n_docs, buckets)
+        out = lm_doc_scores(docs, buckets=buckets)
+        # independent expectation: REAL F.ntile over a constant-key
+        # window (fine at test size; the production path must not use
+        # it) on the same order key
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            (-F.round("avg_logp", 5)).asc(), F.col("doc_id").asc()
+        )
+        ref = {
+            r.doc_id: r.ref_bucket
+            for r in out.withColumn("ref_bucket", F.ntile(buckets).over(w)).collect()
+        }
+        got = {r.doc_id: r.lm_bucket for r in out.collect()}
+        assert got == ref, (n_docs, buckets)
