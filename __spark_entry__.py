@@ -2661,8 +2661,10 @@ def _q_host_rank(spark, sf):
                     F.lit(".example.org/"))
     out2 = F.concat(F.lit("https://h"), (d % 7).cast("string"),
                     F.lit(".example.org/"))
-    edges = docs.select(src.alias("url"), out1.alias("out_url")).unionByName(
-        docs.select(src.alias("url"), out2.alias("out_url"))
+    # ONE scan of documents (explode the two outlinks) instead of a
+    # two-branch union that reads the parquet twice
+    edges = docs.select(
+        src.alias("url"), F.explode(F.array(out1, out2)).alias("out_url")
     )
     return host_rank(edges)
 

@@ -173,7 +173,12 @@ def page_rank(
                 ).alias("rank"),
             )
         )
-        rank = rank.localCheckpoint(eager=False)
+        if it + 1 < n_iter:
+            # the final iteration's result is consumed exactly once by
+            # the caller's action, so its checkpoint would only add a
+            # driver-side plan compile; every EARLIER round must cut
+            # (the state fans out twice per following round)
+            rank = rank.localCheckpoint(eager=False)
     return rank
 
 
