@@ -2912,7 +2912,7 @@ def _q_unescape(spark, sf):
             F.coalesce("text", F.lit("")),
             F.lit(" &amp;&lt;ok&gt; caf&#233; q&#8217; h&#x2019;"
                   " bad&#boom; sur&#55296; big&#1114112; z&#x1F600;"
-                  " amp&#38;lt;"),
+                  " amp&#38;lt; one&#1;x raw\x01y"),
         ).alias("text"),
     )
     return unescape_docs(docs)
@@ -3826,9 +3826,10 @@ WITH d AS (
   SELECT doc_id,
          coalesce(text, '') || ' &amp;&lt;ok&gt; caf&#233; q&#8217; h&#x2019;'
            || ' bad&#boom; sur&#55296; big&#1114112; z&#x1F600;'
-           || ' amp&#38;lt;' AS t
+           || ' amp&#38;lt; one&#1;x raw' || chr(1) || 'y' AS t
   FROM documents),
-sp AS (SELECT doc_id, string_split(t, '&#') AS fr FROM d),
+esc AS (SELECT doc_id, replace(t, chr(1), chr(1) || 'B') AS t FROM d),
+sp AS (SELECT doc_id, string_split(t, '&#') AS fr FROM esc),
 num AS (
   SELECT doc_id,
          fr[1] || array_to_string(list_transform(fr[2:], x ->
@@ -3838,21 +3839,28 @@ num AS (
                       BETWEEN 1 AND 1114111
                   AND NOT (regexp_extract(x, '^([0-9]{{1,7}});', 1)::BIGINT
                            BETWEEN 55296 AND 57343)
-               THEN translate(chr(regexp_extract(x, '^([0-9]{{1,7}});', 1)::INT),
-                              '&', chr(1))
+               THEN CASE WHEN chr(regexp_extract(x, '^([0-9]{{1,7}});', 1)::INT) = '&'
+                         THEN chr(1) || 'A'
+                         WHEN chr(regexp_extract(x, '^([0-9]{{1,7}});', 1)::INT) = chr(1)
+                         THEN chr(1) || 'B'
+                         ELSE chr(regexp_extract(x, '^([0-9]{{1,7}});', 1)::INT) END
                     || substr(x, length(regexp_extract(x, '^[0-9]{{1,7}};', 0)) + 1)
              WHEN regexp_matches(x, '^[xX][0-9a-fA-F]{{1,6}};')
                   AND ('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::BIGINT
                       BETWEEN 1 AND 1114111
                   AND NOT (('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::BIGINT
                            BETWEEN 55296 AND 57343)
-               THEN translate(chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::INT),
-                              '&', chr(1))
+               THEN CASE WHEN chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::INT) = '&'
+                         THEN chr(1) || 'A'
+                         WHEN chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::INT) = chr(1)
+                         THEN chr(1) || 'B'
+                         ELSE chr(('0x' || regexp_extract(x, '^[xX]([0-9a-fA-F]{{1,6}});', 1))::INT) END
                     || substr(x, length(regexp_extract(x, '^[xX][0-9a-fA-F]{{1,6}};', 0)) + 1)
              ELSE '&#' || x
            END), '') AS u
   FROM sp)
-SELECT doc_id, replace({_un}, chr(1), '&') AS unescaped FROM num"""
+SELECT doc_id, replace(replace({_un}, chr(1) || 'A', '&'),
+                       chr(1) || 'B', chr(1)) AS unescaped FROM num"""
 
     # Dolma-style attribute sidecar: the fixed-key-order JSON concat is
     # restated verbatim; counts via len(regexp_extract_all), moji ppm
@@ -3931,8 +3939,9 @@ dim AS (
 """
 
     def hits(words: list[str]) -> str:
+        # case-folded like quality._marker_hits
         pat = r"\b(" + "|".join(words) + r")\b"
-        return f"len(regexp_extract_all(text, '{pat}'))"
+        return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
     # --- md5 LSH twins: generate the DuckDB mirror of the Spark plan ---
     mh_sig = ", ".join(f"min(md5('{k}' || shingle)) AS mh_{k}" for k in range(16))
@@ -4186,16 +4195,17 @@ dim AS (
               SELECT doc_id,
                      length(text) AS n_chars,
                      len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS n_word_chars,
                      {stop} AS n_stop,
                      len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
               FROM documents)
             SELECT doc_id, n_words,
-                   round(n_chars / greatest(n_words, 1), 4) AS mean_word_len,
+                   round(n_word_chars / greatest(n_words, 1), 4) AS mean_word_len,
                    round(n_stop / greatest(n_words, 1), 4) AS stop_ratio,
                    round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
                    round(
                      (CASE WHEN n_words >= 50 THEN 0.4 ELSE n_words / 125.0 END)
-                     + (CASE WHEN n_chars / greatest(n_words, 1) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN n_word_chars / greatest(n_words, 1) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END)
                      + least((n_stop / greatest(n_words, 1)) * 2, 0.3), 4) AS quality_score
             FROM f""",
         "q_readability": """
@@ -4294,9 +4304,10 @@ dim AS (
               FROM w)
             SELECT doc_id,
                    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_word_ratio,
-                   round(list_max(list_transform(list_distinct(bg),
-                                                 d -> len(list_filter(bg, x -> x = d))))::DOUBLE
-                         / len(bg), 6) AS top_bigram_frac
+                   CASE WHEN len(w) < 2 THEN 0.0 ELSE
+                     round(list_max(list_transform(list_distinct(bg),
+                                                   d -> len(list_filter(bg, x -> x = d))))::DOUBLE
+                           / len(bg), 6) END AS top_bigram_frac
             FROM bg""",
         "q_pii_scrub": r"""
             WITH d AS (
@@ -4468,6 +4479,7 @@ dim AS (
               FROM split, unnest(generate_series(1, len(l))) AS u(i)),
             freq AS (
               SELECT line_key, TRUE AS boiler FROM lines
+              WHERE trim(line) <> ''
               GROUP BY line_key HAVING count(DISTINCT doc_id) >= 3),
             flagged AS (
               SELECT lines.*, coalesce(boiler, FALSE) AS is_boiler
@@ -5411,6 +5423,7 @@ dim AS (
               FROM l),
             fr AS (
               SELECT domain, k FROM x
+              WHERE trim(line) <> ''
               GROUP BY domain, k HAVING COUNT(DISTINCT url) >= 3),
             fl AS (
               SELECT x.url, x.domain, x.line_no, x.line,
@@ -6664,7 +6677,8 @@ GROUP BY sym""",
         "q_pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
-                     len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+                     CASE WHEN trim(text) = '' THEN 0 ELSE
+                       len(string_split_regex(trim(text), '\s+')) END::INT AS n_tokens
               FROM documents),
             c AS (
               SELECT doc_id, n_tokens,
@@ -6683,7 +6697,8 @@ GROUP BY sym""",
         "q_seq_manifest": r"""
             WITH t AS (
               SELECT doc_id,
-                     len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+                     CASE WHEN trim(text) = '' THEN 0 ELSE
+                       len(string_split_regex(trim(text), '\s+')) END::INT AS n_tokens
               FROM documents),
             c AS (
               SELECT doc_id, n_tokens,
@@ -6709,7 +6724,8 @@ GROUP BY sym""",
         "q_shard_manifest": r"""
             WITH t AS (
               SELECT doc_id,
-                     len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+                     CASE WHEN trim(text) = '' THEN 0 ELSE
+                       len(string_split_regex(trim(text), '\s+')) END::INT AS n_tokens
               FROM documents),
             c AS (
               SELECT doc_id, n_tokens,

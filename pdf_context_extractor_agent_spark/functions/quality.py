@@ -24,9 +24,12 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _marker_hits(text: Column, words: list[str]) -> Column:
-    """Whole-word occurrence count of any marker word."""
+    """Whole-word occurrence count of any marker word — case-folded,
+    so Title Case and ALL-CAPS text still matches the lowercase marker
+    lists (an ALL-CAPS English doc otherwise scored 0 for every latin
+    language and fell through to the zh tie-break)."""
     pat = r"\b(" + "|".join(words) + r")\b"
-    return F.regexp_count(text, F.lit(pat))
+    return F.regexp_count(F.lower(text), F.lit(pat))
 
 
 def cjk_char_count(text: Column) -> Column:
@@ -62,7 +65,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(words)
     n_stop = _marker_hits(t, EN_STOPWORDS)
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    # word characters only: dividing FULL length (separators included)
+    # by the word count skews the metric by ~+1 and disagrees with
+    # gopher_gate's word_chars/n_words definition in this same module
+    n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_word_len = n_word_chars / F.greatest(n_words, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     score = (
@@ -204,7 +211,13 @@ def repetition_features(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     return bgs.select(
         "doc_id",
         (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
-        (top / F.size(bg)).alias("top_bigram_frac"),
+        # a 0/1-word document HAS no bigrams: concat_ws silently drops
+        # the null second element, so the degenerate lone-word "bigram"
+        # used to score 1.0 and read as maximally repetitive to any
+        # top_bigram_frac gate
+        F.when(F.size(w) < 2, F.lit(0.0))
+        .otherwise(top / F.size(bg))
+        .alias("top_bigram_frac"),
     )
 
 
@@ -613,7 +626,9 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document zlib compression ratio — the entropy proxy that
     catches low-information text (templates, keyword stuffing, repeated
     boilerplate) that n-gram repetition metrics miss when the repeats
@@ -634,7 +649,14 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     import pandas as pd
 
-    src = docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    # the id passes through untyped (string url keys are as common as
+    # long doc_ids in this engine) — the output schema mirrors whatever
+    # the input declares instead of hardcoding long
+    id_type = docs.schema[id_col].dataType.simpleString()
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -656,7 +678,8 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     return src.mapInPandas(
         kernel,
-        schema="doc_id long, n_bytes long, n_compressed long, compression_ratio double",
+        schema=f"doc_id {id_type}, n_bytes long, n_compressed long, "
+               "compression_ratio double",
     )
 
 

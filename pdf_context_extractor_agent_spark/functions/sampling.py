@@ -233,7 +233,13 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # split('') yields [''] (size 1), so whitespace-only documents would
+    # otherwise count a phantom token that shifts every later doc's
+    # global offset and emits a manifest slice no shard writer can fill
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
     ranged = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("n_tokens"))
         .repartitionByRange("doc_id")

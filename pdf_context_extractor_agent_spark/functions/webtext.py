@@ -122,7 +122,12 @@ def strip_frequent_lines(
         "line_key", F.md5(F.trim(F.col("line")))
     )
     frequent = (
-        lines.groupBy("line_key")
+        # blank lines are structure, not boilerplate: md5(trim('')) is
+        # identical across every document, so without this filter any
+        # corpus with >= min_docs blank-line docs (all of them) would
+        # strip every paragraph break corpus-wide
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line_key")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("line_key")
@@ -214,7 +219,9 @@ def c4_line_flags(
     keep = trimmed.rlike(TERMINAL_PUNCT_RE) & (n_words >= min_words)
     low = F.lower(trimmed)
     for b in banned_line_words:
-        keep = keep & ~low.contains(b)
+        # lower the BAN WORD too (the doc-mark loop below already does):
+        # a caller passing 'JavaScript' must not silently never match
+        keep = keep & ~low.contains(b.lower())
     return keep
 
 
@@ -580,7 +587,11 @@ def meta_robots(
     ``keep_cols`` + ``robots_content``, ``robots_noindex``,
     ``robots_nofollow``, ``robots_indexable``.
     """
-    h = F.col(html_col).cast("string")
+    # null html (fetch failures) must yield the DEFAULT-INDEXABLE
+    # verdict, not null booleans — a downstream .filter('robots_indexable')
+    # would silently drop every failed fetch (the sibling extractors all
+    # coalesce for the same reason)
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
     c1 = F.regexp_extract(h, _ROBOTS_NAME_FIRST, 1)
     c2 = F.regexp_extract(h, _ROBOTS_CONTENT_FIRST, 1)
     content = F.when(c1 != "", c1).otherwise(c2)
@@ -709,7 +720,13 @@ def markdown_blocks_from_pages(pages: DataFrame) -> DataFrame:
         F.col("tbl.rows").alias("cells"),
     ).filter(F.col("cells").isNotNull())
     both = lines.filter(F.col("text").isNotNull()).unionByName(tables)
-    w = Window.partitionBy("url").orderBy("page", "y", "is_table")
+    # (page, y, is_table) is NOT a total order: two lines at one y
+    # (multi-column layouts) or two tables sharing a y_top would make
+    # seq — hence the rendered markdown and its fingerprint — flip
+    # between partitionings. Tie-break on the content itself.
+    w = Window.partitionBy("url").orderBy(
+        "page", "y", "is_table", "text", F.to_json("cells")
+    )
     return both.select(
         F.col("url").alias("doc_id"),
         F.row_number().over(w).alias("seq"),
@@ -982,7 +999,9 @@ def domain_frequent_lines(
         .alias("line_no", "line"),
     ).withColumn("line_key", F.md5(F.trim("line")))
     frequent = (
-        lines.groupBy("domain", "line_key")
+        # blank lines excluded from candidacy (see strip_frequent_lines)
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("domain", "line_key")
         .agg(F.countDistinct("url").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("domain", "line_key", F.lit(True).alias("is_boiler"))
@@ -1088,11 +1107,15 @@ _NUMERIC_UNESCAPE = (
     CASE
       WHEN x RLIKE '^[0-9]{1,7};'
            AND __DECCHR__ IS NOT NULL
-        THEN concat(translate(__DECCHR__, '&', '\u0001'),
+        THEN concat(CASE WHEN __DECCHR__ = '&' THEN '\u0001A'
+                         WHEN __DECCHR__ = '\u0001' THEN '\u0001B'
+                         ELSE __DECCHR__ END,
                     substring(x, length(regexp_extract(x, '^[0-9]{1,7};', 0)) + 1))
       WHEN x RLIKE '^[xX][0-9a-fA-F]{1,6};'
            AND __HEXCHR__ IS NOT NULL
-        THEN concat(translate(__HEXCHR__, '&', '\u0001'),
+        THEN concat(CASE WHEN __HEXCHR__ = '&' THEN '\u0001A'
+                         WHEN __HEXCHR__ = '\u0001' THEN '\u0001B'
+                         ELSE __HEXCHR__ END,
                     substring(x, length(regexp_extract(x, '^[xX][0-9a-fA-F]{1,6};', 0)) + 1))
       ELSE concat('&#', x)
     END))"""
@@ -1116,12 +1139,21 @@ def unescape_docs(
     the literal ``&lt;`` — single-decode semantics. Zero shuffle."""
     src = docs.select(
         F.col(id_col),
-        F.coalesce(F.col(text_col), F.lit("")).alias("_he"),
+        # pre-escape literal U+0001 (the sentinel lead byte) so neither
+        # crawl text containing it nor a decoded "&#1;" can collide with
+        # the ampersand marker: decoded '&' becomes the TWO-char
+        # sequence \x01A, decoded/literal U+0001 becomes \x01B, and the
+        # lead byte never appears bare until both unwind below
+        F.replace(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit("\x01"), F.lit("\x01B"),
+        ).alias("_he"),
     )
     out = F.expr(_NUMERIC_UNESCAPE.replace("__COL__", "_he"))
     for ent, ch in NAMED_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     # restore numeric-decoded ampersands (sentinel'd so the named chain
-    # cannot double-decode "&#38;lt;" into "<")
-    out = F.replace(out, F.lit("\x01"), F.lit("&"))
+    # cannot double-decode "&#38;lt;" into "<"), then literal U+0001
+    out = F.replace(out, F.lit("\x01A"), F.lit("&"))
+    out = F.replace(out, F.lit("\x01B"), F.lit("\x01"))
     return src.select(id_col, out.alias("unescaped"))

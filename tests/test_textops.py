@@ -335,7 +335,9 @@ def test_repetition_features(spark):
     assert r[0].distinct_word_ratio == 0.5          # {a,b} of 4 words
     assert abs(r[0].top_bigram_frac - 2 / 3) < 1e-9  # 'a b' twice of 3 bigrams
     assert r[1].distinct_word_ratio == 1.0 and r[1].top_bigram_frac == 1 / 3
-    assert r[2].distinct_word_ratio == 1.0 and r[2].top_bigram_frac == 1.0
+    # a one-word doc has NO bigrams -> zero repetition evidence (the
+    # degenerate lone-word "bigram" used to score a false 1.0)
+    assert r[2].distinct_word_ratio == 1.0 and r[2].top_bigram_frac == 0.0
 
 
 def test_repetition_features_jumbo_doc_linear(spark):

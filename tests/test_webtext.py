@@ -708,3 +708,22 @@ def test_unescape_docs_entities(spark):
     # invalid refs stay verbatim
     assert got[3] == "bad &#boom; sur &#55296; big &#1114112; zero &#0;"
     assert got[4] == ""
+
+
+def test_frequent_lines_never_strip_paragraph_breaks(spark):
+    """Blank lines are document structure, not boilerplate: they appear
+    in every document, but must never be flagged frequent."""
+    from pdf_context_extractor_agent_spark.functions.webtext import (
+        strip_frequent_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique para one {i}\n\nunique para two {i}\nshared footer line")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_frequent_lines(docs, min_docs=3).collect()}
+    for i in range(5):
+        # the shared footer goes; the empty line (paragraph break) stays
+        assert out[i].n_removed == 1
+        assert out[i].kept_text == f"unique para one {i}\n\nunique para two {i}"
