@@ -1226,7 +1226,9 @@ def _q_domain_stats(spark, sf):
     return domain_stats(docs)
 
 
-_BLOCKLIST = ["src3.com", "cdn.src7.com", "tracker.src7.com", "SRC12.com "]
+# the www-prefixed entry exercises UT1-style list normalization
+_BLOCKLIST = ["src3.com", "cdn.src7.com", "tracker.src7.com", "SRC12.com ",
+              "www.cdn.src5.com"]
 
 
 def _q_blocklist(spark, sf):
@@ -3329,7 +3331,7 @@ urls AS (
                          || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
                        '^([a-z]+://)www\.', '\1'),
                      '#.*$', ''),
-                   '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                   '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
                  '\?&+', '?'),
                '&&+', '&', 'g'),
              '[?&]+$', '')"""
@@ -4806,7 +4808,7 @@ dim AS (
                                    || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
                                  '^([a-z]+://)www\.', '\1'),
                                '#.*$', ''),
-                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                             '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
                            '\?&+', '?'),
                          '&&+', '&', 'g'),
                        '[?&]+$', '') AS canon_url,
@@ -4829,8 +4831,10 @@ dim AS (
                                     '^www\.', '') AS host
               FROM u),
             bl(raw) AS (VALUES ('src3.com'), ('cdn.src7.com'),
-                               ('tracker.src7.com'), ('SRC12.com ')),
-            e AS (SELECT DISTINCT lower(trim(raw)) AS e FROM bl)
+                               ('tracker.src7.com'), ('SRC12.com '),
+                               ('www.cdn.src5.com')),
+            e AS (SELECT DISTINCT regexp_replace(lower(trim(raw)), '^www\.', '')
+                           AS e FROM bl)
             SELECT h.doc_id, h.host,
                    coalesce(bool_or(h.host = e.e OR ends_with(h.host, '.' || e.e)), false)
                      AS is_blocked,
@@ -4862,7 +4866,7 @@ dim AS (
                                    || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
                                  '^([a-z]+://)www\.', '\1'),
                                '#.*$', ''),
-                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                             '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
                            '\?&+', '?'),
                          '&&+', '&', 'g'),
                        '[?&]+$', '') AS canon_url,
@@ -5649,7 +5653,8 @@ dim AS (
                      'w' || (doc_id % 5)::VARCHAR || '.example.com' AS host,
                      ['/x.pdf','/pub/z.pdf','/a/1/sec','/a/open/sec',
                       '/q','/q2','/meta(x)+[y]z']
-                       [((doc_id // 5) % 7)::INT + 1] AS path
+                       [((doc_id // 5) % 7)::INT + 1]
+                       || '?id=' || doc_id::VARCHAR AS path
               FROM documents),
             r(rhost, rule, rpath, rlen, pat) AS (VALUES
               ('w0.example.com', 'disallow', '/*.pdf$', 7, '^/.*\.pdf$'),
@@ -5695,7 +5700,7 @@ dim AS (
                                    || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
                                  '^([a-z]+://)www\.', '\1'),
                                '#.*$', ''),
-                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                             '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
                            '\?&+', '?'),
                          '&&+', '&', 'g'),
                        '[?&]+$', '') AS canon_url
@@ -5777,8 +5782,8 @@ keyed AS (
   SELECT doc_id, url,
          regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
                         '^www\.', '') AS host,
-         CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) = '' THEN '/'
-              ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) END AS path
+         CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^#]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^#]*)', 1) END AS path
   FROM urls
 ), matched AS (
   SELECT k.doc_id, k.url, k.host, k.path, r.rule, r.path AS rpath,
@@ -5863,8 +5868,8 @@ keyed AS (
   SELECT url, priority,
          regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]*)', 1)),
                         '^www\.', '') AS host,
-         CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) = '' THEN '/'
-              ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) END AS path
+         CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^#]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^#]*)', 1) END AS path
   FROM allu
 ), matched AS (
   SELECT k.url, k.priority, k.host, k.path, r.rule,
@@ -6092,7 +6097,7 @@ QUALIFY row_number() OVER (PARTITION BY urlkey
                                    || regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(.*)$', 1),
                                  '^([a-z]+://)www\.', '\1'),
                                '#.*$', ''),
-                             '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                             '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
                            '\?&+', '?'),
                          '&&+', '&', 'g'),
                        '[?&]+$', '') AS canon_url,
@@ -6891,11 +6896,11 @@ GROUP BY sym""",
             bb AS (SELECT tgt_id, src_id AS best_src FROM ranked WHERE rb = 1),
             fwd AS (SELECT src_id, tgt_id, cos FROM ranked WHERE rf = 1)
             SELECT src_id, tgt_id, round(cos, 6) AS cos_sim,
-                   floor(cos / ((a_src + a_tgt) / 2) * 1e6) / 1e6 AS margin,
+                   floor(cos / greatest((a_src + a_tgt) / 2, 1e-9) * 1e6) / 1e6 AS margin,
                    (bb.best_src = fwd.src_id) AS is_mutual
             FROM fwd JOIN a_src USING (src_id) JOIN a_tgt USING (tgt_id)
                      JOIN bb USING (tgt_id)
-            WHERE floor(cos / ((a_src + a_tgt) / 2) * 1e6) / 1e6 >= 1.0""",
+            WHERE floor(cos / greatest((a_src + a_tgt) / 2, 1e-9) * 1e6) / 1e6 >= 1.0""",
         # SemDeDup: the q_cosine_neardup pair generation composed with
         # the q_dup_clusters recursive-CTE transitive closure
         "q_semdedup": f"""

@@ -88,6 +88,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     spend a wide exchange on the pair set for nothing.
     """
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    if len(mh_cols) % bands != 0:
+        raise ValueError(
+            f"{len(mh_cols)} minhashes do not band evenly into {bands} "
+            "(leftover hashes would be silently dropped, weakening recall)"
+        )
     rows_per_band = len(mh_cols) // bands
     band_structs = []
     for b in range(bands):
@@ -111,22 +116,13 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
-def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Exact word-shingle Jaccard for candidate pairs (the verify step
-    after LSH), counted at the SHINGLE level — no ``collect_set`` arrays
-    are ever built or shipped (a long near-dup-heavy document would
-    otherwise re-ship its whole shingle set once per candidate pair):
-
-    * pairs ⋈ shingles(doc_a)                — one row per (pair, a-shingle)
-    * left-⋈ shingles on (doc_b, shingle)    — marks the intersection
-    * groupBy(pair)                          — |A| and |A∩B| in one aggregation
-    * ⋈ tiny per-doc shingle-count dim       — |B|; J = |A∩B| / (|A|+|B|-|A∩B|)
-
-    Distinct-counting makes the aggregation idempotent under duplicated
-    candidate rows, so upstream LSH generators don't need a pair-set
-    ``.distinct()`` exchange — the per-pair groupBy here collapses
-    band-duplicates for free.
-    """
+def _pair_shingle_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Shared counting core of :func:`jaccard_verify` and
+    :func:`containment_pairs`: per candidate pair, ``(doc_a, doc_b,
+    _n_a, _n_common, _n_b)`` counted at the SHINGLE level — no
+    ``collect_set`` arrays are ever built or shipped, and the
+    distinct-counting makes the aggregation idempotent under duplicated
+    candidate rows (band duplicates collapse here for free)."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("_shingle_b"))
     marked = (
@@ -146,7 +142,28 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.8) -> D
         ).alias("_n_common"),
     )
     n_b = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("_n_b"))
-    j = agg.join(n_b, agg["doc_b"] == n_b["doc_id"]).select(
+    return agg.join(n_b, agg["doc_b"] == n_b["doc_id"]).select(
+        "doc_a", "doc_b", "_n_a", "_n_common", "_n_b"
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs (the verify step
+    after LSH), counted at the SHINGLE level — no ``collect_set`` arrays
+    are ever built or shipped (a long near-dup-heavy document would
+    otherwise re-ship its whole shingle set once per candidate pair):
+
+    * pairs ⋈ shingles(doc_a)                — one row per (pair, a-shingle)
+    * left-⋈ shingles on (doc_b, shingle)    — marks the intersection
+    * groupBy(pair)                          — |A| and |A∩B| in one aggregation
+    * ⋈ tiny per-doc shingle-count dim       — |B|; J = |A∩B| / (|A|+|B|-|A∩B|)
+
+    Distinct-counting makes the aggregation idempotent under duplicated
+    candidate rows, so upstream LSH generators don't need a pair-set
+    ``.distinct()`` exchange — the per-pair groupBy here collapses
+    band-duplicates for free.
+    """
+    j = _pair_shingle_counts(pairs, sh).select(
         "doc_a",
         "doc_b",
         (
@@ -174,26 +191,7 @@ def containment_pairs(
     candidate rows, so LSH generators feed it without a pair-set
     ``.distinct()`` exchange.
     """
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("_shingle_b"))
-    marked = (
-        pairs.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("_doc_b"))
-            & (F.col("shingle") == F.col("_shingle_b")),
-            "left",
-        )
-    )
-    agg = marked.groupBy("doc_a", "doc_b").agg(
-        F.countDistinct("shingle").alias("_n_a"),
-        F.countDistinct(
-            F.when(F.col("_shingle_b").isNotNull(), F.col("shingle"))
-        ).alias("_n_common"),
-    )
-    n_b = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("_n_b"))
-    c = agg.join(n_b, agg["doc_b"] == n_b["doc_id"]).select(
+    c = _pair_shingle_counts(pairs, sh).select(
         "doc_a",
         "doc_b",
         (F.col("_n_common") / F.col("_n_a")).alias("containment_a"),
@@ -259,6 +257,11 @@ def lsh_candidate_pairs_keyed(sigs: DataFrame, bands: int = 8) -> DataFrame:
     the joined member strings, so any engine computes the same key. Same
     bucket equi-join as :func:`lsh_candidate_pairs`."""
     mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    if len(mh_cols) % bands != 0:
+        raise ValueError(
+            f"{len(mh_cols)} minhashes do not band evenly into {bands} "
+            "(leftover hashes would be silently dropped, weakening recall)"
+        )
     rows_per_band = len(mh_cols) // bands
     band_structs = []
     for b in range(bands):
@@ -525,7 +528,12 @@ def connected_components(
     scalars per round.
     """
     e = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        # ids pass through UNCAST: every step (min/least/greatest/window
+        # min) needs only an orderable type, and a cast('long') silently
+        # nulls string ids — dropping every edge and reporting every doc
+        # canonical. String ids order lexicographically; the component
+        # label is the min id under that order.
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
@@ -588,7 +596,7 @@ def dedup_clusters(
     """
     comp = connected_components(pairs, src, dst, max_iter)
     out = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
     )

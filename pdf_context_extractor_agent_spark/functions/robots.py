@@ -54,8 +54,12 @@ __all__ = [
 
 
 def _url_path(url: Column) -> Column:
-    """Path component of ``url`` (no query/fragment), ``/`` if empty."""
-    p = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*(/[^?#]*)", 1)
+    """Path-and-query component of ``url`` (no fragment), ``/`` if
+    empty. RFC 9309 / Google matching compares rules against the path
+    INCLUDING the query — with the query stripped, the very common
+    ``Disallow: /search?`` (or wildcard ``/*?sort=``) rules could never
+    match anything."""
+    p = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*(/[^#]*)", 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
@@ -228,8 +232,15 @@ def robots_check(
     """
     from .urls import url_host
 
-    keyed = urls.withColumn("host", url_host(F.col(url_col))).withColumn(
-        "path", _url_path(F.col(url_col))
+    keyed = (
+        urls
+        # a stable per-row identity: the winner window otherwise
+        # partitions on the column VALUES, so two identical input rows
+        # (a frontier with repeated candidates) would collapse to one
+        # verdict — violating the keeps-every-input-row contract
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("host", url_host(F.col(url_col)))
+        .withColumn("path", _url_path(F.col(url_col)))
     )
     r = rules.select(
         F.col(host_col).alias("__rhost"),
@@ -248,7 +259,7 @@ def robots_check(
         "left",
     )
     w = (
-        Window.partitionBy(*[F.col(c) for c in urls.columns], "host", "path")
+        Window.partitionBy("__rid")
         .orderBy(
             F.col("__rlen").desc_nulls_last(),
             F.col("__rule").asc_nulls_last(),  # 'allow' < 'disallow': ties go to allow

@@ -78,10 +78,23 @@ def hyperplane_signature(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_index(
-    emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42, vec_col: str = "embedding"
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the bucket signature. At scale you'd `repartitionByRange`/
-    bucket-write on `bucket` so a query prunes to one file group."""
+    bucket-write on `bucket` so a query prunes to one file group.
+
+    ``dim`` defaults to the data's own vector length (one tiny first()
+    action, the same probe the SQ/PQ codecs use): a mismatched literal
+    dim makes ``zip_with`` null-pad every dot product, silently filing
+    EVERY vector under bucket 0 — and ann_topk, whose planes derive
+    from the query's true length, then probes empty buckets and
+    returns an empty top-k with no error."""
+    if dim is None:
+        dim = int(emb.select(F.size(vec_col)).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     return emb.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
 
@@ -154,7 +167,16 @@ def ivf_index(
     """
     cents = emb.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-    )
+    ).unionByName(
+        # guaranteed non-empty: a corpus smaller than the stride with
+        # ids that never hit 0 (mod stride) would otherwise produce an
+        # EMPTY centroid set, and ivf_topk would silently return an
+        # empty top-k. The min-id row is a deterministic fallback
+        # centroid (a tiny TakeOrdered, not a shuffle).
+        emb.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        ).orderBy("cent_id").limit(1)
+    ).distinct()
     scored = emb.join(F.broadcast(cents)).select(
         id_col,
         vec_col,
@@ -222,8 +244,9 @@ def sq_codes(vec_col: Column, lo: float, hi: float) -> Column:
     4× smaller than float32 at rest and in shuffle, and the scoring
     dot product becomes exact INTEGER math — identical on any engine
     (the float arithmetic before round is plain IEEE-double with one
-    association order, also engine-identical). All inputs are within
-    [lo, hi] by construction of :func:`sq_minmax`, so no clamp."""
+    association order, also engine-identical). Corpus inputs are within
+    [lo, hi] by construction of :func:`sq_minmax`, so no clamp here;
+    external queries are clamped by the caller (:func:`sq_topk`)."""
     scale = 255.0 / (hi - lo) if hi > lo else 0.0
     return F.transform(
         vec_col,
@@ -251,7 +274,11 @@ def sq_topk(
     :func:`brute_force_topk` when exactness matters."""
     if lo is None or hi is None:
         lo, hi = sq_minmax(emb, vec_col)
-    qcode = sq_codes(F.array(*[F.lit(float(x)) for x in query]), lo, hi)
+    # the CORPUS is within [lo, hi] by construction of sq_minmax; an
+    # external query is not — clamp it so its codes stay in the int8
+    # range instead of silently overflowing the quantizer
+    qvals = [min(max(float(x), lo), hi) for x in query]
+    qcode = sq_codes(F.array(*[F.lit(v) for v in qvals]), lo, hi)
     scored = emb.select(
         F.col(id_col),
         F.aggregate(
@@ -559,9 +586,17 @@ def margin_bitext_pairs(
             "tgt_id",
             F.round("cos", 6).alias("cos_sim"),
             (
+                # the neighbour-mean denominator is clamped positive:
+                # an all-negative candidate neighbourhood would FLIP the
+                # ratio's sign (anti-similar pairs scoring as high-margin
+                # translations) and an exactly-zero mean would null the
+                # row out of the audit entirely
                 F.floor(
                     F.col("cos")
-                    / ((F.col("a_src") + F.col("a_tgt")) / F.lit(2.0))
+                    / F.greatest(
+                        (F.col("a_src") + F.col("a_tgt")) / F.lit(2.0),
+                        F.lit(1e-9),
+                    )
                     * F.lit(1e6)
                 )
                 / F.lit(1e6)

@@ -31,8 +31,11 @@ __all__ = [
 ]
 
 # query parameters that never affect page identity (Google/Facebook/
-# generic referrer trackers); stripped wholesale by the canonicalizer
-_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# generic referrer trackers); stripped wholesale by the canonicalizer.
+# The name is ANCHORED at a ? or & separator (kept via $1) — unanchored,
+# 'ref=' matched inside other parameter NAMES ('?href=abc' → '?h'),
+# collapsing distinct pages onto one canonical dedup key
+_TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -49,19 +52,25 @@ def canonicalize_url(url: Column) -> Column:
     """
     head = F.lower(F.regexp_extract(url, r"^([a-zA-Z]+://[^/?#]*)", 1))
     tail = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*(.*)$", 1)
-    u = F.concat(head, tail)
+    # scheme-less input (protocol-relative links, bare hosts) must pass
+    # through, not collapse to '' — '' as the canonical key would alias
+    # every such row onto ONE dedup/revision identity
+    u = F.when(head == "", url).otherwise(F.concat(head, tail))
     u = F.regexp_replace(u, r"^([a-z]+://)www\.", r"$1")
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, r"$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
     return F.regexp_replace(u, r"[?&]+$", "")
 
 
 def url_host(url: Column) -> Column:
-    """Case-folded authority with any ``www.`` prefix removed."""
+    """Case-folded authority with any ``www.`` prefix removed; NULL for
+    scheme-less input (an empty-string host would silently merge every
+    such row into one fake domain in caps/stats/blocklists)."""
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#:]*)", 1))
-    return F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 
 def registered_domain(url: Column) -> Column:
@@ -71,14 +80,16 @@ def registered_domain(url: Column) -> Column:
     return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
 
 
-def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
     """Per-registered-domain corpus statistics: page count, distinct
     canonical URLs (post-canonicalization dedup key-space), total text
     bytes. ONE shuffle on the domain key; at crawl scale the domain
     distribution is zipfian, so this aggregate is exactly the place
     AQE's skew handling earns its keep (the engine leaves it on).
     """
-    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return (
         pages.select(
             registered_domain(F.col(url_col)).alias("domain"),
@@ -295,7 +306,14 @@ def blocklist_filter(
     columns, not silent drops (the C4-filter visibility contract).
     """
     bl = (
-        blocklist.select(F.lower(F.trim(F.col(entry_col))).alias("e"))
+        # entries normalize like page hosts do (url_host strips www.),
+        # or a 'www.badsite.com' list entry — common in UT1 dumps —
+        # would never match anything
+        blocklist.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(entry_col))), r"^www\.", ""
+            ).alias("e")
+        )
         .withColumn("_bl_reg", _host_registered_domain(F.col("e")))
         .groupBy("_bl_reg")
         .agg(F.collect_set("e").alias("_bl_entries"))

@@ -133,3 +133,30 @@ def test_assign_plan_has_no_corpus_shuffle(spark, emb):
     # a SortMergeJoin or corpus-side Exchange hash-partitioning on
     # vec_id would mean the fold-into-one-row trick regressed
     assert "SortMergeJoin" not in plan
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids (urls, hash keys) must cluster correctly — the
+    old cast('long') nulled them, dropped every edge, and reported
+    every doc canonical (silent duplicate retention)."""
+    from pdf_context_extractor_agent_spark.functions.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")],
+        "doc_a string, doc_b string",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+                    "doc_x": "doc_x", "doc_y": "doc_x"}
+    docs = spark.createDataFrame(
+        [(d,) for d in ("doc_a", "doc_b", "doc_c", "doc_x", "doc_y", "solo")],
+        "doc_id string",
+    )
+    out = {r.doc_id: (r.component, r.cluster_size, r.is_canonical)
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out["doc_b"] == ("doc_a", 3, False)
+    assert out["doc_a"] == ("doc_a", 3, True)
+    assert out["solo"] == ("solo", 1, True)

@@ -244,7 +244,8 @@ def test_robots_wildcard_matching(spark):
     urls = spark.createDataFrame(
         [
             (1, "https://a.com/doc/paper.pdf"),     # *.pdf$ → blocked
-            (2, "https://a.com/doc/paper.pdf?x=1"), # query stripped → blocked
+            (2, "https://a.com/doc/paper.pdf?x=1"), # $ anchors PATH+QUERY
+            #    → NOT blocked (Google: '/*.pdf$' does not match '.pdf?x')
             (3, "https://a.com/pub/ok.pdf"),        # longer allow wins
             (4, "https://a.com/doc/paper.pdfx"),    # $ anchor → NOT blocked
             (5, "https://a.com/x+y(1)z"),           # literal metas prefix
@@ -256,7 +257,7 @@ def test_robots_wildcard_matching(spark):
     got = {r["doc_id"]: (r["allowed"], r["matched_path"])
            for r in robots_check(urls, rules, wildcards=True).collect()}
     assert got[1] == (False, "/*.pdf$")
-    assert got[2] == (False, "/*.pdf$")
+    assert got[2] == (True, None)  # spec: $ fails against '?x=1' tail
     assert got[3] == (True, "/pub/*.pdf$")
     assert got[4] == (True, None)
     assert got[5] == (False, "/x+y(1)")
@@ -359,3 +360,54 @@ def test_crawl_plan_first_crawl_and_dup_url(spark):
         "https://h0.example.com/fresh": (2, None),
     }
     assert plan["verdicts"].count() == 2  # one verdict row per unique URL
+
+
+def test_robots_rules_match_query_string(spark):
+    """RFC 9309 / Google semantics compare rules against path+query:
+    'Disallow: /search?' and wildcard '/*?sort=' must block URLs whose
+    disallowed part lives in the query string."""
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        robots_check,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /search?\nDisallow: /*?sort=")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [("https://h.com/search?q=x",),
+         ("https://h.com/list?sort=price",),
+         ("https://h.com/search",),       # no query → prefix '/search?' no match
+         ("https://h.com/list?page=2",)],
+        "url string",
+    )
+    plain = {r.url: r.allowed for r in robots_check(urls, rules).collect()}
+    assert plain["https://h.com/search?q=x"] is False   # prefix match incl '?'
+    assert plain["https://h.com/search"] is True
+    wc = {r.url: r.allowed
+          for r in robots_check(urls, rules, wildcards=True).collect()}
+    assert wc["https://h.com/search?q=x"] is False
+    assert wc["https://h.com/list?sort=price"] is False  # wildcard over path+query
+    assert wc["https://h.com/list?page=2"] is True
+
+
+def test_robots_check_keeps_duplicate_rows(spark):
+    """Two identical input rows must yield two verdict rows (the window
+    previously partitioned on column values and collapsed them)."""
+    from pdf_context_extractor_agent_spark.functions.robots import (
+        robots_check,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /x")], "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [("https://h.com/a",), ("https://h.com/a",), ("https://h.com/x",)],
+        "url string",
+    )
+    out = robots_check(urls, robots_rules(robots)).collect()
+    assert len(out) == 3
+    assert sum(1 for r in out if r.url == "https://h.com/a") == 2
